@@ -1,0 +1,20 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh (the TPU analog of the reference's
+multi-process multi-GPU tests, see SURVEY.md §4): Pallas kernels execute in
+interpreter mode, shardings/collectives execute for real over the host mesh.
+Set HPC_TEST_TPU=1 to run the suite on real TPU devices instead.
+"""
+
+import os
+import sys
+
+if not os.environ.get("HPC_TEST_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
