@@ -1,0 +1,59 @@
+"""Paged-KV DMA helpers for Pallas attention kernels.
+
+Fast-path kernels read KV pages in the "HND" layout
+``[num_kv_heads, num_blocks, block_size, head_dim]`` so one (head, page) slab
+is contiguous in HBM and loads with a single DMA. Public APIs accept the
+reference's logical NHD layout ``[num_blocks, block_size, H, D]``
+(hpc/attention.py:93-105) and convert; models built on this framework keep
+caches in HND natively.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+
+def nhd_to_hnd(cache: jax.Array) -> jax.Array:
+    """[num_blocks, bs, H, D] -> [H, num_blocks, bs, D]."""
+    return jnp.transpose(cache, (2, 0, 1, 3))
+
+
+def hnd_to_nhd(cache: jax.Array) -> jax.Array:
+    return jnp.transpose(cache, (1, 2, 0, 3))
+
+
+class MultiPageCopy:
+    """One async DMA per KV page: HBM pages -> VMEM slab.
+
+    pages_ref: [H, num_blocks, block_size, D] (ANY/HBM)
+    buf_ref:   [num_buffers, pages_per_block, block_size, D] (VMEM)
+    sem:       single DMA semaphore shared by the page copies.
+
+    Pages are non-contiguous; all DMAs start concurrently so latency is the
+    slowest single page, not the sum.
+    """
+
+    def __init__(self, pages_ref, buf_ref, sem, block_tbl_ref, *, head, page_start, num_pages, slot):
+        self._copies = []
+        for i in range(num_pages):
+            phys = jnp.maximum(block_tbl_ref[page_start + i], 0)
+            self._copies.append(
+                pltpu.make_async_copy(
+                    pages_ref.at[head, phys],
+                    buf_ref.at[slot, i],
+                    sem,
+                )
+            )
+
+    def start(self):
+        for c in self._copies:
+            c.start()
+
+    def wait(self):
+        for c in self._copies:
+            c.wait()
+
+
+__all__ = ["nhd_to_hnd", "hnd_to_nhd", "MultiPageCopy"]

@@ -1,0 +1,278 @@
+"""Fused RoPE + optional QK-RMSNorm + paged KV-cache store (BF16 and FP8).
+
+Reference parity: hpc/rope.py (rope_norm_store_kv, rope_norm_store_kv_fp8) and
+tests/test_rope.py:36-117 (NeoX rotate-half convention, cos_sin table
+``[cos | sin]`` of width head_dim, qk_norm_policy 0/1/2, paged writes with
+last-block tail zeroing).
+
+TPU design: the whole op is gather (cos/sin rows) + elementwise rotate/norm +
+scatter (paged store). XLA compiles this into fused gather/scatter kernels;
+the varlen bookkeeping (row -> request -> position) is plain vectorized
+arithmetic on the scalar tables, so no Pallas kernel is needed to hit HBM
+roofline — every element is read once and written once.
+
+Functional form: caches are inputs AND outputs (donate them under jit for
+in-place updates).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hpc_ops_tpu.config import FP8_DTYPE, FP8_MAX, QKNormPolicy, QuantPolicy
+from hpc_ops_tpu.ops.kv_cache import (
+    PagedKVCache,
+    flat_slot_ids,
+    store_kv,
+    zero_block_tails,
+)
+from hpc_ops_tpu.utils.common import fp8_saturate_cast, round_up
+
+_NORM_EPS = 1e-6
+
+
+def make_cos_sin_cache(max_position: int, head_dim: int, base: float = 10000.0):
+    """[max_position, head_dim] table: first half cos(t*f), second half sin."""
+    inv_freq = 1.0 / (
+        base ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    t = jnp.arange(max_position, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)
+    return jnp.concatenate([jnp.cos(freqs), jnp.sin(freqs)], axis=-1)
+
+
+def _rotate_neox(x: jax.Array, cs: jax.Array) -> jax.Array:
+    """NeoX RoPE: x [rows, H, D], cs [rows, D] -> rotated [rows, H, D] fp32."""
+    d = x.shape[-1]
+    h = d // 2
+    x1, x2 = x[..., :h], x[..., h:]
+    c = cs[:, None, :h]
+    s = cs[:, None, h:]
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+
+def _head_rmsnorm(x: jax.Array, w: jax.Array, eps: float = _NORM_EPS) -> jax.Array:
+    """Per-head RMSNorm over head_dim (fp32). w: [D]."""
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)[None, None, :]
+
+
+class _Varlen(NamedTuple):
+    req_ids: jax.Array  # [rows]
+    positions: jax.Array  # [rows] logical position in the sequence
+    pos_in_q: jax.Array  # [rows] index within the request's new tokens
+    valid: jax.Array  # [rows]
+
+
+def _row_mapping(num_rows: int, num_seqlen_per_req, q_index) -> _Varlen:
+    """row -> (request, absolute position). q_index: [num_req+1] prefix sums."""
+    row = jnp.arange(num_rows, dtype=jnp.int32)
+    # req such that q_index[req] <= row < q_index[req+1]
+    req = jnp.searchsorted(q_index[1:], row, side="right").astype(jnp.int32)
+    num_req = num_seqlen_per_req.shape[0]
+    req_c = jnp.minimum(req, num_req - 1)
+    q_start = q_index[req_c]
+    q_len = q_index[req_c + 1] - q_start
+    seqlen = num_seqlen_per_req[req_c]
+    pos_in_q = row - q_start
+    pos = seqlen - q_len + pos_in_q
+    valid = (row < q_index[num_req]) & (pos >= 0) & (q_len > 0)
+    return _Varlen(req_c, pos, pos_in_q, valid)
+
+
+def _split_qkv(qkv, num_q_heads, num_kv_heads, qk_dim, v_dim):
+    rows = qkv.shape[0]
+    q_end = num_q_heads * qk_dim
+    k_end = q_end + num_kv_heads * qk_dim
+    q = qkv[:, :q_end].reshape(rows, num_q_heads, qk_dim)
+    k = qkv[:, q_end:k_end].reshape(rows, num_kv_heads, qk_dim)
+    v = qkv[:, k_end:].reshape(rows, num_kv_heads, v_dim)
+    return q, k, v
+
+
+def _rope_norm_core(
+    qkv,
+    cos_sin,
+    num_seqlen_per_req,
+    q_index,
+    q_norm_weight,
+    k_norm_weight,
+    qk_norm_policy,
+    num_kv_heads,
+    qk_dim,
+    v_dim,
+):
+    """Shared math: split, (norm), rope, (norm). Returns fp32 q, k, v + mapping."""
+    rows, hidden = qkv.shape
+    num_q_heads = (hidden - num_kv_heads * (qk_dim + v_dim)) // qk_dim
+    q, k, v = _split_qkv(qkv, num_q_heads, num_kv_heads, qk_dim, v_dim)
+    m = _row_mapping(rows, num_seqlen_per_req, q_index)
+
+    cs = cos_sin[jnp.maximum(m.positions, 0)].astype(jnp.float32)  # [rows, D]
+    q = q.astype(jnp.float32)
+    k = k.astype(jnp.float32)
+
+    policy = QKNormPolicy(qk_norm_policy)
+    if policy == QKNormPolicy.NORM_THEN_ROPE:
+        q = _head_rmsnorm(q, q_norm_weight)
+        k = _head_rmsnorm(k, k_norm_weight)
+    q = _rotate_neox(q, cs)
+    k = _rotate_neox(k, cs)
+    if policy == QKNormPolicy.ROPE_THEN_NORM:
+        q = _head_rmsnorm(q, q_norm_weight)
+        k = _head_rmsnorm(k, k_norm_weight)
+    return q, k, v, m
+
+
+def rope_norm_store_kv(
+    key_cache: jax.Array,
+    value_cache: jax.Array,
+    qkv: jax.Array,
+    cos_sin: jax.Array,
+    num_seqlen_per_req: jax.Array,
+    q_index: jax.Array,
+    kvcache_indices: jax.Array,
+    is_prefill: bool,
+    q_norm_weight: Optional[jax.Array] = None,
+    k_norm_weight: Optional[jax.Array] = None,
+    qk_norm_policy: int = 0,
+    store_to_cache: bool = True,
+):
+    """RoPE + optional QK RMSNorm + paged-KV store (BF16).
+
+    Args mirror hpc/rope.py:7-98; caches are returned (functional in-place).
+
+    Returns:
+      (q_rotated [rows, Hq, Dqk] bf16, new_key_cache, new_value_cache)
+      If ``store_to_cache`` is False, returns (q, k_out, v_out) buffers instead
+      (the reference's out_k/out_v mode).
+    """
+    del is_prefill  # one unified path: positions come from the scalar tables
+    num_kv_heads, qk_dim = key_cache.shape[2], key_cache.shape[3]
+    v_dim = value_cache.shape[3]
+    q, k, v, m = _rope_norm_core(
+        qkv,
+        cos_sin,
+        num_seqlen_per_req,
+        q_index,
+        q_norm_weight,
+        k_norm_weight,
+        qk_norm_policy,
+        num_kv_heads,
+        qk_dim,
+        v_dim,
+    )
+    q_out = jnp.where(m.valid[:, None, None], q, 0).astype(jnp.bfloat16)
+    if not store_to_cache:
+        k_out = jnp.where(m.valid[:, None, None], k, 0).astype(jnp.bfloat16)
+        v_out = jnp.where(m.valid[:, None, None], v.astype(jnp.float32), 0).astype(
+            jnp.bfloat16
+        )
+        return q_out, k_out, v_out
+
+    cache = PagedKVCache(key_cache, value_cache)
+    slots = flat_slot_ids(
+        m.positions, m.req_ids, kvcache_indices, cache.block_size, m.valid
+    )
+    cache = store_kv(cache, k, v, slots)
+    cache = zero_block_tails(cache, num_seqlen_per_req, kvcache_indices)
+    return q_out, cache.k, cache.v
+
+
+def rope_norm_store_kv_fp8(
+    key_cache: jax.Array,
+    value_cache: jax.Array,
+    qkv: jax.Array,
+    cos_sin: jax.Array,
+    num_seqlen_per_req: jax.Array,
+    q_index: jax.Array,
+    kvcache_indices: jax.Array,
+    is_prefill: bool,
+    k_scale: jax.Array,
+    v_scale: jax.Array,
+    quant_policy: int,
+    max_seqlens: int = 0,
+    upper_max: Optional[float] = None,
+    q_scale_inv: Optional[jax.Array] = None,
+    q_norm_weight: Optional[jax.Array] = None,
+    k_norm_weight: Optional[jax.Array] = None,
+    qk_norm_policy: int = 0,
+):
+    """FP8 variant: quantizes Q (dynamic per-token-per-head or static) and
+    stores K/V into an FP8 cache with static per-tensor scales.
+
+    Reference parity: hpc/rope.py:101-234. Dequantization convention is
+    ``x = x_fp8 * scale`` throughout.
+
+    Returns:
+      (q_fp8 [rows, Hq, Dqk], q_scale, split_k_flag [num_req, Hkv] zeros,
+       new_key_cache, new_value_cache)
+      q_scale is [num_req, Hq, round_up(max_seqlens,128)] in prefill,
+      [rows, Hq] in decode, or None when quant_policy=STATIC.
+    """
+    upper = FP8_MAX if upper_max is None else float(upper_max)
+    num_kv_heads, qk_dim = key_cache.shape[2], key_cache.shape[3]
+    v_dim = value_cache.shape[3]
+    num_req = num_seqlen_per_req.shape[0]
+    rows = qkv.shape[0]
+    q, k, v, m = _rope_norm_core(
+        qkv,
+        cos_sin,
+        num_seqlen_per_req,
+        q_index,
+        q_norm_weight,
+        k_norm_weight,
+        qk_norm_policy,
+        num_kv_heads,
+        qk_dim,
+        v_dim,
+    )
+    num_q_heads = q.shape[1]
+
+    if QuantPolicy(quant_policy) == QuantPolicy.DYNAMIC_Q_STATIC_KV:
+        amax = jnp.max(jnp.abs(q), axis=-1)  # [rows, Hq]
+        scale_rowhead = jnp.maximum(amax / upper, 1e-12)
+        q_fp8 = fp8_saturate_cast(q / scale_rowhead[..., None], upper)
+        if is_prefill:
+            pad = round_up(max(int(max_seqlens), 1), 128)
+            ok = m.valid & (m.pos_in_q < pad)
+            # scatter [rows, Hq] scales to [num_req, Hq, pad]; invalid rows
+            # target an OOB request index and are dropped.
+            q_scale = jnp.zeros((num_req, num_q_heads, pad), jnp.float32).at[
+                jnp.where(ok, m.req_ids, 2**30),
+                :,
+                jnp.where(ok, m.pos_in_q, 0),
+            ].set(scale_rowhead, mode="drop")
+        else:
+            q_scale = jnp.where(m.valid[:, None], scale_rowhead, 0.0)
+    else:
+        assert q_scale_inv is not None, "quant_policy=2 requires q_scale_inv"
+        q_fp8 = fp8_saturate_cast(q * q_scale_inv.reshape(()).astype(jnp.float32), upper)
+        q_scale = None
+
+    q_fp8 = jnp.where(m.valid[:, None, None], q_fp8, jnp.zeros_like(q_fp8))
+
+    k_q = fp8_saturate_cast(k / k_scale.reshape(()).astype(jnp.float32), upper)
+    v_q = fp8_saturate_cast(
+        v.astype(jnp.float32) / v_scale.reshape(()).astype(jnp.float32), upper
+    )
+
+    cache = PagedKVCache(key_cache, value_cache)
+    slots = flat_slot_ids(
+        m.positions, m.req_ids, kvcache_indices, cache.block_size, m.valid
+    )
+    cache = store_kv(cache, k_q, v_q, slots)
+    cache = zero_block_tails(cache, num_seqlen_per_req, kvcache_indices)
+
+    split_k_flag = jnp.zeros((num_req, num_kv_heads), jnp.int32)
+    return q_fp8, q_scale, split_k_flag, cache.k, cache.v
+
+
+__all__ = [
+    "make_cos_sin_cache",
+    "rope_norm_store_kv",
+    "rope_norm_store_kv_fp8",
+]

@@ -1,0 +1,233 @@
+"""Tests for fused RoPE+norm+KV-store (reference: tests/test_rope.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpc_ops_tpu.ops.rope import (
+    make_cos_sin_cache,
+    rope_norm_store_kv,
+    rope_norm_store_kv_fp8,
+)
+from hpc_ops_tpu.utils.testing import assert_allclose
+
+
+def np_rms(x, w, eps=1e-6):
+    return x * (1.0 / np.sqrt((x**2).mean(-1, keepdims=True) + eps)) * w
+
+
+def np_rope_neox(x, cs):
+    h = x.shape[-1] // 2
+    x1, x2 = x[..., :h], x[..., h:]
+    c = cs[:, None, :h]
+    s = cs[:, None, h:]
+    return np.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+
+def make_case(seed, req_lens, q_lens, hq=8, hkv=2, dqk=128, dv=128, blk=16):
+    """Build qkv + tables + numpy-expected rotated q / cache contents."""
+    rng = np.random.RandomState(seed)
+    num_req = len(req_lens)
+    rows = sum(q_lens)
+    qkv = rng.randn(rows, hq * dqk + hkv * dqk + hkv * dv).astype(np.float32)
+    qkv_bf16 = jnp.asarray(qkv, jnp.bfloat16)
+    qkv = np.asarray(qkv_bf16, np.float32)
+
+    max_pos = max(req_lens) + 8
+    cos_sin = np.asarray(make_cos_sin_cache(max_pos, dqk))
+
+    num_seqlen = np.array(req_lens, np.int32)
+    q_index = np.concatenate([[0], np.cumsum(q_lens)]).astype(np.int32)
+
+    max_blocks = (max(req_lens) + blk - 1) // blk + 2
+    total_blocks = num_req * max_blocks + 4
+    perm = rng.permutation(total_blocks)
+    kv_idx = -np.ones((num_req, max_blocks), np.int32)
+    off = 0
+    for i, L in enumerate(req_lens):
+        n = (L + blk - 1) // blk
+        kv_idx[i, :n] = perm[off : off + n]
+        off += n
+
+    q = qkv[:, : hq * dqk].reshape(rows, hq, dqk)
+    k = qkv[:, hq * dqk : (hq + hkv) * dqk].reshape(rows, hkv, dqk)
+    v = qkv[:, (hq + hkv) * dqk :].reshape(rows, hkv, dv)
+
+    # positions per row
+    pos = []
+    for i in range(num_req):
+        pos.extend(range(req_lens[i] - q_lens[i], req_lens[i]))
+    pos = np.array(pos, np.int32)
+    cs = cos_sin[pos]
+
+    return dict(
+        qkv=qkv_bf16,
+        cos_sin=jnp.asarray(cos_sin),
+        num_seqlen=jnp.asarray(num_seqlen),
+        q_index=jnp.asarray(q_index),
+        kv_idx=jnp.asarray(kv_idx),
+        np_q=q,
+        np_k=k,
+        np_v=v,
+        np_pos=pos,
+        np_cs=cs,
+        blk=blk,
+        total_blocks=total_blocks,
+        hq=hq,
+        hkv=hkv,
+        dqk=dqk,
+        dv=dv,
+        kv_idx_np=kv_idx,
+        req_lens=req_lens,
+        q_lens=q_lens,
+    )
+
+
+@pytest.mark.parametrize("policy", [0, 1, 2])
+@pytest.mark.parametrize(
+    "req_lens,q_lens,is_prefill",
+    [
+        ([33, 7, 16], [33, 7, 16], True),  # prefill
+        ([34, 8, 17], [1, 1, 1], False),  # decode
+        ([40, 20], [3, 3], False),  # mtp decode (draft tokens)
+    ],
+)
+def test_rope_norm_store_kv(policy, req_lens, q_lens, is_prefill):
+    c = make_case(41, req_lens, q_lens)
+    hq, hkv, dqk, dv, blk = c["hq"], c["hkv"], c["dqk"], c["dv"], c["blk"]
+    rng = np.random.RandomState(1)
+    qw = rng.rand(dqk).astype(np.float32) + 0.5
+    kw = rng.rand(dqk).astype(np.float32) + 0.5
+
+    kcache = jnp.asarray(rng.randn(c["total_blocks"], blk, hkv, dqk), jnp.bfloat16)
+    vcache = jnp.asarray(rng.randn(c["total_blocks"], blk, hkv, dv), jnp.bfloat16)
+
+    q_out, k_new, v_new = rope_norm_store_kv(
+        kcache,
+        vcache,
+        c["qkv"],
+        c["cos_sin"],
+        c["num_seqlen"],
+        c["q_index"],
+        c["kv_idx"],
+        is_prefill,
+        jnp.asarray(qw),
+        jnp.asarray(kw),
+        qk_norm_policy=policy,
+    )
+
+    # numpy expectation
+    q, k = c["np_q"].copy(), c["np_k"].copy()
+    if policy == 2:
+        q, k = np_rms(q, qw), np_rms(k, kw)
+    q = np_rope_neox(q, c["np_cs"])
+    k = np_rope_neox(k, c["np_cs"])
+    if policy == 1:
+        q, k = np_rms(q, qw), np_rms(k, kw)
+
+    assert_allclose(np.asarray(q_out, np.float32), q, atol=3e-2, rtol=3e-2, name="q")
+
+    # check cache contents for every written token + zeroed tails
+    k_new = np.asarray(k_new, np.float32)
+    v_new = np.asarray(v_new, np.float32)
+    tok = 0
+    for ri, (L, ql) in enumerate(zip(c["req_lens"], c["q_lens"])):
+        for pos in range(L - ql, L):
+            cb = c["kv_idx_np"][ri, pos // blk]
+            pb = pos % blk
+            assert_allclose(
+                k_new[cb, pb], k[tok], atol=3e-2, rtol=3e-2, name=f"kcache r{ri} p{pos}"
+            )
+            assert_allclose(
+                v_new[cb, pb],
+                c["np_v"][tok],
+                atol=2e-2,
+                rtol=2e-2,
+                name=f"vcache r{ri} p{pos}",
+            )
+            tok += 1
+        # tail of last block zeroed
+        last = L - 1
+        cb = c["kv_idx_np"][ri, last // blk]
+        pb = last % blk
+        if pb + 1 < blk:
+            assert np.all(k_new[cb, pb + 1 :] == 0)
+            assert np.all(v_new[cb, pb + 1 :] == 0)
+
+
+@pytest.mark.parametrize("quant_policy", [1, 2])
+@pytest.mark.parametrize("is_prefill", [True, False])
+def test_rope_norm_store_kv_fp8(quant_policy, is_prefill):
+    if is_prefill:
+        req_lens, q_lens = [33, 16], [33, 16]
+    else:
+        req_lens, q_lens = [34, 17], [1, 1]
+    c = make_case(7, req_lens, q_lens)
+    hq, hkv, dqk, dv, blk = c["hq"], c["hkv"], c["dqk"], c["dv"], c["blk"]
+    rng = np.random.RandomState(2)
+
+    kcache = jnp.zeros((c["total_blocks"], blk, hkv, dqk), jnp.float8_e4m3fn)
+    vcache = jnp.zeros((c["total_blocks"], blk, hkv, dv), jnp.float8_e4m3fn)
+    k_scale = jnp.array([0.01], jnp.float32)
+    v_scale = jnp.array([0.02], jnp.float32)
+    q_scale_inv = jnp.array([0.5], jnp.float32)
+    max_seqlens = max(q_lens)
+
+    q_fp8, q_scale, flag, k_new, v_new = rope_norm_store_kv_fp8(
+        kcache,
+        vcache,
+        c["qkv"],
+        c["cos_sin"],
+        c["num_seqlen"],
+        c["q_index"],
+        c["kv_idx"],
+        is_prefill,
+        k_scale,
+        v_scale,
+        quant_policy,
+        max_seqlens=max_seqlens,
+        q_scale_inv=q_scale_inv if quant_policy == 2 else None,
+    )
+
+    rows = sum(q_lens)
+    q_want = np_rope_neox(c["np_q"], c["np_cs"])
+    k_want = np_rope_neox(c["np_k"], c["np_cs"])
+
+    assert flag.shape == (len(req_lens), hkv)
+    assert np.all(np.asarray(flag) == 0)
+
+    if quant_policy == 1:
+        if is_prefill:
+            pad = ((max_seqlens + 127) // 128) * 128
+            assert q_scale.shape == (len(req_lens), hq, pad)
+            # dequantize via per-(req, pos) scale
+            scales = []
+            for ri, ql in enumerate(q_lens):
+                for p in range(ql):
+                    scales.append(np.asarray(q_scale)[ri, :, p])
+            scales = np.stack(scales)  # [rows, hq]
+        else:
+            assert q_scale.shape == (rows, hq)
+            scales = np.asarray(q_scale)
+        q_deq = np.asarray(q_fp8, np.float32) * scales[:, :, None]
+    else:
+        assert q_scale is None
+        q_deq = np.asarray(q_fp8, np.float32) * 2.0
+    assert_allclose(q_deq, q_want, atol=0.15, rtol=0.06, name="q_fp8_dequant")
+
+    # K/V cache dequant check
+    k_new = np.asarray(k_new, np.float32) * 0.01
+    v_new = np.asarray(v_new, np.float32) * 0.02
+    tok = 0
+    for ri, (L, ql) in enumerate(zip(req_lens, q_lens)):
+        for pos in range(L - ql, L):
+            cb = c["kv_idx_np"][ri, pos // blk]
+            pb = pos % blk
+            assert_allclose(
+                k_new[cb, pb], k_want[tok], atol=0.2, rtol=0.1, name="kcache_fp8"
+            )
+            assert_allclose(
+                v_new[cb, pb], c["np_v"][tok], atol=0.2, rtol=0.1, name="vcache_fp8"
+            )
+            tok += 1
