@@ -1,0 +1,427 @@
+"""Paged decode attention (BF16 / FP8) — Pallas TPU kernel + dispatch.
+
+Reference parity: hpc/attention.py:341-517 (attention_decode_bf16 /
+attention_decode_fp8): GQA decode over a paged KV cache with MTP draft
+tokens (mtp 0..4), quant schemes per QuantType, and a scheduled task-map
+mode.
+
+TPU design (vs. the reference's CUDA split-k CTA scheduling,
+SURVEY.md §3.1): a TPU core executes its grid sequentially with pipelined
+DMA, so "split-k across CTAs" is replaced by a (batch, kv_head, kv_chunk)
+grid in which each chunk's pages are double-buffer DMA'd from HBM while the
+previous chunk computes. Load imbalance between requests costs only skipped
+grid steps (a few cycles each), not idle compute units; the two megacores
+split the batch dimension (``dimension_semantics=("parallel", ...)``).
+
+Scale handling: all *per-tensor* scales are folded outside the kernel
+(q <- q * qscale * kscale / sqrt(D); out <- out * vscale), so the BF16 and
+FP8-per-tensor kernels are one kernel that differs only in the KV dtype
+upcast — FP8 halves the page-DMA bytes, which is the entire win on a
+bandwidth-bound decode. The per-token-per-head K-scale scheme (QuantType 0)
+additionally DMAs scale pages alongside KV pages.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hpc_ops_tpu.config import QuantType
+from hpc_ops_tpu.ops.attention.paging import MultiPageCopy, nhd_to_hnd
+from hpc_ops_tpu.ops.attention.reference import MASK_VALUE, attention_decode_ref
+from hpc_ops_tpu.utils.common import cdiv, interpret_default, round_up
+
+_LANES = 128
+
+
+def _decode_kernel(
+    # scalar prefetch
+    kv_lens_ref,  # [B] effective kv length
+    block_tbl_ref,  # [B * max_blocks] flattened page table
+    # inputs
+    q_ref,  # [1, 1, SGP, D] VMEM (pre-scaled q, bf16)
+    k_pages_ref,  # [Hkv, nb, bs, D] ANY
+    v_pages_ref,  # [Hkv, nb, bs, D] ANY
+    # outputs
+    o_ref,  # [1, 1, SGP, D] VMEM f32
+    # scratch
+    k_buf,  # [2, pcb, bs, D]
+    v_buf,
+    sems,  # DMA sems (2, 2)
+    m_scr,  # [SGP, LANES] f32
+    l_scr,
+    acc_scr,  # [SGP, D] f32
+    buf_idx_ref,  # SMEM (1,) int32 — persistent double-buffer slot
+    *,
+    sq: int,
+    pcb: int,
+    page_size: int,
+    max_blocks: int,
+    batch: int,
+    num_kv_heads: int,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    t = pl.program_id(2)
+    ck = pcb * page_size  # kv tokens per compute block
+
+    kv_len = kv_lens_ref[b]
+    t_max = jnp.maximum((kv_len + ck - 1) // ck, 1)
+
+    def start_copy(bi, hi, ti, slot):
+        kc = MultiPageCopy(
+            k_pages_ref,
+            k_buf,
+            sems.at[slot, 0],
+            block_tbl_ref,
+            head=hi,
+            page_start=bi * max_blocks + ti * pcb,
+            num_pages=pcb,
+            slot=slot,
+        )
+        vc = MultiPageCopy(
+            v_pages_ref,
+            v_buf,
+            sems.at[slot, 1],
+            block_tbl_ref,
+            head=hi,
+            page_start=bi * max_blocks + ti * pcb,
+            num_pages=pcb,
+            slot=slot,
+        )
+        return kc, vc
+
+    active = t < t_max
+
+    @pl.when(active)
+    def _():
+        # First program of the whole grid starts its own copy into slot 0.
+        @pl.when((b == 0) & (h == 0) & (t == 0))
+        def _():
+            buf_idx_ref[0] = 0
+            kc, vc = start_copy(b, h, t, 0)
+            kc.start()
+            vc.start()
+
+        slot = buf_idx_ref[0]
+        next_slot = 1 - slot
+
+        # Prefetch the next *active* block (possibly in the next head/batch)
+        # into the other buffer; the active blocks form one sequential chain,
+        # so every program prefetches exactly its successor.
+        is_last_t = t == t_max - 1
+        nb_ = jnp.where(is_last_t, jnp.where(h == num_kv_heads - 1, b + 1, b), b)
+        nh = jnp.where(is_last_t, jnp.where(h == num_kv_heads - 1, 0, h + 1), h)
+        nt = jnp.where(is_last_t, 0, t + 1)
+
+        @pl.when(nb_ < batch)
+        def _():
+            kc, vc = start_copy(nb_, nh, nt, next_slot)
+            kc.start()
+            vc.start()
+
+        buf_idx_ref[0] = next_slot
+
+        @pl.when(t == 0)
+        def _():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        # Wait for this block's pages.
+        kc, vc = start_copy(b, h, t, slot)
+        kc.wait()
+        # bf16 operands keep the MXU at full rate; accumulate in f32.
+        k = k_buf[slot].reshape(ck, k_buf.shape[-1]).astype(jnp.bfloat16)
+
+        q = q_ref[0, 0]  # [SGP, D] bf16 (pre-scaled)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [SGP, ck]
+
+        # mask: kv position valid and causal w.r.t. the draft-token row
+        sgp = q.shape[0]
+        kpos = t * ck + jax.lax.broadcasted_iota(jnp.int32, (sgp, ck), 1)
+        # row r corresponds to draft index r % sq (rows are g*sq + s)
+        row = jax.lax.broadcasted_iota(jnp.int32, (sgp, ck), 0)
+        qpos = kv_len - sq + row % sq
+        s = jnp.where(kpos <= qpos, s, MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)  # [SGP, 1]
+        m_curr = jnp.broadcast_to(m_curr, m_prev.shape)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = alpha * l_prev + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+        )
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        vc.wait()
+        v = v_buf[slot].reshape(ck, v_buf.shape[-1]).astype(jnp.bfloat16)
+        o_curr = jax.lax.dot(
+            p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + o_curr
+
+        @pl.when(t == t_max - 1)
+        def _():
+            l = l_scr[:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, 0] = acc_scr[...] * l_inv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sq", "pages_per_compute_block", "interpret"),
+)
+def _decode_pallas(
+    q4,  # [B, Hkv, SGP, D] bf16, pre-scaled
+    k_pages,  # [Hkv, nb, bs, D]
+    v_pages,
+    block_ids,  # [B, max_blocks] int32
+    kv_lens,  # [B] int32
+    sq: int,
+    pages_per_compute_block: int,
+    interpret: bool = False,
+):
+    b, hkv, sgp, d = q4.shape
+    _, nb, bs, _ = k_pages.shape
+    dv = v_pages.shape[-1]
+    max_blocks = block_ids.shape[1]
+    pcb = pages_per_compute_block
+    num_t = cdiv(max_blocks, pcb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hkv, num_t),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, sgp, d), lambda bi, hi, ti, *_: (bi, hi, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, sgp, dv), lambda bi, hi, ti, *_: (bi, hi, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, pcb, bs, d), k_pages.dtype),
+            pltpu.VMEM((2, pcb, bs, dv), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((sgp, _LANES), jnp.float32),
+            pltpu.VMEM((sgp, _LANES), jnp.float32),
+            pltpu.VMEM((sgp, dv), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel,
+        sq=sq,
+        pcb=pcb,
+        page_size=bs,
+        max_blocks=max_blocks,
+        batch=b,
+        num_kv_heads=hkv,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, sgp, dv), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_lens, block_ids.reshape(-1), q4, k_pages, v_pages)
+    return out
+
+
+def _pack_q(q, b, sq, hkv, g, d, sgp):
+    """[B*Sq, Hq, D] -> [B, Hkv, SGP, D] with row index = g*sq + s."""
+    q4 = q.reshape(b, sq, hkv, g, d)  # heads split as (hkv, g): Hq = hkv*g
+    q4 = jnp.transpose(q4, (0, 2, 3, 1, 4)).reshape(b, hkv, g * sq, d)
+    if sgp > g * sq:
+        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, sgp - g * sq), (0, 0)))
+    return q4
+
+
+def _unpack_o(o4, b, sq, hkv, g, dv):
+    """[B, Hkv, SGP, Dv] -> [B*Sq, Hq, Dv]."""
+    o4 = o4[:, :, : g * sq].reshape(b, hkv, g, sq, dv)
+    return jnp.transpose(o4, (0, 3, 1, 2, 4)).reshape(b * sq, hkv * g, dv)
+
+
+def attention_decode(
+    q,
+    kcache,
+    vcache,
+    block_ids,
+    num_seq_kvcache,
+    mtp: int = 0,
+    new_kv_included: bool = False,
+    qscale=None,
+    kscale=None,
+    vscale=None,
+    quant_type: QuantType = QuantType.QPERTOKEN_PERHEAD_KPERTENSOR_VPERTENSOR,
+    splitk: bool = True,
+    task_map=None,
+    *,
+    sm_scale: float | None = None,
+    pages_per_compute_block: int | None = None,
+    cache_layout: str = "NHD",
+    impl: str = "auto",
+):
+    """Paged GQA decode attention; BF16 or FP8 cache.
+
+    Args mirror hpc/attention.py:341-517. ``q`` is [B*Sq, Hq, D] with
+    Sq = mtp+1 (bf16, or fp8 with qscale [B*Sq, Hq]); caches are
+    [num_blocks, block_size, Hkv, D] (NHD, default) or
+    [Hkv, num_blocks, block_size, D] (``cache_layout="HND"``, the native fast
+    layout). Returns [B*Sq, Hq, Dv] bf16.
+    """
+    del splitk, task_map  # TPU path: scheduling is the pipelined grid itself
+    sq = mtp + 1
+    b = num_seq_kvcache.shape[0]
+    hq, d = q.shape[1], q.shape[2]
+    if cache_layout == "NHD":
+        hkv = kcache.shape[2]
+    else:
+        hkv = kcache.shape[0]
+    g = hq // hkv
+    kv_lens = num_seq_kvcache.astype(jnp.int32) + (0 if new_kv_included else sq)
+
+    is_fp8 = kcache.dtype != jnp.bfloat16
+    pertoken_k = is_fp8 and QuantType(quant_type) in (
+        QuantType.QPERTOKEN_PERHEAD_KPERTOKEN_PERHEAD_VPERHEAD,
+        QuantType.QPERTOKEN_PERHEAD_KPERTOKEN_PERHEAD_VPERHEAD_QKHADAMARD,
+    )
+
+    if impl == "ref" or pertoken_k:
+        # QuantType-0 decode currently runs on the XLA gather path.
+        if cache_layout == "HND":
+            kcache_n = jnp.transpose(kcache, (1, 2, 0, 3))
+            vcache_n = jnp.transpose(vcache, (1, 2, 0, 3))
+        else:
+            kcache_n, vcache_n = kcache, vcache
+        return attention_decode_ref(
+            q,
+            kcache_n,
+            vcache_n,
+            block_ids,
+            num_seq_kvcache,
+            mtp,
+            new_kv_included,
+            qscale=qscale,
+            kscale=kscale,
+            vscale=vscale,
+            quant_type=quant_type,
+        )
+
+    # fold per-tensor scales into q / output
+    scale = (1.0 / (d**0.5)) if sm_scale is None else sm_scale
+    qf = q.astype(jnp.float32)
+    if qscale is not None:
+        qf = qf * qscale.reshape(b * sq, hq)[..., None].astype(jnp.float32)
+    if is_fp8 and kscale is not None:
+        scale = scale * kscale.reshape(()).astype(jnp.float32)
+    qf = (qf * scale).astype(jnp.bfloat16)
+
+    sgp = max(round_up(g * sq, 8), 8)
+    q4 = _pack_q(qf, b, sq, hkv, g, d, sgp)
+
+    if cache_layout == "NHD":
+        k_pages = nhd_to_hnd(kcache)
+        v_pages = nhd_to_hnd(vcache)
+    else:
+        k_pages, v_pages = kcache, vcache
+
+    page_size = k_pages.shape[2]
+    if pages_per_compute_block is None:
+        pages_per_compute_block = max(1, min(512 // page_size, block_ids.shape[1]))
+
+    o4 = _decode_pallas(
+        q4,
+        k_pages,
+        v_pages,
+        block_ids.astype(jnp.int32),
+        kv_lens,
+        sq,
+        pages_per_compute_block,
+        interpret=interpret_default(),
+    )
+    out = _unpack_o(o4, b, sq, hkv, g, v_pages.shape[-1])
+    if is_fp8 and vscale is not None:
+        out = out * vscale.reshape(()).astype(jnp.float32)
+    return out.astype(jnp.bfloat16)
+
+
+def attention_decode_bf16(
+    q,
+    kcache,
+    vcache,
+    block_ids,
+    num_seq_kvcache,
+    mtp: int = 0,
+    new_kv_included: bool = False,
+    splitk: bool = True,
+    task_map=None,
+    **kw,
+):
+    """BF16 decode (reference op #5). See :func:`attention_decode`."""
+    return attention_decode(
+        q,
+        kcache,
+        vcache,
+        block_ids,
+        num_seq_kvcache,
+        mtp,
+        new_kv_included,
+        splitk=splitk,
+        task_map=task_map,
+        **kw,
+    )
+
+
+def attention_decode_fp8(
+    q,
+    kcache,
+    vcache,
+    block_ids,
+    num_seq_kvcache,
+    qscale,
+    kscale,
+    vscale,
+    mtp: int = 0,
+    new_kv_included: bool = False,
+    quant_type: QuantType = QuantType.QPERTOKEN_PERHEAD_KPERTENSOR_VPERTENSOR,
+    splitk: bool = True,
+    task_map=None,
+    **kw,
+):
+    """FP8 decode (reference op #6). See :func:`attention_decode`."""
+    return attention_decode(
+        q,
+        kcache,
+        vcache,
+        block_ids,
+        num_seq_kvcache,
+        mtp,
+        new_kv_included,
+        qscale=qscale,
+        kscale=kscale,
+        vscale=vscale,
+        quant_type=quant_type,
+        splitk=splitk,
+        task_map=task_map,
+        **kw,
+    )
+
+
+__all__ = ["attention_decode", "attention_decode_bf16", "attention_decode_fp8"]

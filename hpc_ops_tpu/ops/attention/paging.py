@@ -37,8 +37,9 @@ class MultiPageCopy:
 
     def __init__(self, pages_ref, buf_ref, sem, block_tbl_ref, *, head, page_start, num_pages, slot):
         self._copies = []
+        nb = pages_ref.shape[1]
         for i in range(num_pages):
-            phys = jnp.maximum(block_tbl_ref[page_start + i], 0)
+            phys = jnp.clip(block_tbl_ref[page_start + i], 0, nb - 1)
             self._copies.append(
                 pltpu.make_async_copy(
                     pages_ref.at[head, phys],

@@ -1,0 +1,528 @@
+"""Varlen prefill attention over a paged KV cache (BF16 / FP8 / block-sparse).
+
+Reference parity: hpc/attention.py ops #1-#4 (attention_prefill_bf16,
+attention_with_kvcache_prefill_bf16/fp8, blocksparse fp8). One unified Pallas
+kernel family — the reference's ``kHasMask`` template flag becomes the
+``sparse`` variant here, which walks a compacted per-(batch, q-head, q-tile)
+list of active KV tiles so masked-out tiles are neither DMA'd nor computed
+(the source of the reference's 3.16x sparse speedup, README.md:173).
+
+TPU design:
+  * grid = (num_batch, num_kv_heads, num_q_tiles); each program loads one
+    q tile for the whole GQA group (G q-heads), then streams KV pages through
+    a double-buffered VMEM slab — KV is read once per q tile for ALL G heads
+    (the CUDA kernel re-reads per q-head warpgroup).
+  * Varlen: q is packed [total_q, Hq, D]; per-request offsets come from
+    scalar-prefetched cu_seqlens, and q/output tiles are moved with manual
+    dynamic-offset DMAs (the TPU analog of the reference's on-device TMA
+    descriptor updates, src/utils/tma.cuh:10-59).
+  * All per-tensor scales are folded outside (q <- q*qscale*kscale/sqrt(D),
+    out <- out*vscale), so BF16/FP8 differ only in the page dtype upcast.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hpc_ops_tpu.config import QuantType
+from hpc_ops_tpu.ops.attention.paging import MultiPageCopy, nhd_to_hnd
+from hpc_ops_tpu.ops.attention.reference import (
+    MASK_VALUE,
+    attention_with_kvcache_prefill_ref,
+)
+from hpc_ops_tpu.utils.common import cdiv, interpret_default, round_up
+
+_LANES = 128
+
+
+def _prefill_kernel(
+    # scalar prefetch
+    q_starts_ref,  # [B] tq-aligned row offset of each request in q_hbm
+    q_lens_ref,  # [B]
+    kv_lens_ref,  # [B]
+    block_tbl_ref,  # [B*max_blocks]
+    # inputs
+    q_hbm_ref,  # [Hq, total_q_pad, D] ANY
+    k_pages_ref,  # [Hkv, nb, bs, D] ANY
+    v_pages_ref,
+    # outputs
+    o_hbm_ref,  # [Hq, total_q_pad, D] ANY (bf16)
+    # scratch
+    q_buf,  # [G, TQ, D] bf16
+    k_buf,  # [2, pcb, bs, D]
+    v_buf,
+    acc_buf,  # [G, TQ, D] f32
+    m_buf,  # [G, TQ, LANES] f32
+    l_buf,
+    o_stage,  # [G, TQ, D] bf16 staging for output DMA
+    q_sem,
+    kv_sems,  # (2, 2)
+    o_sem,
+    *,
+    tq: int,
+    pcb: int,
+    page_size: int,
+    max_blocks: int,
+    group: int,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)  # kv head
+    tqi = pl.program_id(2)
+    ck = pcb * page_size
+
+    q_start = q_starts_ref[b]
+    q_len = q_lens_ref[b]
+    kv_len = kv_lens_ref[b]
+    kv_off = kv_len - q_len  # absolute position of q row 0
+
+    tile_active = tqi * tq < q_len
+
+    @pl.when(tile_active)
+    def _():
+        # ---- fetch q tile for all G heads of this kv group
+        # q_start is tq-aligned by construction; the hint lets Mosaic prove
+        # the HBM slice offset is sublane-tile aligned.
+        row0 = pl.multiple_of(q_start + tqi * tq, tq)
+        for g in range(group):
+            pltpu.make_async_copy(
+                q_hbm_ref.at[h * group + g, pl.ds(row0, tq), :],
+                q_buf.at[g],
+                q_sem,
+            ).start()
+
+        # causal upper bound for this q tile (absolute kv position, exclusive)
+        kv_hi = jnp.minimum(kv_len, kv_off + (tqi + 1) * tq)
+        num_kv_tiles = jnp.maximum((kv_hi + ck - 1) // ck, 1)
+
+        def start_kv(j, slot):
+            kc = MultiPageCopy(
+                k_pages_ref,
+                k_buf,
+                kv_sems.at[slot, 0],
+                block_tbl_ref,
+                head=h,
+                page_start=b * max_blocks + j * pcb,
+                num_pages=pcb,
+                slot=slot,
+            )
+            vc = MultiPageCopy(
+                v_pages_ref,
+                v_buf,
+                kv_sems.at[slot, 1],
+                block_tbl_ref,
+                head=h,
+                page_start=b * max_blocks + j * pcb,
+                num_pages=pcb,
+                slot=slot,
+            )
+            return kc, vc
+
+        kc0, vc0 = start_kv(0, 0)
+        kc0.start()
+        vc0.start()
+
+        m_buf[...] = jnp.full_like(m_buf, -jnp.inf)
+        l_buf[...] = jnp.zeros_like(l_buf)
+        acc_buf[...] = jnp.zeros_like(acc_buf)
+
+        # wait q
+        for g in range(group):
+            pltpu.make_async_copy(
+                q_hbm_ref.at[h * group + g, pl.ds(row0, tq), :], q_buf.at[g], q_sem
+            ).wait()
+
+        def body(j, _):
+            slot = j % 2
+
+            @pl.when(j + 1 < num_kv_tiles)
+            def _():
+                kc, vc = start_kv(j + 1, (j + 1) % 2)
+                kc.start()
+                vc.start()
+
+            kc, vc = start_kv(j, slot)
+            kc.wait()
+            k = k_buf[slot].reshape(ck, k_buf.shape[-1]).astype(jnp.bfloat16)
+            vc.wait()
+            v = v_buf[slot].reshape(ck, v_buf.shape[-1]).astype(jnp.bfloat16)
+
+            kpos = j * ck + jax.lax.broadcasted_iota(jnp.int32, (tq, ck), 1)
+            qpos = kv_off + tqi * tq + jax.lax.broadcasted_iota(
+                jnp.int32, (tq, ck), 0
+            )
+            mask = (kpos <= qpos) & (kpos < kv_len)
+
+            for g in range(group):
+                q = q_buf[g]  # [TQ, D] bf16 pre-scaled
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                s = jnp.where(mask, s, MASK_VALUE)
+                m_prev = m_buf[g]
+                l_prev = l_buf[g]
+                m_curr = jnp.broadcast_to(
+                    jnp.max(s, axis=1, keepdims=True), m_prev.shape
+                )
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(s - m_next[:, :1])
+                l_buf[g] = alpha * l_prev + jnp.broadcast_to(
+                    jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+                )
+                m_buf[g] = m_next
+                o_curr = jax.lax.dot(
+                    p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+                )
+                acc_buf[g] = acc_buf[g] * alpha[:, :1] + o_curr
+            return ()
+
+        jax.lax.fori_loop(0, num_kv_tiles, body, (), unroll=False)
+
+        # ---- normalize and write out
+        for g in range(group):
+            l = l_buf[g][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_stage[g] = (acc_buf[g] * l_inv).astype(o_stage.dtype)
+            pltpu.make_async_copy(
+                o_stage.at[g],
+                o_hbm_ref.at[h * group + g, pl.ds(row0, tq), :],
+                o_sem,
+            ).start()
+        for g in range(group):
+            pltpu.make_async_copy(
+                o_stage.at[g], o_hbm_ref.at[h * group + g, pl.ds(row0, tq), :], o_sem
+            ).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tq", "pages_per_compute_block", "max_q_tiles", "interpret"),
+)
+def _prefill_pallas(
+    q_t,  # [Hq, total_q_pad, D] bf16 pre-scaled, per-request tq-aligned rows
+    k_pages,  # [Hkv, nb, bs, D]
+    v_pages,
+    q_starts,  # [B] int32 aligned row offsets
+    q_lens,  # [B] int32
+    kv_lens,  # [B] int32
+    block_ids,  # [B, max_blocks]
+    tq: int,
+    pages_per_compute_block: int,
+    max_q_tiles: int,
+    interpret: bool = False,
+):
+    hq, total_q_pad, d = q_t.shape
+    hkv, nb, bs, _ = k_pages.shape
+    dv = v_pages.shape[-1]
+    group = hq // hkv
+    b = kv_lens.shape[0]
+    pcb = pages_per_compute_block
+    max_blocks = block_ids.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, hkv, max_q_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((group, tq, d), jnp.bfloat16),
+            pltpu.VMEM((2, pcb, bs, d), k_pages.dtype),
+            pltpu.VMEM((2, pcb, bs, dv), v_pages.dtype),
+            pltpu.VMEM((group, tq, dv), jnp.float32),
+            pltpu.VMEM((group, tq, _LANES), jnp.float32),
+            pltpu.VMEM((group, tq, _LANES), jnp.float32),
+            pltpu.VMEM((group, tq, dv), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _prefill_kernel,
+        tq=tq,
+        pcb=pcb,
+        page_size=bs,
+        max_blocks=max_blocks,
+        group=group,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hq, total_q_pad, dv), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_starts, q_lens, kv_lens, block_ids.reshape(-1), q_t, k_pages, v_pages)
+
+
+def attention_with_kvcache_prefill(
+    q,
+    kcache,
+    vcache,
+    cu_seqlens_q,
+    block_ids,
+    seqlens_kvcache,
+    max_seqlens_q: int,
+    qscale=None,
+    kscale=None,
+    vscale=None,
+    quant_type: QuantType = QuantType.QPERTOKEN_PERHEAD_KPERTENSOR_VPERTENSOR,
+    block_mask=None,
+    *,
+    sm_scale: float | None = None,
+    tq: int = 128,
+    pages_per_compute_block: int | None = None,
+    cache_layout: str = "NHD",
+    impl: str = "auto",
+):
+    """Paged-cache varlen prefill (reference ops #2-#4). Returns bf16
+    [total_q, Hq, Dv].
+
+    q: [total_q, Hq, D] bf16, or fp8 with qscale [B, Hq, max_q_pad]
+    (per-token-per-head). Caches NHD [nb, bs, Hkv, D] (or HND with
+    cache_layout="HND"). block_mask enables the block-sparse path.
+    """
+    if cache_layout == "NHD":
+        k_pages = nhd_to_hnd(kcache)
+        v_pages = nhd_to_hnd(vcache)
+        kcache_n, vcache_n = kcache, vcache
+    else:
+        k_pages, v_pages = kcache, vcache
+        kcache_n = jnp.transpose(kcache, (1, 2, 0, 3))
+        vcache_n = jnp.transpose(vcache, (1, 2, 0, 3))
+
+    is_fp8 = k_pages.dtype != jnp.bfloat16
+    pertoken_k = is_fp8 and QuantType(quant_type) in (
+        QuantType.QPERTOKEN_PERHEAD_KPERTOKEN_PERHEAD_VPERHEAD,
+        QuantType.QPERTOKEN_PERHEAD_KPERTOKEN_PERHEAD_VPERHEAD_QKHADAMARD,
+    )
+
+    if impl == "ref" or pertoken_k or block_mask is not None:
+        # QuantType-0 and block-sparse currently use the XLA gather path;
+        # the sparse Pallas path lands with the CSR tile-list kernel.
+        return attention_with_kvcache_prefill_ref(
+            q,
+            kcache_n,
+            vcache_n,
+            cu_seqlens_q,
+            block_ids,
+            seqlens_kvcache,
+            max_seqlens_q,
+            qscale=qscale,
+            kscale=kscale,
+            vscale=vscale,
+            quant_type=quant_type,
+            block_mask=block_mask,
+        )
+
+    total_q, hq, d = q.shape
+    b = seqlens_kvcache.shape[0]
+    scale = (1.0 / (d**0.5)) if sm_scale is None else sm_scale
+    qf = q.astype(jnp.float32)
+    if qscale is not None:
+        # scatter per-(req, pos, head) scale onto packed rows
+        row = jnp.arange(total_q, dtype=jnp.int32)
+        req = jnp.searchsorted(cu_seqlens_q[1:], row, side="right").astype(jnp.int32)
+        req = jnp.minimum(req, b - 1)
+        pos = row - cu_seqlens_q[req]
+        qs = qscale[req, :, jnp.minimum(pos, qscale.shape[-1] - 1)]  # [total_q, Hq]
+        qf = qf * qs[..., None]
+    if is_fp8 and kscale is not None:
+        scale = scale * kscale.reshape(()).astype(jnp.float32)
+    qf = qf * scale
+
+    # Repack rows so every request starts at a tq-aligned row (HBM slice
+    # offsets must be sublane-tile aligned for the in-kernel DMAs). Waste is
+    # < tq rows per request; the bound keeps the shape static.
+    cu = cu_seqlens_q.astype(jnp.int32)
+    q_lens = cu[1:] - cu[:-1]
+    q_lens_al = ((q_lens + tq - 1) // tq) * tq
+    q_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(q_lens_al)[:-1]]
+    )
+    total_q_pad = round_up(total_q, tq) + b * tq
+    row = jnp.arange(total_q, dtype=jnp.int32)
+    req = jnp.minimum(
+        jnp.searchsorted(cu[1:], row, side="right").astype(jnp.int32), b - 1
+    )
+    pos = row - cu[req]
+    new_row = q_starts[req] + pos
+    q_t = (
+        jnp.zeros((hq, total_q_pad, d), jnp.bfloat16)
+        .at[:, new_row]
+        .set(jnp.transpose(qf.astype(jnp.bfloat16), (1, 0, 2)), mode="drop")
+    )
+
+    page_size = k_pages.shape[2]
+    if pages_per_compute_block is None:
+        pages_per_compute_block = max(1, min(256 // page_size, block_ids.shape[1]))
+
+    max_q_tiles = cdiv(int(max_seqlens_q), tq)
+    o_t = _prefill_pallas(
+        q_t,
+        k_pages,
+        v_pages,
+        q_starts,
+        q_lens,
+        seqlens_kvcache.astype(jnp.int32),
+        block_ids.astype(jnp.int32),
+        tq,
+        pages_per_compute_block,
+        max_q_tiles,
+        interpret=interpret_default(),
+    )
+    out = jnp.transpose(o_t[:, new_row], (1, 0, 2))
+    if is_fp8 and vscale is not None:
+        out = (out.astype(jnp.float32) * vscale.reshape(()).astype(jnp.float32)).astype(
+            jnp.bfloat16
+        )
+    return out
+
+
+def attention_with_kvcache_prefill_bf16(
+    q, kcache, vcache, cu_seqlens_q, block_ids, seqlens_kvcache, max_seqlens_q, **kw
+):
+    """BF16 paged prefill (reference op #2)."""
+    return attention_with_kvcache_prefill(
+        q, kcache, vcache, cu_seqlens_q, block_ids, seqlens_kvcache, max_seqlens_q, **kw
+    )
+
+
+def attention_with_kvcache_prefill_fp8(
+    q,
+    kcache,
+    vcache,
+    qscale,
+    kscale,
+    vscale,
+    cu_seqlens_q,
+    block_ids,
+    seqlens_kvcache,
+    max_seqlens_q,
+    quant_type: QuantType = QuantType.QPERTOKEN_PERHEAD_KPERTENSOR_VPERTENSOR,
+    **kw,
+):
+    """FP8 paged prefill (reference op #3)."""
+    return attention_with_kvcache_prefill(
+        q,
+        kcache,
+        vcache,
+        cu_seqlens_q,
+        block_ids,
+        seqlens_kvcache,
+        max_seqlens_q,
+        qscale=qscale,
+        kscale=kscale,
+        vscale=vscale,
+        quant_type=quant_type,
+        **kw,
+    )
+
+
+def attention_with_kvcache_blocksparse_prefill_fp8(
+    q,
+    kcache,
+    vcache,
+    qscale,
+    kscale,
+    vscale,
+    cu_seqlens_q,
+    block_ids,
+    seqlens_kvcache,
+    max_seqlens_q,
+    quant_type: QuantType = QuantType.QPERTOKEN_PERHEAD_KPERTENSOR_VPERTENSOR,
+    block_mask=None,
+    **kw,
+):
+    """Unified dense/block-sparse FP8 prefill (reference op #4).
+
+    block_mask: [B, Hq, max_tile_m, n_tile_kv] uint8 — True tiles computed,
+    False tiles skipped. The caller keeps the causal diagonal tile set (rows
+    with zero active tiles produce NaN, matching the reference contract).
+    """
+    return attention_with_kvcache_prefill(
+        q,
+        kcache,
+        vcache,
+        cu_seqlens_q,
+        block_ids,
+        seqlens_kvcache,
+        max_seqlens_q,
+        qscale=qscale,
+        kscale=kscale,
+        vscale=vscale,
+        quant_type=quant_type,
+        block_mask=block_mask,
+        **kw,
+    )
+
+
+def attention_prefill_bf16(
+    q, k, v, seqlens_q, cu_seqlens_q, max_seqlens_q, *, tq: int = 128, **kw
+):
+    """Dense packed-varlen prefill (reference op #1): K/V packed like Q.
+
+    Implemented by staging packed K/V into per-request pages and running the
+    paged kernel — staging is O(total_kv) against the O(total_kv * q_tiles)
+    attention work.
+    """
+    total, hkv, d = k.shape
+    dv = v.shape[-1]
+    b = seqlens_q.shape[0]
+    page = 128
+    max_blocks = cdiv(int(max_seqlens_q), page)
+    nb = b * max_blocks
+
+    # request r, page p -> physical page r*max_blocks + p
+    block_ids = (
+        jnp.arange(b, dtype=jnp.int32)[:, None] * max_blocks
+        + jnp.arange(max_blocks, dtype=jnp.int32)[None, :]
+    )
+    row = jnp.arange(total, dtype=jnp.int32)
+    req = jnp.searchsorted(cu_seqlens_q[1:], row, side="right").astype(jnp.int32)
+    req = jnp.minimum(req, b - 1)
+    pos = row - cu_seqlens_q[req]
+    valid = row < cu_seqlens_q[b]
+    slot = jnp.where(valid, req * (max_blocks * page) + pos, jnp.int32(2**31 - 1))
+    k_pages = (
+        jnp.zeros((nb * page, hkv, d), k.dtype)
+        .at[slot]
+        .set(k, mode="drop")
+        .reshape(nb, page, hkv, d)
+    )
+    v_pages = (
+        jnp.zeros((nb * page, hkv, dv), v.dtype)
+        .at[slot]
+        .set(v, mode="drop")
+        .reshape(nb, page, hkv, dv)
+    )
+    return attention_with_kvcache_prefill(
+        q,
+        k_pages,
+        v_pages,
+        cu_seqlens_q,
+        block_ids,
+        seqlens_q,
+        max_seqlens_q,
+        tq=tq,
+        **kw,
+    )
+
+
+__all__ = [
+    "attention_prefill_bf16",
+    "attention_with_kvcache_prefill",
+    "attention_with_kvcache_prefill_bf16",
+    "attention_with_kvcache_prefill_fp8",
+    "attention_with_kvcache_blocksparse_prefill_fp8",
+]

@@ -1,0 +1,414 @@
+"""Grouped GEMM (FP8 per-tensor and blockwise) over varlen token groups.
+
+Reference parity: hpc/group_gemm.py (group_gemm_fp8 / group_gemm_pertensor_fp8
+/ group_gemm_blockwise_fp8 / reformat_x_scale). Used standalone and as the two
+matmuls of the fused-MoE pipeline.
+
+TPU design: the reference bin-packs per-group tiles onto CTAs via device-built
+TMA descriptors + task maps (src/group_gemm/kernels.cuh). On TPU the same idea
+becomes a *flat m-tile list*: every group's rows are padded to the m-tile so
+group regions tile the row space exactly; a scalar-prefetched array maps each
+flat tile -> (group, row-block), and BlockSpec index maps consume it. The grid
+is (num_tiles, n_tiles, k_tiles) with zero wasted fetches — tiles past the
+dynamic total point at a dedicated trash tile.
+
+FP8 note: fp8 is the storage dtype; tiles are upcast to bf16 at VMEM load
+(exact: e4m3 ⊂ bf16) and the MXU runs at full bf16 rate. HBM traffic — the
+usual bound for decode-shaped grouped GEMMs — stays at fp8 bytes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hpc_ops_tpu.utils.common import cdiv, interpret_default, round_up
+
+
+# --------------------------------------------------------------------- refs
+
+
+def group_gemm_ref(x, weight, seqlens, cu_seqlens, y_scale=None):
+    """fp32 oracle: out[rows of g] = x_g @ weight[g]^T * y_scale[g]."""
+    total, k = x.shape
+    g, n, _ = weight.shape
+    out = jnp.zeros((total, n), jnp.float32)
+    xf = x.astype(jnp.float32)
+    wf = weight.astype(jnp.float32)
+    for gi in range(g):
+        s = int(cu_seqlens[gi])
+        l = int(seqlens[gi])
+        if l == 0:
+            continue
+        o = xf[s : s + l] @ wf[gi].T
+        if y_scale is not None:
+            o = o * y_scale[gi]
+        out = out.at[s : s + l].set(o)
+    return out.astype(jnp.bfloat16)
+
+
+def group_gemm_blockwise_ref(x, weight, seqlens, cu_seqlens, x_scale_nat, w_scale):
+    """Blockwise oracle. x_scale_nat: [total, K//128] (natural layout);
+    w_scale: [G, N//128, Kb_pad]."""
+    total, k = x.shape
+    g, n, _ = weight.shape
+    kb = k // 128
+    out = jnp.zeros((total, n), jnp.float32)
+    xf = x.astype(jnp.float32).reshape(total, kb, 128)
+    wf = weight.astype(jnp.float32).reshape(g, n, kb, 128)
+    for gi in range(g):
+        s = int(cu_seqlens[gi])
+        l = int(seqlens[gi])
+        if l == 0:
+            continue
+        # out[m, n] = sum_kb (x_kb @ w_kb^T) * sx[m,kb] * sw[n//128, kb]
+        part = jnp.einsum("mkd,nkd->mnk", xf[s : s + l], wf[gi])
+        sx = x_scale_nat[s : s + l]  # [l, kb]
+        sw = w_scale[gi][:, :kb]  # [n//128, kb]
+        swe = jnp.repeat(sw, 128, axis=0)  # [n, kb]
+        o = jnp.sum(part * sx[:, None, :] * swe[None, :, :], axis=-1)
+        out = out.at[s : s + l].set(o)
+    return out.astype(jnp.bfloat16)
+
+
+# ----------------------------------------------------------------- flat tiles
+
+
+def _flat_tiles(seqlens, tm: int, total_tiles_max: int):
+    """Map flat m-tile -> (group, row_block) for tm-aligned group packing.
+
+    Returns (grp[t], row_blk[t], g_starts[g] aligned row offsets,
+    total_tiles dynamic scalar). Tiles >= total_tiles point at the trash
+    block (= total_tiles_max, the extra tile appended to x/out).
+    """
+    g = seqlens.shape[0]
+    tiles_per_g = cdiv_dyn(seqlens, tm)
+    cu_tiles = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tiles_per_g).astype(jnp.int32)]
+    )
+    total_tiles = cu_tiles[g]
+    t = jnp.arange(total_tiles_max, dtype=jnp.int32)
+    grp = jnp.minimum(
+        jnp.searchsorted(cu_tiles[1:], t, side="right").astype(jnp.int32), g - 1
+    )
+    valid = t < total_tiles
+    grp = jnp.where(valid, grp, 0)
+    row_blk = jnp.where(valid, t, total_tiles_max)
+    g_starts = cu_tiles[:-1] * tm
+    return grp, row_blk, g_starts, total_tiles
+
+
+def cdiv_dyn(x, d: int):
+    return (x + d - 1) // d
+
+
+def _align_rows(x, seqlens, cu_seqlens, g_starts, tm: int, total_pad: int):
+    """Repack packed rows so each group starts at a tm-aligned row."""
+    total = x.shape[0]
+    g = seqlens.shape[0]
+    row = jnp.arange(total, dtype=jnp.int32)
+    req = jnp.minimum(
+        jnp.searchsorted(cu_seqlens[1:], row, side="right").astype(jnp.int32), g - 1
+    )
+    pos = row - cu_seqlens[req]
+    new_row = jnp.where(row < cu_seqlens[g], g_starts[req] + pos, total_pad - 1)
+    out = jnp.zeros((total_pad, *x.shape[1:]), x.dtype)
+    return out.at[new_row].set(x, mode="drop"), new_row
+
+
+# ------------------------------------------------------------------- kernels
+
+
+def _gg_pertensor_kernel(
+    grp_ref, row_ref, x_ref, w_ref, scale_ref, o_ref, acc_ref
+):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...].astype(jnp.bfloat16)
+    w = w_ref[0].astype(jnp.bfloat16)
+    acc_ref[...] += jax.lax.dot_general(
+        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        t = pl.program_id(0)
+        sc = scale_ref[grp_ref[t]]
+        o_ref[...] = (acc_ref[...] * sc).astype(o_ref.dtype)
+
+
+def _gg_blockwise_kernel(
+    grp_ref, row_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref, acc_ref
+):
+    jk = pl.program_id(2)
+
+    @pl.when(jk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...].astype(jnp.bfloat16)
+    w = w_ref[0].astype(jnp.bfloat16)
+    part = jax.lax.dot_general(
+        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # scale blocks carry all k-groups; select this k-block's column/row via
+    # one-hot masked reduction (dynamic lane/sublane offsets aren't allowed)
+    sx_all = sx_ref[...]  # [tm, kb]
+    lane = jax.lax.broadcasted_iota(jnp.int32, sx_all.shape, 1)
+    sx = jnp.sum(jnp.where(lane == jk, sx_all, 0.0), axis=1, keepdims=True)  # [tm,1]
+    sw_all = sw_ref[0]  # [kb, tn]
+    sub = jax.lax.broadcasted_iota(jnp.int32, sw_all.shape, 0)
+    sw = jnp.sum(jnp.where(sub == jk, sw_all, 0.0), axis=0, keepdims=True)  # [1,tn]
+    acc_ref[...] += part * sx * sw
+
+    @pl.when(jk == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "tk", "interpret"))
+def _gg_pertensor_pallas(
+    x_al, weight, y_scale, grp, row_blk, tm, tn, tk, interpret=False
+):
+    total_pad_t, k = x_al.shape  # includes trash tile
+    g, n, _ = weight.shape
+    np_, kp = round_up(n, tn), round_up(k, tk)
+    if (np_, kp) != (n, k):
+        weight = jnp.pad(weight, ((0, 0), (0, np_ - n), (0, kp - k)))
+    if kp != k:
+        x_al = jnp.pad(x_al, ((0, 0), (0, kp - k)))
+    num_tiles = grp.shape[0]
+    out = pl.pallas_call(
+        _gg_pertensor_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles, np_ // tn, kp // tk),
+            in_specs=[
+                pl.BlockSpec(
+                    (tm, tk), lambda t, jn, jk, grp_r, row_r: (row_r[t], jk)
+                ),
+                pl.BlockSpec(
+                    (1, tn, tk), lambda t, jn, jk, grp_r, row_r: (grp_r[t], jn, jk)
+                ),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tm, tn), lambda t, jn, jk, grp_r, row_r: (row_r[t], jn)
+            ),
+            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((total_pad_t, np_), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(grp, row_blk, x_al, weight, y_scale.astype(jnp.float32))
+    return out[:, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+def _gg_blockwise_pallas(
+    x_al, weight, sx_al, sw_exp, grp, row_blk, tm, tn, interpret=False
+):
+    tk = 128  # scale-group width
+    total_pad_t, k = x_al.shape
+    g, n, _ = weight.shape
+    np_ = round_up(n, tn)
+    if np_ != n:
+        weight = jnp.pad(weight, ((0, 0), (0, np_ - n), (0, 0)))
+        sw_exp = jnp.pad(sw_exp, ((0, 0), (0, 0), (0, np_ - n)))
+    num_tiles = grp.shape[0]
+    out = pl.pallas_call(
+        _gg_blockwise_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles, np_ // tn, k // tk),
+            in_specs=[
+                pl.BlockSpec(
+                    (tm, tk), lambda t, jn, jk, grp_r, row_r: (row_r[t], jk)
+                ),
+                pl.BlockSpec(
+                    (1, tn, tk), lambda t, jn, jk, grp_r, row_r: (grp_r[t], jn, jk)
+                ),
+                pl.BlockSpec(
+                    (tm, k // tk), lambda t, jn, jk, grp_r, row_r: (row_r[t], 0)
+                ),
+                pl.BlockSpec(
+                    (1, k // tk, tn),
+                    lambda t, jn, jk, grp_r, row_r: (grp_r[t], 0, jn),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (tm, tn), lambda t, jn, jk, grp_r, row_r: (row_r[t], jn)
+            ),
+            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((total_pad_t, np_), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(grp, row_blk, x_al, weight, sx_al, sw_exp)
+    return out[:, :n]
+
+
+def _pick_tm(num_seq_per_group_avg: int) -> int:
+    if num_seq_per_group_avg <= 32:
+        return 32
+    if num_seq_per_group_avg <= 64:
+        return 64
+    return 128
+
+
+# --------------------------------------------------------------- public API
+
+
+def group_gemm_pertensor_fp8(
+    x,
+    weight,
+    seqlens,
+    cu_seqlens,
+    y_scale,
+    num_seq_per_group_avg: int = 32,
+    *,
+    tn: int = 256,
+    tk: int = 512,
+    impl: str = "auto",
+):
+    """Per-group-scale FP8 grouped GEMM: rows of group g -> x_g @ W_g^T * y_scale[g].
+
+    x: [total_seq, K] fp8/bf16 packed by group; weight: [G, N, K];
+    seqlens/cu_seqlens: [G]/[G+1] int32; y_scale: [G] f32.
+    Returns [total_seq, N] bf16.
+    """
+    if impl == "ref":
+        return group_gemm_ref(x, weight, seqlens, cu_seqlens, y_scale)
+    total, k = x.shape
+    g = seqlens.shape[0]
+    tm = _pick_tm(num_seq_per_group_avg)
+    total_tiles_max = cdiv(total, tm) + g
+    total_pad = (total_tiles_max + 1) * tm  # +1 trash tile
+    grp, row_blk, g_starts, _ = _flat_tiles(
+        seqlens.astype(jnp.int32), tm, total_tiles_max
+    )
+    x_al, new_row = _align_rows(
+        x, seqlens.astype(jnp.int32), cu_seqlens.astype(jnp.int32), g_starts, tm, total_pad
+    )
+    out_al = _gg_pertensor_pallas(
+        x_al, weight, y_scale, grp, row_blk, tm, tn, min(tk, round_up(k, 128)),
+        interpret=interpret_default(),
+    )
+    return out_al[new_row]
+
+
+def group_gemm_fp8(x, weight, seqlens, cu_seqlens, y_scale, num_seq_per_group_avg=32, **kw):
+    """Alias of :func:`group_gemm_pertensor_fp8` (reference keeps both names)."""
+    return group_gemm_pertensor_fp8(
+        x, weight, seqlens, cu_seqlens, y_scale, num_seq_per_group_avg, **kw
+    )
+
+
+def group_gemm_blockwise_fp8(
+    x,
+    weight,
+    seqlens,
+    cu_seqlens,
+    x_scale,
+    w_scale,
+    num_seq_per_group_avg: int = 32,
+    *,
+    x_scale_layout: str = "transposed",
+    tn: int = 256,
+    impl: str = "auto",
+):
+    """Blockwise (128-group) FP8 grouped GEMM.
+
+    x: [total_seq, K] fp8; weight: [G, N, K] fp8;
+    x_scale: reference layout [K//128, total_seq_pad] f32
+    (``x_scale_layout="transposed"``, see reformat_x_scale) or natural
+    [total_seq, K//128] (``"natural"``);
+    w_scale: [G, N//128, ceil(K/128) padded to 4] f32.
+    Returns [total_seq, N] bf16.
+    """
+    total, k = x.shape
+    g, n, _ = weight.shape
+    kb = k // 128
+    tm = _pick_tm(num_seq_per_group_avg)
+    total_tiles_max = cdiv(total, tm) + g
+    total_pad = (total_tiles_max + 1) * tm
+    grp, row_blk, g_starts, _ = _flat_tiles(
+        seqlens.astype(jnp.int32), tm, total_tiles_max
+    )
+    x_al, new_row = _align_rows(
+        x, seqlens.astype(jnp.int32), cu_seqlens.astype(jnp.int32), g_starts, tm, total_pad
+    )
+    if x_scale_layout == "transposed":
+        # reformat_x_scale output is already the tm-aligned row layout.
+        sx_t = x_scale.T.astype(jnp.float32)  # [compact_total_pad, kb]
+        pad = total_pad - sx_t.shape[0]
+        sx_al = jnp.pad(sx_t, ((0, max(pad, 0)), (0, 0)))[:total_pad]
+        x_scale_nat = sx_al[new_row]
+    else:
+        x_scale_nat = x_scale[:total].astype(jnp.float32)
+        sx_al, _ = _align_rows(
+            x_scale_nat,
+            seqlens.astype(jnp.int32),
+            cu_seqlens.astype(jnp.int32),
+            g_starts,
+            tm,
+            total_pad,
+        )
+    if impl == "ref":
+        return group_gemm_blockwise_ref(
+            x, weight, seqlens, cu_seqlens, x_scale_nat, w_scale
+        )
+    # w_scale [G, N//128, Kb_pad] -> expanded [G, Kb, N]
+    sw = jnp.transpose(w_scale[:, :, :kb], (0, 2, 1))  # [G, Kb, N//128]
+    sw_exp = jnp.repeat(sw, 128, axis=2)  # [G, Kb, N]
+    out_al = _gg_blockwise_pallas(
+        x_al, weight, sx_al, sw_exp, grp, row_blk, tm, tn,
+        interpret=interpret_default(),
+    )
+    return out_al[new_row]
+
+
+def reformat_x_scale(x_scale, seqlens, cu_seqlens, num_seq_per_group_avg: int = 32):
+    """Reference-layout conversion (hpc/group_gemm.py:8-48): transpose
+    [total_seq_pad, K//128] -> [K//128, compact_total_seq_pad] with per-group
+    rows padded/compacted to the m-tile.
+
+    Provided for API parity; our kernels consume either layout directly.
+    """
+    tm = _pick_tm(num_seq_per_group_avg)
+    total, kb = x_scale.shape
+    g = seqlens.shape[0]
+    tiles = cdiv_dyn(seqlens.astype(jnp.int32), tm)
+    g_starts = (
+        jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(tiles)[:-1]]) * tm
+    )
+    total_pad = (cdiv(total, tm) + g) * tm
+    out, _ = _align_rows(
+        x_scale.astype(jnp.float32),
+        seqlens.astype(jnp.int32),
+        cu_seqlens.astype(jnp.int32),
+        g_starts,
+        tm,
+        total_pad,
+    )
+    return out.T
+
+
+__all__ = [
+    "group_gemm_fp8",
+    "group_gemm_pertensor_fp8",
+    "group_gemm_blockwise_fp8",
+    "group_gemm_ref",
+    "group_gemm_blockwise_ref",
+    "reformat_x_scale",
+]

@@ -1,0 +1,328 @@
+"""Fused FP8 MoE: routing + gather + grouped GEMMs + act-quant + top-k reduce.
+
+Reference parity: hpc/fuse_moe.py (count_and_gather, reduce, fuse_moe,
+fuse_moe_pertensor_fp8, fuse_moe_blockwise_fp8) and the 5-stage pipeline of
+src/fuse_moe/fuse_moe.cu:14-60. EP semantics: routing ids are global; local
+experts are [rank_ep*E_local, (rank_ep+1)*E_local); off-rank tokens are
+dropped locally (topk_pos = -1 -> zero contribution in reduce).
+
+TPU design: the reference's count/gather kernel builds TMA descriptors and
+CTA task maps on device; here the same role is played by an argsort-based
+gather that lands each expert's tokens directly at *m-tile-aligned* rows, so
+the two grouped GEMMs run the flat-tile Pallas kernel with zero repacking
+between stages. The reduce is a gather (not scatter-add): each output token
+gathers its top-k expert rows — gathers vectorize well on TPU and avoid
+atomics entirely. XLA streams the stages back-to-back (the PDL chaining of
+the reference is implicit in one jit).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hpc_ops_tpu.ops.activation import act_mul_and_quant, act_mul_and_quant_ref
+from hpc_ops_tpu.ops.group_gemm import (
+    _flat_tiles,
+    _gg_blockwise_pallas,
+    _gg_pertensor_pallas,
+    _pick_tm,
+    cdiv_dyn,
+)
+from hpc_ops_tpu.ops.quant import blockwise_fp8_quant
+from hpc_ops_tpu.utils.common import cdiv, interpret_default
+
+
+class GatherResult(NamedTuple):
+    x_gathered: jax.Array  # [rows_pad, H] expert-grouped (tile-aligned rows)
+    topk_pos: jax.Array  # [S, K] int32 row index (or -1 if dropped)
+    seqlens: jax.Array  # [E] tokens per local expert
+    cu_seqlens: jax.Array  # [E+1]
+    tiles: jax.Array  # [E] m-tiles per expert
+    cu_tiles: jax.Array  # [E+1]
+    grp: jax.Array  # flat-tile -> expert
+    row_blk: jax.Array  # flat-tile -> row block
+    new_row_valid: jax.Array  # [S*K] bool
+
+
+def _gather_aligned(x, topk_ids, num_expert: int, rank_ep: int, tm: int):
+    """Sort (token, k) pairs by local expert; place rows tile-aligned."""
+    s, k = topk_ids.shape
+    flat = topk_ids.reshape(-1).astype(jnp.int32) - rank_ep * num_expert
+    valid = (flat >= 0) & (flat < num_expert)
+    key = jnp.where(valid, flat, num_expert)
+    order = jnp.argsort(key, stable=True)  # sorted position -> flat idx
+
+    seqlens = jnp.bincount(key, length=num_expert + 1)[:num_expert].astype(jnp.int32)
+    cu = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(seqlens).astype(jnp.int32)]
+    )
+    tiles = cdiv_dyn(seqlens, tm)
+    cu_tiles = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tiles).astype(jnp.int32)]
+    )
+
+    total_tiles_max = cdiv(s * k, tm) + num_expert
+    rows_pad = (total_tiles_max + 1) * tm  # +1 trash tile for the GEMM
+
+    # sorted position j belongs to expert e = key[order[j]];
+    # aligned row = cu_tiles[e]*tm + (j - cu[e])
+    j = jnp.arange(s * k, dtype=jnp.int32)
+    e = key[order]
+    e_c = jnp.minimum(e, num_expert - 1)
+    aligned = cu_tiles[e_c] * tm + (j - cu[e_c])
+    aligned = jnp.where(e < num_expert, aligned, rows_pad - 1)
+
+    xg = (
+        jnp.zeros((rows_pad, x.shape[1]), x.dtype)
+        .at[aligned]
+        .set(jnp.where((e < num_expert)[:, None], x[order // k], 0), mode="drop")
+    )
+
+    # topk_pos: flat (token,k) -> aligned row
+    inv = jnp.argsort(order)  # flat idx -> sorted position
+    pos = aligned[inv]
+    topk_pos = jnp.where(valid, pos, -1).reshape(s, k)
+
+    grp, row_blk, _, _ = _flat_tiles(seqlens, tm, total_tiles_max)
+    return GatherResult(
+        xg, topk_pos, seqlens, cu, tiles, cu_tiles, grp, row_blk, valid
+    )
+
+
+def count_and_gather(
+    x,
+    topk_ids,
+    num_expert: int,
+    rank_ep: int,
+    intermediate_size: int = 0,
+    num_seq_per_group_avg: int = 32,
+):
+    """Reference-compatible gather (hpc/fuse_moe.py:8-85): returns the
+    expert-compacted token buffer plus routing metadata.
+
+    Returns (output [S*K, H], topk_pos [S*K] int32 (-1 dropped), seqlens [E],
+    cu_seqlens [E+1], tiles [E], cu_tiles [E+1]).
+    (The reference additionally returns a group-GEMM workspace and TMA
+    descriptors — TPU needs neither.)
+    """
+    s, k = topk_ids.shape
+    flat = topk_ids.reshape(-1).astype(jnp.int32) - rank_ep * num_expert
+    valid = (flat >= 0) & (flat < num_expert)
+    key = jnp.where(valid, flat, num_expert)
+    order = jnp.argsort(key, stable=True)
+    seqlens = jnp.bincount(key, length=num_expert + 1)[:num_expert].astype(jnp.int32)
+    cu = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(seqlens).astype(jnp.int32)]
+    )
+    tm = _pick_tm(num_seq_per_group_avg)
+    tiles = cdiv_dyn(seqlens, tm)
+    cu_tiles = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tiles).astype(jnp.int32)]
+    )
+    xg = jnp.where(valid[order, None], x[order // k], 0)
+    inv = jnp.argsort(order)
+    topk_pos = jnp.where(valid, inv.astype(jnp.int32), -1)
+    return xg, topk_pos, seqlens, cu, tiles, cu_tiles
+
+
+def reduce(x, topk_pos, topk_scale, shared_output=None):
+    """Top-k weighted combine (hpc/fuse_moe.py:88-130):
+    out[s] = sum_k topk_scale[s,k] * x[topk_pos[s,k]] (+ shared_output[s]).
+    topk_pos < 0 contributes zero. Returns [S, H] bf16.
+    """
+    s, k = topk_pos.shape
+    safe = jnp.maximum(topk_pos, 0)
+    rows = x[safe.reshape(-1)].reshape(s, k, x.shape[-1]).astype(jnp.float32)
+    w = jnp.where(topk_pos >= 0, topk_scale.astype(jnp.float32), 0.0)
+    out = jnp.einsum("skh,sk->sh", rows, w)
+    if shared_output is not None:
+        out = out + shared_output.astype(jnp.float32)
+    return out.astype(jnp.bfloat16)
+
+
+def fuse_moe_pertensor_fp8(
+    x,
+    gate_up_weight,
+    down_weight,
+    gate_up_scale,
+    down_scale,
+    act_and_mul_scale,
+    topk_ids,
+    topk_scale,
+    rank_ep: int,
+    num_expert_total: int,
+    use_bf16_mul: bool = True,
+    shared_output=None,
+    *,
+    num_seq_per_group_avg: int = 32,
+    impl: str = "auto",
+):
+    """Per-tensor-scale FP8 fused MoE forward.
+
+    x: [S, H] fp8; gate_up_weight: [E_local, 2I, H] fp8; down_weight:
+    [E_local, H, I] fp8; gate_up_scale/down_scale: [E_local] f32;
+    act_and_mul_scale: [1] f32; topk_ids/topk_scale: [S, K].
+    Returns [S, H] bf16.
+    """
+    e_local = gate_up_weight.shape[0]
+    tm = _pick_tm(num_seq_per_group_avg)
+    g = _gather_aligned(x, topk_ids, e_local, rank_ep, tm)
+
+    if impl == "ref":
+        gate_up = _naive_group_gemm(g.x_gathered, gate_up_weight, g, gate_up_scale, tm)
+        down_in = act_mul_and_quant_ref(gate_up, act_and_mul_scale, use_bf16_mul)
+        down = _naive_group_gemm(down_in, down_weight, g, down_scale, tm)
+    else:
+        interp = interpret_default()
+        gate_up = _gg_pertensor_pallas(
+            g.x_gathered, gate_up_weight, gate_up_scale, g.grp, g.row_blk,
+            tm, 256, min(512, gate_up_weight.shape[-1]), interpret=interp,
+        )
+        down_in = act_mul_and_quant(gate_up, act_and_mul_scale, use_bf16_mul)
+        down = _gg_pertensor_pallas(
+            down_in, down_weight, down_scale, g.grp, g.row_blk,
+            tm, 256, min(512, down_weight.shape[-1]), interpret=interp,
+        )
+    return reduce(down, g.topk_pos, topk_scale, shared_output)
+
+
+def fuse_moe(
+    x,
+    gate_up_weight,
+    down_weight,
+    gate_up_scale,
+    down_scale,
+    act_and_mul_scale,
+    topk_ids,
+    topk_scale,
+    rank_ep: int,
+    num_expert_total: int,
+    use_bf16_mul: bool = True,
+    shared_output=None,
+    **kw,
+):
+    """Reference alias for the per-tensor FP8 pipeline (hpc/fuse_moe.py:136)."""
+    return fuse_moe_pertensor_fp8(
+        x,
+        gate_up_weight,
+        down_weight,
+        gate_up_scale,
+        down_scale,
+        act_and_mul_scale,
+        topk_ids,
+        topk_scale,
+        rank_ep,
+        num_expert_total,
+        use_bf16_mul,
+        shared_output,
+        **kw,
+    )
+
+
+def fuse_moe_blockwise_fp8(
+    x,
+    x_scale,
+    gate_up_weight,
+    gate_up_weight_scale,
+    down_weight,
+    down_weight_scale,
+    topk_ids,
+    topk_scale,
+    rank_ep: int,
+    num_expert_total: int,
+    shared_output=None,
+    *,
+    num_seq_per_group_avg: int = 32,
+):
+    """Blockwise-scale FP8 fused MoE forward.
+
+    x: [S, H] fp8 with x_scale [S, H//128] f32 (natural layout);
+    gate_up_weight_scale: [E_local, 2I//128, ceil(H/128) pad4];
+    down_weight_scale: [E_local, H//128, ceil(I/128) pad4].
+    Returns [S, H] bf16.
+    """
+    e_local = gate_up_weight.shape[0]
+    h = x.shape[1]
+    interm2 = gate_up_weight.shape[1]
+    tm = _pick_tm(num_seq_per_group_avg)
+    g = _gather_aligned(x, topk_ids, e_local, rank_ep, tm)
+    sx_g = _gather_scale_aligned(x_scale, topk_ids, e_local, rank_ep, tm, g)
+
+    interp = interpret_default()
+    kb_h = h // 128
+    sw_gu = jnp.repeat(
+        jnp.transpose(gate_up_weight_scale[:, :, :kb_h], (0, 2, 1)), 128, axis=2
+    )  # [E, kb_h, 2I]
+    gate_up = _gg_blockwise_pallas(
+        g.x_gathered, gate_up_weight, sx_g, sw_gu, g.grp, g.row_blk, tm, 256,
+        interpret=interp,
+    )
+    # act + blockwise re-quant of the intermediate
+    interm = interm2 // 2
+    gate = gate_up[:, :interm].astype(jnp.float32)
+    up = gate_up[:, interm:].astype(jnp.float32)
+    act = gate * jax.nn.sigmoid(gate) * up
+    down_in, down_in_scale = blockwise_fp8_quant(act)
+    kb_i = interm // 128
+    sw_dn = jnp.repeat(
+        jnp.transpose(down_weight_scale[:, :, :kb_i], (0, 2, 1)), 128, axis=2
+    )  # [E, kb_i, H]
+    down = _gg_blockwise_pallas(
+        down_in, down_weight, down_in_scale + 1e-8, sw_dn, g.grp, g.row_blk,
+        tm, 256, interpret=interp,
+    )
+    return reduce(down, g.topk_pos, topk_scale, shared_output)
+
+
+def fuse_moe_blockwise(x, x_scale, *args, **kw):
+    """Reference alias (hpc/fuse_moe.py:232)."""
+    return fuse_moe_blockwise_fp8(x, x_scale, *args, **kw)
+
+
+def _gather_scale_aligned(x_scale, topk_ids, e_local, rank_ep, tm, g: GatherResult):
+    """Gather per-token blockwise scales into the same aligned layout."""
+    s, k = topk_ids.shape
+    flat = topk_ids.reshape(-1).astype(jnp.int32) - rank_ep * e_local
+    valid = (flat >= 0) & (flat < e_local)
+    key = jnp.where(valid, flat, e_local)
+    order = jnp.argsort(key, stable=True)
+    e = key[order]
+    rows_pad = g.x_gathered.shape[0]
+    j = jnp.arange(s * k, dtype=jnp.int32)
+    e_c = jnp.minimum(e, e_local - 1)
+    aligned = g.cu_tiles[e_c] * tm + (j - g.cu_seqlens[e_c])
+    aligned = jnp.where(e < e_local, aligned, rows_pad - 1)
+    return (
+        jnp.zeros((rows_pad, x_scale.shape[1]), jnp.float32)
+        .at[aligned]
+        .set(jnp.where((e < e_local)[:, None], x_scale[order // k], 0), mode="drop")
+    )
+
+
+def _naive_group_gemm(xg, w, g: GatherResult, scale, tm):
+    """jnp oracle over the aligned layout (for impl='ref')."""
+    rows = xg.shape[0]
+    e = w.shape[0]
+    out = jnp.zeros((rows, w.shape[1]), jnp.float32)
+    xf = xg.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    for ei in range(e):
+        s = int(g.cu_tiles[ei]) * tm
+        l = int(g.seqlens[ei])
+        if l == 0:
+            continue
+        out = out.at[s : s + l].set((xf[s : s + l] @ wf[ei].T) * scale[ei])
+    return out.astype(jnp.bfloat16)
+
+
+__all__ = [
+    "count_and_gather",
+    "reduce",
+    "fuse_moe",
+    "fuse_moe_pertensor_fp8",
+    "fuse_moe_blockwise_fp8",
+    "fuse_moe_blockwise",
+]

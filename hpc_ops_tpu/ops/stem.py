@@ -1,0 +1,399 @@
+"""Stem sparse-mask generator: OAM scoring + TPD top-k policy denoising.
+
+Reference parity: hpc/stem.py + src/stem/stem_kernels.cuh. Produces the
+block-sparse masks consumed by the block-sparse prefill attention (op #4).
+
+Pipeline semantics (extracted from the CUDA kernels, cited per stage):
+  1. prep_paged_kv (stem_kernels.cuh:21-160, 488-552):
+     K_flat: for each stem block (128 tokens) and group g in [0,16): sum of
+     rows {g, g+16, g+32, ...} (8 samples) x kscale -> bf16, stored at
+     segment (15-g) — REVERSED group order (anti-diagonal scoring trick).
+     V_bias: per 16-row group, max L2 norm of V rows x vscale; per (b,h)
+     log-normalize (mean/std over groups), vbias[block] = mean over the
+     block's 8 groups of lambda_mag * relu(normalized).
+  2. prep_varlen_q (stem_kernels.cuh:684-690): Q_flat = per-group sums of
+     q x per-token-qscale in NATURAL group order.
+  3. oam_gemm (stem_kernels.cuh:692-975): block_logits =
+     (1/64) * Qflat @ Kflat^T + vbias[kb]; -inf where kb > qb + ceil((kv-q)/128)
+     (causal) or beyond the per-request block counts.
+  4. tpd (stem_kernels.cuh:1033-1240): per (req, head, q-block-row) budget
+     from the 3-regime k_schedule + linear decay keyed on FULL prompt length
+     (chunked-prefill invariant); select blocks with logit >= budget-th
+     largest (ties included, non-finite excluded), then force initial sink /
+     recent window / diagonal blocks.
+
+Everything here is small preprocessing work relative to the attention it
+gates, and maps onto plain XLA einsum/top-k, which the TPU compiles well; no
+hand-written kernel is needed for parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hpc_ops_tpu.config import QuantType
+from hpc_ops_tpu.utils.common import cdiv
+
+NEG_INF = float("-inf")
+
+
+def _dequant_paged(cache, scale, quant_type, kind: str):
+    c = cache.astype(jnp.float32)
+    if cache.dtype == jnp.bfloat16:
+        return c
+    qt = QuantType(quant_type)
+    if qt == QuantType.QPERTOKEN_PERHEAD_KPERTENSOR_VPERTENSOR:
+        return c * scale.reshape(()).astype(jnp.float32)
+    if kind == "k":
+        ks = scale.astype(jnp.float32)
+        reps = c.shape[-1] // ks.shape[-1]
+        return c * jnp.repeat(ks, reps, axis=-1)
+    return c * scale.astype(jnp.float32)[None, None, :, None]
+
+
+def _gather_tokens(cache, kv_indices, max_len):
+    bs = cache.shape[1]
+    nblk = cdiv(max_len, bs)
+    ids = jnp.maximum(kv_indices[:, :nblk], 0)
+    out = cache[ids]  # [B, nblk, bs, H, D]
+    b = kv_indices.shape[0]
+    return out.reshape(b, nblk * bs, *cache.shape[2:])[:, :max_len]
+
+
+def stem_oam_prep_paged_kv(
+    kcache,
+    vcache,
+    kscale,
+    vscale,
+    kv_indices,
+    kv_seq_lens,
+    lambda_mag: float = 0.3,
+    stem_block_size: int = 128,
+    stem_stride: int = 16,
+    quant_type: QuantType = QuantType.QPERTOKEN_PERHEAD_KPERTENSOR_VPERTENSOR,
+    *,
+    max_kv_len: int | None = None,
+):
+    """K_flat + V_bias from a paged FP8 KV cache (reference op #22 stage 1).
+
+    Returns:
+      kflat: [B, Hkv, max_Kb, stem_stride*Dqk] bf16 (reversed group order)
+      vbias: [B, Hkv, max_Kb] f32
+    """
+    b = kv_seq_lens.shape[0]
+    hkv, dqk = kcache.shape[2], kcache.shape[3]
+    dv = vcache.shape[3]
+    bs = kcache.shape[1]
+    if max_kv_len is None:
+        max_kv_len = kv_indices.shape[1] * bs
+    max_kv_pad = cdiv(max_kv_len, stem_block_size) * stem_block_size
+    max_kb = max_kv_pad // stem_block_size
+    spb = stem_block_size // stem_stride  # samples per group (8)
+
+    kf = _dequant_paged(kcache, kscale, quant_type, "k")
+    vf = _dequant_paged(vcache, vscale, quant_type, "v")
+    k_tok = _gather_tokens(kf, kv_indices, max_kv_pad)  # [B, T, Hkv, Dqk]
+    v_tok = _gather_tokens(vf, kv_indices, max_kv_pad)
+
+    t = jnp.arange(max_kv_pad)
+    valid = (t[None, :] < kv_seq_lens[:, None])[:, :, None, None]
+    k_tok = jnp.where(valid, k_tok, 0.0)
+    v_tok = jnp.where(valid, v_tok, 0.0)
+
+    # K_flat: [B, Kb, spb(sample), stride(group), Hkv, D] sum over samples
+    kg = k_tok.reshape(b, max_kb, spb, stem_stride, hkv, dqk).sum(axis=2)
+    kg = jnp.flip(kg, axis=2)  # reversed group order
+    kflat = (
+        jnp.transpose(kg, (0, 3, 1, 2, 4))  # [B, Hkv, Kb, stride, D]
+        .reshape(b, hkv, max_kb, stem_stride * dqk)
+        .astype(jnp.bfloat16)
+    )
+
+    # V_bias: per-16-row-group max L2 norm -> log-normalize -> relu -> block avg
+    vn = jnp.linalg.norm(
+        v_tok.reshape(b, max_kv_pad // stem_stride, stem_stride, hkv, dv), axis=-1
+    )  # [B, G, 16, Hkv]
+    vmax = jnp.max(vn, axis=2)  # [B, G, Hkv]
+    vmax = jnp.transpose(vmax, (0, 2, 1))  # [B, Hkv, G]
+
+    # per-request group count (padded to stem block)
+    g_len = (cdiv_dyn(kv_seq_lens, stem_block_size) * stem_block_size) // stem_stride
+    gi = jnp.arange(vmax.shape[-1])
+    gvalid = gi[None, None, :] < g_len[:, None, None]
+
+    logv = jnp.log(vmax + 1e-6)
+    n = jnp.maximum(g_len, 1).astype(jnp.float32)[:, None]
+    mean = jnp.sum(jnp.where(gvalid, logv, 0.0), axis=-1) / n
+    var = jnp.sum(
+        jnp.where(gvalid, (logv - mean[..., None]) ** 2, 0.0), axis=-1
+    ) / jnp.maximum(n - 1, 1.0)
+    std = jnp.where(g_len[:, None] > 1, jnp.sqrt(var), 0.0)
+    normalized = (logv - mean[..., None]) / (std[..., None] + 1e-6)
+    contrib = lambda_mag * jnp.maximum(normalized, 0.0)
+    contrib = jnp.where(gvalid, contrib, 0.0)
+    vbias = contrib.reshape(b, hkv, max_kb, spb).sum(-1) / float(spb)
+    return kflat, vbias
+
+
+def cdiv_dyn(x, d: int):
+    return (x + d - 1) // d
+
+
+def stem_oam_prep_varlen_q(
+    q_fp8,
+    qscale,
+    q_seq_lens,
+    cu_seqlens_q,
+    stem_block_size: int = 128,
+    stem_stride: int = 16,
+):
+    """Q_flat: weighted group-sums in natural group order (stage 2).
+
+    q_fp8: [total, Hq, 128]; qscale: [B, Hq, max_seq_q_pad] f32.
+    Returns [B, Hq, max_Qb, stem_stride*Dqk] bf16.
+    """
+    total, hq, dqk = q_fp8.shape
+    b = q_seq_lens.shape[0]
+    max_q_pad = cdiv(qscale.shape[-1], stem_block_size) * stem_block_size
+    max_qb = max_q_pad // stem_block_size
+    spb = stem_block_size // stem_stride
+
+    # scatter packed rows to [B, max_q_pad, Hq, D] with per-token scale applied
+    row = jnp.arange(total, dtype=jnp.int32)
+    req = jnp.minimum(
+        jnp.searchsorted(cu_seqlens_q[1:], row, side="right").astype(jnp.int32), b - 1
+    )
+    pos = row - cu_seqlens_q[req]
+    ok = (row < cu_seqlens_q[b]) & (pos < max_q_pad)
+    qs = qscale[req, :, jnp.minimum(pos, qscale.shape[-1] - 1)]  # [total, Hq]
+    qw = q_fp8.astype(jnp.float32) * qs[..., None]
+    dense = (
+        jnp.zeros((b, max_q_pad, hq, dqk), jnp.float32)
+        .at[jnp.where(ok, req, 2**30), jnp.where(ok, pos, 0)]
+        .set(qw, mode="drop")
+    )
+    qg = dense.reshape(b, max_qb, spb, stem_stride, hq, dqk).sum(axis=2)
+    # [b, max_qb, stride, hq, dqk] -> [b, hq, max_qb, stride, dqk]
+    return (
+        jnp.transpose(qg, (0, 3, 1, 2, 4))
+        .reshape(b, hq, max_qb, stem_stride * dqk)
+        .astype(jnp.bfloat16)
+    )
+
+
+def stem_oam_gemm(
+    qflat,
+    kflat,
+    vbias,
+    q_seq_lens,
+    kv_seq_lens,
+    stem_block_size: int = 128,
+    stem_stride: int = 16,
+    causal: bool = True,
+):
+    """block_logits = FrobScale * Qflat @ Kflat^T + V_bias (stage 3).
+
+    Returns [B, Hq, max_Qb, max_Kb] bf16 with -inf at invalid positions.
+    """
+    b, hq, max_qb, fdim = qflat.shape
+    hkv = kflat.shape[1]
+    max_kb = kflat.shape[2]
+    g = hq // hkv
+    spb = stem_block_size // stem_stride
+    frob = 1.0 / float(spb * spb)
+
+    kfe = jnp.repeat(kflat, g, axis=1)  # [B, Hq, Kb, F]
+    vbe = jnp.repeat(vbias, g, axis=1)  # [B, Hq, Kb]
+    logits = (
+        jnp.einsum(
+            "bhqf,bhkf->bhqk",
+            qflat.astype(jnp.float32),
+            kfe.astype(jnp.float32),
+        )
+        * frob
+        + vbe[:, :, None, :]
+    )
+
+    num_qb = cdiv_dyn(q_seq_lens, stem_block_size)
+    num_kb = cdiv_dyn(kv_seq_lens, stem_block_size)
+    qb = jnp.arange(max_qb)
+    kb = jnp.arange(max_kb)
+    invalid = (qb[None, :, None] >= num_qb[:, None, None]) | (
+        kb[None, None, :] >= num_kb[:, None, None]
+    )
+    if causal:
+        off = cdiv_dyn(kv_seq_lens - q_seq_lens, stem_block_size)
+        invalid = invalid | (
+            qb[None, :, None] + off[:, None, None] < kb[None, None, :]
+        )
+    logits = jnp.where(invalid[:, None], NEG_INF, logits)
+    return logits.astype(jnp.bfloat16)
+
+
+def _compute_budget(
+    q_row,
+    kb_offset,
+    prompt_kv_blocks,
+    alpha,
+    rate_medium,
+    bias_medium,
+    rate_large,
+    bias_large,
+):
+    """3-regime k_schedule + linear decay (stem_kernels.cuh:1036-1064)."""
+    k_small = prompt_kv_blocks
+    k_medium = (prompt_kv_blocks * rate_medium).astype(jnp.int32) + bias_medium
+    k_large = (prompt_kv_blocks * rate_large).astype(jnp.int32) + bias_large
+    k_val = jnp.where(
+        prompt_kv_blocks < 56, k_small, jnp.where(prompt_kv_blocks < 160, k_medium, k_large)
+    )
+    q_pos = q_row + kb_offset
+    decay_len = prompt_kv_blocks - k_val
+    k_end = k_val.astype(jnp.float32) * alpha
+    t = (q_pos - k_val).astype(jnp.float32) / jnp.maximum(decay_len - 1, 1).astype(
+        jnp.float32
+    )
+    decayed = jnp.floor(k_val + t * (k_end - k_val)).astype(jnp.int32)
+    decayed = jnp.clip(decayed, 1, k_val)
+    return jnp.where((q_pos < k_val) | (decay_len <= 1), k_val, decayed)
+
+
+def stem_tpd(
+    block_logits,
+    q_seq_lens,
+    kv_seq_lens,
+    num_prompt_tokens,
+    block_size: int = 128,
+    alpha: float = 1.0,
+    initial_blocks: int = 4,
+    window_size: int = 4,
+    k_block_num_rate_medium: float = 0.2,
+    k_block_num_bias_medium: int = 30,
+    k_block_num_rate_large: float = 0.1,
+    k_block_num_bias_large: int = 30,
+):
+    """Top-k policy denoising -> uint8 block mask (stage 4).
+
+    block_logits: [B, Hq, max_Qb, max_Kb] bf16 (-inf = invalid).
+    Returns mask of the same shape, uint8 (1 = selected).
+    """
+    b, hq, max_qb, max_kb = block_logits.shape
+    logits = block_logits.astype(jnp.float32)
+    finite = jnp.isfinite(logits)
+
+    qi_blocks = cdiv_dyn(q_seq_lens, block_size)  # [B]
+    ki_blocks = cdiv_dyn(kv_seq_lens, block_size)
+    prompt_kv_blocks = cdiv_dyn(num_prompt_tokens, block_size)
+    kb_offset = cdiv_dyn(kv_seq_lens - q_seq_lens, block_size)
+
+    q_row = jnp.arange(max_qb, dtype=jnp.int32)
+    budget = _compute_budget(
+        q_row[None, :],
+        kb_offset[:, None],
+        prompt_kv_blocks[:, None],
+        alpha,
+        k_block_num_rate_medium,
+        k_block_num_bias_medium,
+        k_block_num_rate_large,
+        k_block_num_bias_large,
+    )  # [B, max_Qb]
+
+    # threshold = budget-th largest finite value (ties included); count finite
+    col = jnp.arange(max_kb, dtype=jnp.int32)
+    col_ok = col[None, None, None, :] < ki_blocks[:, None, None, None]
+    work = jnp.where(finite & col_ok, logits, NEG_INF)
+    sorted_desc = -jnp.sort(-work, axis=-1)  # [B,H,Qb,Kb]
+    total_finite = jnp.sum(jnp.isfinite(work), axis=-1)  # [B,H,Qb]
+    eff_budget = jnp.minimum(budget[:, None, :], jnp.maximum(total_finite, 1))
+    kth = jnp.take_along_axis(
+        sorted_desc, (eff_budget - 1)[..., None].astype(jnp.int32), axis=-1
+    )  # [B,H,Qb,1]
+    selected = jnp.isfinite(work) & (work >= kth)
+    # budget >= total_finite: select all finite
+    selected = jnp.where(
+        (budget[:, None, :] >= total_finite)[..., None], jnp.isfinite(work), selected
+    )
+
+    diag = jnp.minimum(
+        q_row[None, :] + kb_offset[:, None], ki_blocks[:, None] - 1
+    )  # [B, Qb]
+    d = diag[:, None, :, None]
+    c = col[None, None, None, :]
+    forced = (c < initial_blocks) | ((c <= d) & (c > d - window_size)) | (c == d)
+    mask = (selected | forced) & col_ok
+
+    # rows beyond the request's q blocks produce no mask
+    row_ok = q_row[None, None, :, None] < qi_blocks[:, None, None, None]
+    mask = mask & row_ok
+    return mask.astype(jnp.uint8)
+
+
+def stem_paged_kv(
+    q_fp8,
+    kcache,
+    vcache,
+    qscale,
+    kscale,
+    vscale,
+    kv_indices,
+    cu_seqlens_q,
+    kv_seq_lens,
+    num_prompt_tokens,
+    lambda_mag: float = 0.3,
+    alpha: float = 1.0,
+    stem_block_size: int = 128,
+    stem_stride: int = 16,
+    causal: bool = True,
+    initial_blocks: int = 4,
+    window_size: int = 4,
+    k_block_num_rate_medium: float = 0.2,
+    k_block_num_bias_medium: int = 30,
+    k_block_num_rate_large: float = 0.1,
+    k_block_num_bias_large: int = 30,
+    quant_type: QuantType = QuantType.QPERTOKEN_PERHEAD_KPERTENSOR_VPERTENSOR,
+):
+    """End-to-end Stem mask generation (hpc/stem.py:237-359). Returns the
+    uint8 mask [B, Hq, max_Qb, max_Kb]."""
+    q_seq_lens = (cu_seqlens_q[1:] - cu_seqlens_q[:-1]).astype(jnp.int32)
+    kflat, vbias = stem_oam_prep_paged_kv(
+        kcache,
+        vcache,
+        kscale,
+        vscale,
+        kv_indices,
+        kv_seq_lens,
+        lambda_mag,
+        stem_block_size,
+        stem_stride,
+        quant_type,
+    )
+    qflat = stem_oam_prep_varlen_q(
+        q_fp8, qscale, q_seq_lens, cu_seqlens_q, stem_block_size, stem_stride
+    )
+    block_logits = stem_oam_gemm(
+        qflat, kflat, vbias, q_seq_lens, kv_seq_lens, stem_block_size, stem_stride, causal
+    )
+    return stem_tpd(
+        block_logits,
+        q_seq_lens,
+        kv_seq_lens,
+        num_prompt_tokens,
+        stem_block_size,
+        alpha,
+        initial_blocks,
+        window_size,
+        k_block_num_rate_medium,
+        k_block_num_bias_medium,
+        k_block_num_rate_large,
+        k_block_num_bias_large,
+    )
+
+
+__all__ = [
+    "stem_oam_prep_paged_kv",
+    "stem_oam_prep_varlen_q",
+    "stem_oam_gemm",
+    "stem_tpd",
+    "stem_paged_kv",
+]

@@ -1,0 +1,14 @@
+from hpc_ops_tpu.parallel.collectives import (
+    fuse_allreduce_rmsnorm,
+    fuse_allreduce_rmsnorm_ref,
+    fuse_allreduce_rmsnorm_sharded,
+)
+from hpc_ops_tpu.parallel.mesh import make_mesh, tp_sharding
+
+__all__ = [
+    "fuse_allreduce_rmsnorm",
+    "fuse_allreduce_rmsnorm_sharded",
+    "fuse_allreduce_rmsnorm_ref",
+    "make_mesh",
+    "tp_sharding",
+]

@@ -1,0 +1,159 @@
+"""Tests for paged decode attention (reference: tests/test_attention_decode_bf16.py
+and the fp8 decode tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpc_ops_tpu.config import QuantType
+from hpc_ops_tpu.ops.attention import attention_decode, attention_decode_ref
+from hpc_ops_tpu.utils.testing import assert_allclose
+
+
+def np_decode_ref(q, kcache, vcache, block_ids, kv_lens, sq):
+    """Dense numpy decode reference (fp32)."""
+    b = kv_lens.shape[0]
+    hq, d = q.shape[1], q.shape[2]
+    nb, bs, hkv, _ = kcache.shape
+    dv = vcache.shape[-1]
+    g = hq // hkv
+    q = np.asarray(q, np.float32).reshape(b, sq, hq, d)
+    out = np.zeros((b, sq, hq, dv), np.float32)
+    for bi in range(b):
+        L = int(kv_lens[bi])
+        k = np.zeros((L, hkv, d), np.float32)
+        v = np.zeros((L, hkv, dv), np.float32)
+        for pos in range(L):
+            blk = block_ids[bi, pos // bs]
+            k[pos] = kcache[blk, pos % bs]
+            v[pos] = vcache[blk, pos % bs]
+        for s in range(sq):
+            qpos = L - sq + s
+            for h in range(hq):
+                kk = k[: qpos + 1, h // g]
+                vv = v[: qpos + 1, h // g]
+                logits = kk @ q[bi, s, h] / np.sqrt(d)
+                p = np.exp(logits - logits.max())
+                p /= p.sum()
+                out[bi, s, h] = p @ vv
+    return out.reshape(b * sq, hq, dv)
+
+
+def make_decode_case(seed, kv_lens, hq=8, hkv=2, d=128, bs=16, sq=1, dtype=jnp.bfloat16):
+    rng = np.random.RandomState(seed)
+    b = len(kv_lens)
+    max_blocks = (max(kv_lens) + bs - 1) // bs + 1
+    total_blocks = b * max_blocks + 3
+    perm = rng.permutation(total_blocks)
+    block_ids = -np.ones((b, max_blocks), np.int32)
+    off = 0
+    for i, L in enumerate(kv_lens):
+        n = (L + bs - 1) // bs
+        block_ids[i, :n] = perm[off : off + n]
+        off += n
+
+    kcache = np.zeros((total_blocks, bs, hkv, d), np.float32)
+    vcache = np.zeros((total_blocks, bs, hkv, d), np.float32)
+    for i, L in enumerate(kv_lens):
+        for pos in range(L):
+            blk = block_ids[i, pos // bs]
+            kcache[blk, pos % bs] = rng.randn(hkv, d)
+            vcache[blk, pos % bs] = rng.randn(hkv, d)
+
+    q = rng.randn(b * sq, hq, d).astype(np.float32)
+    q_bf = jnp.asarray(q, dtype)
+    kc = jnp.asarray(kcache, dtype)
+    vc = jnp.asarray(vcache, dtype)
+    return q_bf, kc, vc, jnp.asarray(block_ids), np.array(kv_lens, np.int32)
+
+
+@pytest.mark.parametrize(
+    "kv_lens,mtp",
+    [
+        ([33], 0),
+        ([128, 17, 255, 64], 0),
+        ([40, 300], 2),
+        ([16, 16, 16, 16, 16, 16, 16, 16], 0),
+    ],
+)
+def test_attention_decode_bf16(kv_lens, mtp):
+    sq = mtp + 1
+    q, kc, vc, block_ids, kv_lens_np = make_decode_case(41, kv_lens, sq=sq)
+
+    want = np_decode_ref(
+        np.asarray(q, np.float32),
+        np.asarray(kc, np.float32),
+        np.asarray(vc, np.float32),
+        np.asarray(block_ids),
+        kv_lens_np,
+        sq,
+    )
+
+    out = attention_decode(
+        q, kc, vc, block_ids, jnp.asarray(kv_lens_np), mtp=mtp, new_kv_included=True
+    )
+    assert out.shape == q.shape
+    assert_allclose(np.asarray(out, np.float32), want, atol=3e-2, rtol=3e-2, name="pallas")
+
+    ref = attention_decode_ref(
+        q, kc, vc, block_ids, jnp.asarray(kv_lens_np), mtp=mtp, new_kv_included=True
+    )
+    assert_allclose(np.asarray(ref, np.float32), want, atol=3e-2, rtol=3e-2, name="jnp_ref")
+
+
+def test_attention_decode_new_kv_not_included():
+    """new_kv_included=False: effective KV length is num_seq_kvcache + sq."""
+    q, kc, vc, block_ids, kv_lens_np = make_decode_case(11, [64, 33], sq=1)
+    out_a = attention_decode(
+        q, kc, vc, block_ids, jnp.asarray(kv_lens_np), new_kv_included=True
+    )
+    out_b = attention_decode(
+        q, kc, vc, block_ids, jnp.asarray(kv_lens_np - 1), new_kv_included=False
+    )
+    assert_allclose(
+        np.asarray(out_a, np.float32), np.asarray(out_b, np.float32), atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("quant_type", [
+    QuantType.QPERTOKEN_PERHEAD_KPERTENSOR_VPERTENSOR,
+    QuantType.QPERTENSOR_KPERTENSOR_VPERTENSOR,
+])
+def test_attention_decode_fp8_pertensor(quant_type):
+    kv_lens = [100, 37]
+    q, kc, vc, block_ids, kv_lens_np = make_decode_case(5, kv_lens, sq=1)
+    b, hq = len(kv_lens), q.shape[1]
+
+    want = np_decode_ref(
+        np.asarray(q, np.float32),
+        np.asarray(kc, np.float32),
+        np.asarray(vc, np.float32),
+        np.asarray(block_ids),
+        kv_lens_np,
+        1,
+    )
+
+    # quantize caches per-tensor, q per-token-per-head
+    kscale = jnp.array([float(jnp.max(jnp.abs(kc.astype(jnp.float32)))) / 448.0], jnp.float32)
+    vscale = jnp.array([float(jnp.max(jnp.abs(vc.astype(jnp.float32)))) / 448.0], jnp.float32)
+    kc8 = (kc.astype(jnp.float32) / kscale).astype(jnp.float8_e4m3fn)
+    vc8 = (vc.astype(jnp.float32) / vscale).astype(jnp.float8_e4m3fn)
+
+    qf = q.astype(jnp.float32)
+    qscale = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1) / 448.0, 1e-12)  # [B, Hq]
+    q8 = (qf / qscale[..., None]).astype(jnp.float8_e4m3fn)
+
+    out = attention_decode(
+        q8.astype(jnp.bfloat16),  # kernel takes dequant-ready q; scales passed below
+        kc8,
+        vc8,
+        block_ids,
+        jnp.asarray(kv_lens_np),
+        new_kv_included=True,
+        qscale=qscale,
+        kscale=kscale,
+        vscale=vscale,
+        quant_type=quant_type,
+    )
+    assert_allclose(np.asarray(out, np.float32), want, atol=0.12, rtol=0.08, name="fp8")

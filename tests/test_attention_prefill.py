@@ -1,0 +1,193 @@
+"""Tests for varlen prefill attention (reference: tests/test_attention_prefill_bf16.py,
+test_attention_with_kvcache_prefill_bf16.py, fp8 variants)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpc_ops_tpu.config import QuantType
+from hpc_ops_tpu.ops.attention.prefill import (
+    attention_prefill_bf16,
+    attention_with_kvcache_prefill,
+)
+from hpc_ops_tpu.utils.testing import assert_allclose
+
+
+def np_varlen_attn(q, ks, vs, q_lens, kv_lens, hkv):
+    """q packed [total, Hq, D]; ks/vs lists per request [kv_len, Hkv, D]."""
+    hq, d = q.shape[1], q.shape[2]
+    g = hq // hkv
+    outs = []
+    off = 0
+    for bi, (ql, kl) in enumerate(zip(q_lens, kv_lens)):
+        qi = q[off : off + ql]
+        k, v = ks[bi], vs[bi]
+        o = np.zeros((ql, hq, v.shape[-1]), np.float32)
+        for h in range(hq):
+            s = qi[:, h] @ k[:, h // g].T / np.sqrt(d)
+            qpos = kl - ql + np.arange(ql)
+            mask = np.arange(kl)[None, :] <= qpos[:, None]
+            s = np.where(mask, s, -1e30)
+            p = np.exp(s - s.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            o[:, h] = p @ v[:, h // g]
+        outs.append(o)
+        off += ql
+    return np.concatenate(outs, 0)
+
+
+def build_paged(ks, vs, bs, seed=0):
+    """Scatter per-request K/V into a shuffled paged cache."""
+    rng = np.random.RandomState(seed)
+    b = len(ks)
+    hkv, d = ks[0].shape[1], ks[0].shape[2]
+    dv = vs[0].shape[2]
+    nblocks = [(k.shape[0] + bs - 1) // bs for k in ks]
+    max_blocks = max(nblocks) + 1
+    total_blocks = sum(nblocks) + 3
+    perm = rng.permutation(total_blocks)
+    block_ids = -np.ones((b, max_blocks), np.int32)
+    kcache = np.zeros((total_blocks, bs, hkv, d), np.float32)
+    vcache = np.zeros((total_blocks, bs, hkv, dv), np.float32)
+    off = 0
+    for i in range(b):
+        n = nblocks[i]
+        block_ids[i, :n] = perm[off : off + n]
+        off += n
+        for pos in range(ks[i].shape[0]):
+            blk = block_ids[i, pos // bs]
+            kcache[blk, pos % bs] = ks[i][pos]
+            vcache[blk, pos % bs] = vs[i][pos]
+    return kcache, vcache, block_ids
+
+
+@pytest.mark.parametrize(
+    "q_lens,kv_extra",
+    [
+        ([64], [0]),  # single, aligned
+        ([33, 129, 7], [0, 0, 0]),  # varlen, no history
+        ([16, 40], [70, 9]),  # chunked prefill: kv history before q
+    ],
+)
+def test_paged_prefill_bf16(q_lens, kv_extra):
+    rng = np.random.RandomState(41)
+    hq, hkv, d, bs = 8, 2, 128, 16
+    kv_lens = [q + e for q, e in zip(q_lens, kv_extra)]
+    total_q = sum(q_lens)
+    q = rng.randn(total_q, hq, d).astype(np.float32)
+    ks = [rng.randn(L, hkv, d).astype(np.float32) for L in kv_lens]
+    vs = [rng.randn(L, hkv, d).astype(np.float32) for L in kv_lens]
+
+    q_bf = jnp.asarray(q, jnp.bfloat16)
+    q = np.asarray(q_bf, np.float32)
+    ks = [np.asarray(jnp.asarray(k, jnp.bfloat16), np.float32) for k in ks]
+    vs = [np.asarray(jnp.asarray(v, jnp.bfloat16), np.float32) for v in vs]
+
+    want = np_varlen_attn(q, ks, vs, q_lens, kv_lens, hkv)
+
+    kcache, vcache, block_ids = build_paged(ks, vs, bs)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(q_lens)]), jnp.int32)
+
+    out = attention_with_kvcache_prefill(
+        q_bf,
+        jnp.asarray(kcache, jnp.bfloat16),
+        jnp.asarray(vcache, jnp.bfloat16),
+        cu_q,
+        jnp.asarray(block_ids),
+        jnp.asarray(kv_lens, jnp.int32),
+        max(q_lens),
+        tq=64,
+    )
+    assert out.shape == (total_q, hq, d)
+    assert_allclose(np.asarray(out, np.float32), want, atol=4e-2, rtol=4e-2)
+
+
+def test_dense_prefill_bf16():
+    rng = np.random.RandomState(3)
+    hq, hkv, d = 4, 4, 128
+    q_lens = [48, 17]
+    total = sum(q_lens)
+    q = jnp.asarray(rng.randn(total, hq, d), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(total, hkv, d), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(total, hkv, d), jnp.bfloat16)
+    cu = jnp.asarray([0, 48, 65], jnp.int32)
+    out = attention_prefill_bf16(
+        q, k, v, jnp.asarray(q_lens, jnp.int32), cu, max(q_lens), tq=64
+    )
+    qf = np.asarray(q, np.float32)
+    kf = np.asarray(k, np.float32)
+    vf = np.asarray(v, np.float32)
+    ks = [kf[0:48], kf[48:65]]
+    vs = [vf[0:48], vf[48:65]]
+    want = np_varlen_attn(qf, ks, vs, q_lens, q_lens, hkv)
+    assert_allclose(np.asarray(out, np.float32), want, atol=4e-2, rtol=4e-2)
+
+
+def test_paged_prefill_fp8_pertensor():
+    rng = np.random.RandomState(9)
+    hq, hkv, d, bs = 4, 2, 128, 16
+    q_lens = [40, 21]
+    kv_lens = [60, 21]
+    total_q = sum(q_lens)
+    q = rng.randn(total_q, hq, d).astype(np.float32)
+    ks = [rng.randn(L, hkv, d).astype(np.float32) for L in kv_lens]
+    vs = [rng.randn(L, hkv, d).astype(np.float32) for L in kv_lens]
+
+    kscale = max(np.abs(k).max() for k in ks) / 448.0
+    vscale = max(np.abs(v).max() for v in vs) / 448.0
+    ks8 = [
+        np.asarray(jnp.asarray(k / kscale, jnp.float8_e4m3fn), np.float32) * kscale
+        for k in ks
+    ]
+    vs8 = [
+        np.asarray(jnp.asarray(v / vscale, jnp.float8_e4m3fn), np.float32) * vscale
+        for v in vs
+    ]
+
+    # per-token-per-head q scales, padded layout [B, Hq, max_q_pad]
+    max_q_pad = ((max(q_lens) + 127) // 128) * 128
+    qscale = np.zeros((2, hq, max_q_pad), np.float32)
+    q8 = np.zeros_like(q)
+    off = 0
+    for bi, ql in enumerate(q_lens):
+        for p in range(ql):
+            for h in range(hq):
+                s = max(np.abs(q[off + p, h]).max() / 448.0, 1e-12)
+                qscale[bi, h, p] = s
+                q8[off + p, h] = (
+                    np.asarray(
+                        jnp.asarray(q[off + p, h] / s, jnp.float8_e4m3fn), np.float32
+                    )
+                )
+        off += ql
+
+    want = np_varlen_attn(
+        np.asarray(jnp.asarray(q, jnp.bfloat16), np.float32),
+        ks8,
+        vs8,
+        q_lens,
+        kv_lens,
+        hkv,
+    )
+
+    kcache, vcache, block_ids = build_paged(
+        [k / kscale for k in ks], [v / vscale for v in vs], bs
+    )
+    cu_q = jnp.asarray([0, 40, 61], jnp.int32)
+
+    out = attention_with_kvcache_prefill(
+        jnp.asarray(q8, jnp.float8_e4m3fn),
+        jnp.asarray(kcache, jnp.float8_e4m3fn),
+        jnp.asarray(vcache, jnp.float8_e4m3fn),
+        cu_q,
+        jnp.asarray(block_ids),
+        jnp.asarray(kv_lens, jnp.int32),
+        max(q_lens),
+        qscale=jnp.asarray(qscale),
+        kscale=jnp.asarray([kscale], jnp.float32),
+        vscale=jnp.asarray([vscale], jnp.float32),
+        quant_type=QuantType.QPERTOKEN_PERHEAD_KPERTENSOR_VPERTENSOR,
+        tq=64,
+    )
+    assert_allclose(np.asarray(out, np.float32), want, atol=0.15, rtol=0.1, name="fp8")

@@ -1,0 +1,119 @@
+"""Tests for grouped GEMM (reference: tests/test_group_gemm_pertensor.py,
+test_group_gemm_blockwise.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpc_ops_tpu.ops.group_gemm import (
+    group_gemm_blockwise_fp8,
+    group_gemm_blockwise_ref,
+    group_gemm_pertensor_fp8,
+    group_gemm_ref,
+    reformat_x_scale,
+)
+from hpc_ops_tpu.utils.testing import assert_allclose
+
+
+def make_groups(rng, seqlens, k, n, g):
+    total = sum(seqlens)
+    x = rng.randn(total, k).astype(np.float32)
+    w = rng.randn(g, n, k).astype(np.float32)
+    cu = np.concatenate([[0], np.cumsum(seqlens)]).astype(np.int32)
+    return x, w, cu
+
+
+@pytest.mark.parametrize("seqlens", [[5, 0, 33, 7], [128], [1, 1, 1, 1, 60]])
+def test_group_gemm_pertensor_fp8(seqlens):
+    rng = np.random.RandomState(41)
+    g, n, k = len(seqlens), 256, 512
+    x, w, cu = make_groups(rng, seqlens, k, n, g)
+
+    xs = np.abs(x).max() / 448.0
+    x8 = jnp.asarray(x / xs, jnp.float8_e4m3fn)
+    ws = np.abs(w).max() / 448.0
+    w8 = jnp.asarray(w / ws, jnp.float8_e4m3fn)
+    y_scale = jnp.full((g,), xs * ws, jnp.float32)
+
+    out = group_gemm_pertensor_fp8(
+        x8, w8, jnp.asarray(seqlens, jnp.int32), jnp.asarray(cu), y_scale,
+        num_seq_per_group_avg=32,
+    )
+    ref = group_gemm_ref(
+        x8, w8, jnp.asarray(seqlens, jnp.int32), jnp.asarray(cu), y_scale
+    )
+
+    # dequantized fp8 ground truth
+    xd = np.asarray(x8, np.float32) * 1.0
+    wd = np.asarray(w8, np.float32)
+    want = np.zeros((sum(seqlens), n), np.float32)
+    for gi in range(g):
+        s, l = cu[gi], seqlens[gi]
+        want[s : s + l] = (xd[s : s + l] @ wd[gi].T) * (xs * ws)
+
+    assert_allclose(np.asarray(out, np.float32), want, atol=0.35, rtol=2e-2, name="pallas")
+    assert_allclose(
+        np.asarray(ref, np.float32), want, atol=0.35, rtol=2e-2, name="jnp_ref"
+    )
+
+
+@pytest.mark.parametrize("seqlens", [[9, 40], [70]])
+def test_group_gemm_blockwise_fp8(seqlens):
+    rng = np.random.RandomState(7)
+    g, n, k = len(seqlens), 256, 512
+    kb = k // 128
+    x, w, cu = make_groups(rng, seqlens, k, n, g)
+    total = sum(seqlens)
+
+    # blockwise-quantize x per (row, 128-group); w per (128x128 block)
+    xg = x.reshape(total, kb, 128)
+    sx = np.abs(xg).max(-1) / 448.0 + 1e-8  # [total, kb]
+    x8 = jnp.asarray(xg / sx[..., None], jnp.float8_e4m3fn).reshape(total, k)
+
+    wg = w.reshape(g, n // 128, 128, kb, 128)
+    sw = np.abs(wg).max(axis=(2, 4)) / 448.0 + 1e-8  # [g, n//128, kb]
+    w8 = jnp.asarray(
+        (wg / sw[:, :, None, :, None]).reshape(g, n, k), jnp.float8_e4m3fn
+    )
+    kb_pad = ((kb + 3) // 4) * 4
+    w_scale = np.zeros((g, n // 128, kb_pad), np.float32)
+    w_scale[:, :, :kb] = sw
+
+    seqlens_j = jnp.asarray(seqlens, jnp.int32)
+    cu_j = jnp.asarray(cu)
+
+    out_nat = group_gemm_blockwise_fp8(
+        x8, w8, seqlens_j, cu_j,
+        jnp.asarray(sx), jnp.asarray(w_scale),
+        num_seq_per_group_avg=32, x_scale_layout="natural",
+    )
+    ref = group_gemm_blockwise_ref(
+        x8, w8, seqlens_j, cu_j, jnp.asarray(sx), jnp.asarray(w_scale)
+    )
+
+    # ground truth from dequantized blocks
+    xd = np.asarray(x8, np.float32).reshape(total, kb, 128) * sx[..., None]
+    wd = (
+        np.asarray(w8, np.float32).reshape(g, n // 128, 128, kb, 128)
+        * sw[:, :, None, :, None]
+    ).reshape(g, n, k)
+    want = np.zeros((total, n), np.float32)
+    for gi in range(g):
+        s, l = cu[gi], seqlens[gi]
+        want[s : s + l] = xd[s : s + l].reshape(l, k) @ wd[gi].T
+
+    assert_allclose(np.asarray(ref, np.float32), want, atol=0.3, rtol=3e-2, name="jnp_ref")
+    assert_allclose(np.asarray(out_nat, np.float32), want, atol=0.3, rtol=3e-2, name="pallas")
+
+    # reference transposed layout path
+    xs_t = reformat_x_scale(jnp.asarray(sx), seqlens_j, cu_j, 32)
+    out_t = group_gemm_blockwise_fp8(
+        x8, w8, seqlens_j, cu_j, xs_t, jnp.asarray(w_scale),
+        num_seq_per_group_avg=32, x_scale_layout="transposed",
+    )
+    assert_allclose(
+        np.asarray(out_t, np.float32),
+        np.asarray(out_nat, np.float32),
+        atol=1e-5,
+        name="transposed_layout",
+    )

@@ -1,0 +1,211 @@
+"""Tests for fused MoE (reference: tests/test_fuse_moe_pertensor.py,
+test_fuse_moe_blockwise.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpc_ops_tpu.ops.moe import (
+    count_and_gather,
+    fuse_moe_blockwise_fp8,
+    fuse_moe_pertensor_fp8,
+    reduce,
+)
+from hpc_ops_tpu.utils.testing import assert_allclose
+
+
+def np_silu(x):
+    return x / (1.0 + np.exp(-x))
+
+
+def naive_moe(
+    x8, gw8, dw8, gscale, dscale, act_scale, topk_ids, topk_scale, rank_ep, shared=None
+):
+    """fp32 oracle over dequantized fp8 inputs (EP-aware)."""
+    s, k = topk_ids.shape
+    e_local, i2, h = gw8.shape
+    interm = i2 // 2
+    x = np.asarray(x8, np.float32)
+    gw = np.asarray(gw8, np.float32)
+    dw = np.asarray(dw8, np.float32)
+    out = np.zeros((s, h), np.float32)
+    lo, hi = rank_ep * e_local, (rank_ep + 1) * e_local
+    for si in range(s):
+        for ki in range(k):
+            eg = int(topk_ids[si, ki])
+            if not (lo <= eg < hi):
+                continue
+            el = eg - lo
+            gu = (x[si] @ gw[el].T) * gscale[el]
+            gu = gu.astype(jnp.bfloat16).astype(np.float32)
+            a = np_silu(gu[:interm]).astype(jnp.bfloat16).astype(np.float32)
+            prod = (a * gu[interm:]).astype(jnp.bfloat16).astype(np.float32)
+            d_in = np.clip(prod * act_scale, -448, 448).astype(jnp.float8_e4m3fn)
+            d_in = np.asarray(d_in, np.float32)
+            d = (d_in @ dw[el].T) * dscale[el]
+            d = d.astype(jnp.bfloat16).astype(np.float32)
+            out[si] += d * float(topk_scale[si, ki])
+    if shared is not None:
+        out += np.asarray(shared, np.float32)
+    return out
+
+
+def test_count_and_gather_and_reduce():
+    rng = np.random.RandomState(41)
+    s, k, h, e = 16, 2, 64, 4
+    x = jnp.asarray(rng.randn(s, h) / 10, jnp.float8_e4m3fn)
+    topk_ids = jnp.asarray(rng.randint(0, 2 * e, (s, k)), jnp.int32)  # 2 ranks
+    rank_ep = 1
+
+    xg, topk_pos, seqlens, cu, tiles, cu_tiles = count_and_gather(
+        x, topk_ids, e, rank_ep
+    )
+    xg_np = np.asarray(xg, np.float32)
+    x_np = np.asarray(x, np.float32)
+    ids = np.asarray(topk_ids)
+    pos = np.asarray(topk_pos).reshape(s, k)
+
+    n_local = 0
+    for si in range(s):
+        for ki in range(k):
+            eg = ids[si, ki]
+            if e <= eg < 2 * e:
+                p = pos[si, ki]
+                assert p >= 0
+                np.testing.assert_array_equal(xg_np[p], x_np[si])
+                n_local += 1
+            else:
+                assert pos[si, ki] == -1
+    assert int(cu[-1]) == n_local
+
+    # reduce: gather-weighted sum with -1 drops
+    scale = rng.rand(s, k).astype(np.float32)
+    down = rng.randn(s * k, h).astype(np.float32)
+    got = reduce(
+        jnp.asarray(down, jnp.bfloat16),
+        jnp.asarray(pos),
+        jnp.asarray(scale),
+    )
+    want = np.zeros((s, h), np.float32)
+    for si in range(s):
+        for ki in range(k):
+            if pos[si, ki] >= 0:
+                want[si] += (
+                    np.asarray(jnp.asarray(down[pos[si, ki]], jnp.bfloat16), np.float32)
+                    * scale[si, ki]
+                )
+    assert_allclose(np.asarray(got, np.float32), want, atol=3e-2, rtol=3e-2)
+
+
+@pytest.mark.parametrize("rank_ep,size_ep", [(0, 1), (1, 4)])
+@pytest.mark.parametrize("has_shared", [False, True])
+def test_fuse_moe_pertensor_fp8(rank_ep, size_ep, has_shared):
+    rng = np.random.RandomState(41)
+    s, k, h, interm, e_total = 32, 4, 256, 256, 16
+    e_local = e_total // size_ep
+
+    topk_ids = np.sort(rng.randint(0, e_total, (s, k)).astype(np.int32), axis=1)
+    x8 = jnp.asarray(rng.randn(s, h) / 100, jnp.float8_e4m3fn)
+    gw8 = jnp.asarray(rng.randn(e_local, 2 * interm, h), jnp.float8_e4m3fn)
+    dw8 = jnp.asarray(rng.randn(e_local, h, interm), jnp.float8_e4m3fn)
+    gscale = rng.rand(e_local).astype(np.float32) * 0.02
+    dscale = rng.rand(e_local).astype(np.float32) * 0.02
+    act_scale = np.array([1.5], np.float32)
+    topk_scale = (rng.rand(s, k) / k).astype(np.float32)
+    shared = (
+        jnp.asarray(rng.randn(s, h), jnp.bfloat16) if has_shared else None
+    )
+
+    out = fuse_moe_pertensor_fp8(
+        x8,
+        gw8,
+        dw8,
+        jnp.asarray(gscale),
+        jnp.asarray(dscale),
+        jnp.asarray(act_scale),
+        jnp.asarray(topk_ids),
+        jnp.asarray(topk_scale),
+        rank_ep,
+        e_total,
+    )
+    if has_shared:
+        out = fuse_moe_pertensor_fp8(
+            x8,
+            gw8,
+            dw8,
+            jnp.asarray(gscale),
+            jnp.asarray(dscale),
+            jnp.asarray(act_scale),
+            jnp.asarray(topk_ids),
+            jnp.asarray(topk_scale),
+            rank_ep,
+            e_total,
+            shared_output=shared,
+        )
+
+    want = naive_moe(
+        x8, gw8, dw8, gscale, dscale, float(act_scale[0]), topk_ids, topk_scale,
+        rank_ep, shared,
+    )
+    assert_allclose(np.asarray(out, np.float32), want, atol=0.1, rtol=0.08)
+
+
+def test_fuse_moe_blockwise_fp8():
+    rng = np.random.RandomState(3)
+    s, k, h, interm, e = 16, 2, 256, 256, 4
+    kb_h, kb_i = h // 128, interm // 128
+
+    topk_ids = rng.randint(0, e, (s, k)).astype(np.int32)
+    x = (rng.randn(s, h) / 10).astype(np.float32)
+    xg = x.reshape(s, kb_h, 128)
+    sx = np.abs(xg).max(-1) / 448.0 + 1e-8
+    x8 = jnp.asarray(xg / sx[..., None], jnp.float8_e4m3fn).reshape(s, h)
+
+    gw = (rng.randn(e, 2 * interm, h) / np.sqrt(h)).astype(np.float32)
+    gwg = gw.reshape(e, 2 * interm // 128, 128, kb_h, 128)
+    sgw = np.abs(gwg).max(axis=(2, 4)) / 448.0 + 1e-8
+    gw8 = jnp.asarray(
+        (gwg / sgw[:, :, None, :, None]).reshape(e, 2 * interm, h), jnp.float8_e4m3fn
+    )
+    dw = (rng.randn(e, h, interm) / np.sqrt(interm)).astype(np.float32)
+    dwg = dw.reshape(e, h // 128, 128, kb_i, 128)
+    sdw = np.abs(dwg).max(axis=(2, 4)) / 448.0 + 1e-8
+    dw8 = jnp.asarray(
+        (dwg / sdw[:, :, None, :, None]).reshape(e, h, interm), jnp.float8_e4m3fn
+    )
+    topk_scale = (rng.rand(s, k) / k).astype(np.float32)
+
+    out = fuse_moe_blockwise_fp8(
+        x8,
+        jnp.asarray(sx),
+        gw8,
+        jnp.asarray(sgw),
+        dw8,
+        jnp.asarray(sdw),
+        jnp.asarray(topk_ids),
+        jnp.asarray(topk_scale),
+        0,
+        e,
+    )
+
+    # fp32 oracle on dequantized inputs
+    xd = np.asarray(x8, np.float32).reshape(s, kb_h, 128) * sx[..., None]
+    xd = xd.reshape(s, h)
+    gwd = (
+        np.asarray(gw8, np.float32).reshape(e, 2 * interm // 128, 128, kb_h, 128)
+        * sgw[:, :, None, :, None]
+    ).reshape(e, 2 * interm, h)
+    dwd = (
+        np.asarray(dw8, np.float32).reshape(e, h // 128, 128, kb_i, 128)
+        * sdw[:, :, None, :, None]
+    ).reshape(e, h, interm)
+    want = np.zeros((s, h), np.float32)
+    for si in range(s):
+        for ki in range(k):
+            el = int(topk_ids[si, ki])
+            gu = xd[si] @ gwd[el].T
+            a = np_silu(gu[:interm]) * gu[interm:]
+            want[si] += (a @ dwd[el].T) * topk_scale[si, ki]
+
+    # two fp8 quantization hops: ~2-3% relative error is expected
+    assert_allclose(np.asarray(out, np.float32), want, atol=0.05, rtol=0.08)
