@@ -1,0 +1,441 @@
+"""Flagship decoder models built on the hpc_ops_tpu operator stack.
+
+Dense Llama-class and MoE (Mixtral/DeepSeek-class) decoders exercising the
+full serving path the reference targets (README.md:36-38 "designed to plug
+into vLLM/SGLang"): fused RoPE+KV-store into a paged cache (BF16 or FP8),
+paged decode/prefill attention kernels, fused-MoE, and the fused
+AllReduce+Residual+RMSNorm as the TP glue.
+
+Parallelism: a (dp, tp) mesh. Q/KV heads and MLP intermediate are sharded on
+``tp`` (GQA co-located so attention needs zero communication); MoE experts
+are expert-parallel on the same axis (rank_ep = tp index, matching the
+reference's EP deployment shape, hpc/fuse_moe.py:41-44). Row-parallel
+projections end in the fused collective-norm, which is the only cross-chip
+communication per layer. ``dp`` shards the batch.
+
+Caches live natively in the HND page layout ([H_kv, blocks, block_size, D])
+so the attention kernels DMA whole (head, page) slabs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from hpc_ops_tpu.config import FP8_DTYPE, QuantPolicy
+from hpc_ops_tpu.ops.attention.decode import attention_decode
+from hpc_ops_tpu.ops.attention.prefill import attention_with_kvcache_prefill
+from hpc_ops_tpu.ops.moe import fuse_moe_pertensor_fp8
+from hpc_ops_tpu.ops.normalization import rmsnorm_ref
+from hpc_ops_tpu.ops.rope import make_cos_sin_cache, rope_norm_store_kv, rope_norm_store_kv_fp8
+from hpc_ops_tpu.ops.sampler import fused_sampler_temperature_sample
+from hpc_ops_tpu.parallel.collectives import fuse_allreduce_rmsnorm
+
+
+class MoEConfig(NamedTuple):
+    num_experts: int = 8
+    topk: int = 2
+    expert_intermediate: int = 1024
+
+
+class ModelConfig(NamedTuple):
+    vocab: int = 32000
+    hidden: int = 4096
+    layers: int = 32
+    q_heads: int = 32
+    kv_heads: int = 8
+    head_dim: int = 128
+    intermediate: int = 14336
+    rope_base: float = 500000.0
+    norm_eps: float = 1e-5
+    fp8_kv: bool = False
+    moe: Optional[MoEConfig] = None
+    max_position: int = 8192
+
+    @property
+    def qkv_out(self) -> int:
+        return (self.q_heads + 2 * self.kv_heads) * self.head_dim
+
+
+def llama3_8b(**kw) -> ModelConfig:
+    return ModelConfig(
+        vocab=128256, hidden=4096, layers=32, q_heads=32, kv_heads=8,
+        head_dim=128, intermediate=14336, **kw,
+    )
+
+
+def tiny_config(moe: bool = False, **kw) -> ModelConfig:
+    """Small config for tests / dry runs."""
+    return ModelConfig(
+        vocab=512,
+        hidden=256,
+        layers=2,
+        q_heads=8,
+        kv_heads=4,
+        head_dim=128,
+        intermediate=512,
+        max_position=512,
+        moe=MoEConfig(num_experts=8, topk=2, expert_intermediate=256) if moe else None,
+        **kw,
+    )
+
+
+def init_weights(key, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict:
+    """Random-initialized weight pytree (layout documented inline)."""
+    keys = jax.random.split(key, cfg.layers + 2)
+    h, d = cfg.hidden, cfg.head_dim
+
+    def lin(k, fan_in, shape):
+        return (jax.random.normal(k, shape, jnp.float32) / math.sqrt(fan_in)).astype(
+            dtype
+        )
+
+    layers = []
+    for i in range(cfg.layers):
+        ks = jax.random.split(keys[i], 8)
+        layer: dict[str, Any] = {
+            "attn_norm": jnp.ones((h,), jnp.float32),
+            "wqkv": lin(ks[0], h, (h, cfg.qkv_out)),
+            "wo": lin(ks[1], cfg.q_heads * d, (cfg.q_heads * d, h)),
+            "mlp_norm": jnp.ones((h,), jnp.float32),
+        }
+        if cfg.moe is None:
+            layer["w_gate_up"] = lin(ks[2], h, (h, 2 * cfg.intermediate))
+            layer["w_down"] = lin(ks[3], cfg.intermediate, (cfg.intermediate, h))
+        else:
+            m = cfg.moe
+            layer["router"] = lin(ks[4], h, (h, m.num_experts))
+            gw = jax.random.normal(
+                ks[5], (m.num_experts, 2 * m.expert_intermediate, h), jnp.float32
+            ) / math.sqrt(h)
+            dw = jax.random.normal(
+                ks[6], (m.num_experts, h, m.expert_intermediate), jnp.float32
+            ) / math.sqrt(m.expert_intermediate)
+            gs = jnp.max(jnp.abs(gw)) / 448.0
+            ds = jnp.max(jnp.abs(dw)) / 448.0
+            layer["moe_gate_up"] = (gw / gs).astype(FP8_DTYPE)
+            layer["moe_down"] = (dw / ds).astype(FP8_DTYPE)
+            layer["moe_gate_up_scale"] = jnp.full((m.num_experts,), gs, jnp.float32)
+            layer["moe_down_scale"] = jnp.full((m.num_experts,), ds, jnp.float32)
+        layers.append(layer)
+    return {
+        "embed": lin(keys[-2], 1, (cfg.vocab, h)),
+        "final_norm": jnp.ones((h,), jnp.float32),
+        "lm_head": lin(keys[-1], h, (h, cfg.vocab)),
+        "layers": layers,
+        "cos_sin": make_cos_sin_cache(cfg.max_position, d, cfg.rope_base),
+    }
+
+
+def init_cache(cfg: ModelConfig, num_blocks: int, block_size: int, tp: int = 1):
+    """HND-layout paged caches per layer: [Hkv/tp, blocks, bs, D]."""
+    dt = FP8_DTYPE if cfg.fp8_kv else jnp.bfloat16
+    hkv = cfg.kv_heads // tp
+    return [
+        {
+            "k": jnp.zeros((hkv, num_blocks, block_size, cfg.head_dim), dt),
+            "v": jnp.zeros((hkv, num_blocks, block_size, cfg.head_dim), dt),
+        }
+        for _ in range(cfg.layers)
+    ]
+
+
+def _mlp_dense(h_normed, layer):
+    gu = h_normed @ layer["w_gate_up"]
+    i = gu.shape[-1] // 2
+    gate = gu[..., :i].astype(jnp.float32)
+    act = (gate * jax.nn.sigmoid(gate)).astype(jnp.bfloat16) * gu[..., i:]
+    return act @ layer["w_down"]  # partial over tp (w_down row-sharded)
+
+
+def _mlp_moe(h_normed, layer, cfg: ModelConfig, rank_ep):
+    m = cfg.moe
+    router_logits = h_normed.astype(jnp.float32) @ layer["router"].astype(jnp.float32)
+    topk_scale, topk_ids = jax.lax.top_k(router_logits, m.topk)
+    topk_scale = jax.nn.softmax(topk_scale, axis=-1)
+    # quantize activations per-tensor for the fp8 MoE
+    x_amax = jnp.maximum(jnp.max(jnp.abs(h_normed.astype(jnp.float32))), 1e-6)
+    x_scale = x_amax / 448.0
+    x8 = (h_normed.astype(jnp.float32) / x_scale).astype(FP8_DTYPE)
+    act_scale = (x_scale * jnp.ones((1,), jnp.float32)).reshape(1)
+    out = fuse_moe_pertensor_fp8(
+        x8,
+        layer["moe_gate_up"],
+        layer["moe_down"],
+        layer["moe_gate_up_scale"] * x_scale,  # fold activation scale
+        layer["moe_down_scale"],
+        jnp.ones((1,), jnp.float32),
+        topk_ids.astype(jnp.int32),
+        topk_scale,
+        rank_ep,
+        m.num_experts,
+    )
+    return out  # partial over tp/ep ranks (off-rank experts dropped)
+
+
+def forward_step(
+    weights,
+    caches,
+    cfg: ModelConfig,
+    token_ids: jax.Array,  # [B*Sq] int32 (new tokens, packed)
+    seq_lens: jax.Array,  # [B] total tokens incl. new
+    q_index: jax.Array,  # [B+1] prefix sums of new tokens per request
+    block_ids: jax.Array,  # [B, max_blocks]
+    is_prefill: bool,
+    mtp: int = 0,
+    axis_name: Optional[str] = None,
+    rank_ep: int = 0,
+    max_seqlens_q: int = 1,
+    temperature: float = 0.0,
+    sample_seed: int = 0,
+):
+    """One forward step (prefill or decode) over the paged caches.
+
+    Returns (sampled_or_logits, new_caches): greedy/temp-sampled token ids
+    [B, 1] when temperature > 0 else raw logits of the last token per request.
+    """
+    rows = token_ids.shape[0]
+    b = seq_lens.shape[0]
+    h = cfg.hidden
+    x = weights["embed"][token_ids]  # [rows, H] bf16
+
+    h_normed = rmsnorm_ref(x, weights["layers"][0]["attn_norm"], cfg.norm_eps).astype(
+        jnp.bfloat16
+    )
+    x_res = x.astype(jnp.bfloat16)
+    new_caches = []
+
+    for li, layer in enumerate(weights["layers"]):
+        qkv = h_normed @ layer["wqkv"]  # [rows, (Hq+2Hkv)/tp * D]
+        if cfg.fp8_kv:
+            q, q_scale, _, k_new, v_new = rope_norm_store_kv_fp8(
+                caches[li]["k"],
+                caches[li]["v"],
+                qkv,
+                weights["cos_sin"],
+                seq_lens,
+                q_index,
+                block_ids,
+                is_prefill,
+                jnp.ones((1,), jnp.float32),
+                jnp.ones((1,), jnp.float32),
+                int(QuantPolicy.DYNAMIC_Q_STATIC_KV),
+                max_seqlens=max_seqlens_q,
+                cache_layout="HND",
+            )
+        else:
+            q, k_new, v_new = rope_norm_store_kv(
+                caches[li]["k"],
+                caches[li]["v"],
+                qkv,
+                weights["cos_sin"],
+                seq_lens,
+                q_index,
+                block_ids,
+                is_prefill,
+                cache_layout="HND",
+            )
+            q_scale = None
+        new_caches.append({"k": k_new, "v": v_new})
+
+        if is_prefill:
+            if cfg.fp8_kv:
+                attn = attention_with_kvcache_prefill(
+                    q, k_new, v_new,
+                    q_index, block_ids, seq_lens, max_seqlens_q,
+                    qscale=q_scale,
+                    kscale=jnp.ones((1,), jnp.float32),
+                    vscale=jnp.ones((1,), jnp.float32),
+                    cache_layout="HND",
+                )
+            else:
+                attn = attention_with_kvcache_prefill(
+                    q, k_new, v_new,
+                    q_index, block_ids, seq_lens, max_seqlens_q,
+                    cache_layout="HND",
+                )
+        else:
+            attn = attention_decode(
+                q, k_new, v_new, block_ids, seq_lens,
+                mtp=mtp, new_kv_included=True,
+                qscale=q_scale,
+                kscale=jnp.ones((1,), jnp.float32) if cfg.fp8_kv else None,
+                vscale=jnp.ones((1,), jnp.float32) if cfg.fp8_kv else None,
+                cache_layout="HND",
+            )
+
+        attn_partial = attn.reshape(rows, -1) @ layer["wo"]  # partial over tp
+
+        # fused allreduce + residual + mlp-norm
+        if axis_name is not None:
+            h_normed, x_res = fuse_allreduce_rmsnorm(
+                attn_partial, x_res, layer["mlp_norm"], cfg.norm_eps, axis_name,
+                mode="one_shot",
+            )
+        else:
+            x_res = (x_res.astype(jnp.float32) + attn_partial.astype(jnp.float32)).astype(
+                jnp.bfloat16
+            )
+            h_normed = rmsnorm_ref(x_res, layer["mlp_norm"], cfg.norm_eps).astype(
+                jnp.bfloat16
+            )
+
+        if cfg.moe is None:
+            mlp_partial = _mlp_dense(h_normed, layer)
+        else:
+            mlp_partial = _mlp_moe(h_normed, layer, cfg, rank_ep)
+
+        next_norm = (
+            weights["layers"][li + 1]["attn_norm"]
+            if li + 1 < cfg.layers
+            else weights["final_norm"]
+        )
+        if axis_name is not None:
+            h_normed, x_res = fuse_allreduce_rmsnorm(
+                mlp_partial.astype(jnp.bfloat16), x_res, next_norm, cfg.norm_eps,
+                axis_name, mode="one_shot",
+            )
+        else:
+            x_res = (x_res.astype(jnp.float32) + mlp_partial.astype(jnp.float32)).astype(
+                jnp.bfloat16
+            )
+            h_normed = rmsnorm_ref(x_res, next_norm, cfg.norm_eps).astype(jnp.bfloat16)
+
+    # h_normed is final-normed; logits for the last token of each request
+    last_rows = q_index[1:] - 1  # [B]
+    final = h_normed[last_rows]
+    logits = final @ weights["lm_head"]
+    if temperature > 0:
+        tokens = fused_sampler_temperature_sample(
+            logits.astype(jnp.float32), temperature, seed=sample_seed
+        )
+        return tokens, new_caches
+    return logits, new_caches
+
+
+def shard_weights_specs(cfg: ModelConfig):
+    """PartitionSpecs for shard_map over a (dp, tp) mesh."""
+    layer_spec = {
+        "attn_norm": P(),
+        "wqkv": P(None, "tp"),
+        "wo": P("tp", None),
+        "mlp_norm": P(),
+    }
+    if cfg.moe is None:
+        layer_spec.update({"w_gate_up": P(None, "tp"), "w_down": P("tp", None)})
+    else:
+        layer_spec.update(
+            {
+                "router": P(),
+                "moe_gate_up": P("tp", None, None),
+                "moe_down": P("tp", None, None),
+                "moe_gate_up_scale": P("tp"),
+                "moe_down_scale": P("tp"),
+            }
+        )
+    return {
+        "embed": P(),
+        "final_norm": P(),
+        "lm_head": P(),
+        "layers": [dict(layer_spec) for _ in range(cfg.layers)],
+        "cos_sin": P(),
+    }
+
+
+def make_sharded_step(mesh, cfg: ModelConfig, is_prefill: bool = False, **fw_kw):
+    """Build a shard_map'd forward step over a (dp, tp) mesh.
+
+    The wqkv projection is tp-sharded by heads; note wqkv's packed layout
+    [H, (Hq + 2*Hkv) * D] is sharded by reordering into per-rank
+    [H, (Hq/tp + 2*Hkv/tp) * D] — use :func:`repack_qkv_for_tp` on the weight
+    before placing it.
+    """
+    wspecs = shard_weights_specs(cfg)
+    # caches: KV heads sharded over tp, page pool sharded over dp (each dp
+    # shard owns its requests' pages; block_ids are shard-local).
+    cache_spec = [{"k": P("tp", "dp"), "v": P("tp", "dp")} for _ in range(cfg.layers)]
+    data_specs = (
+        P("dp"),  # token_ids (rows sharded over dp)
+        P("dp"),  # seq_lens
+        P(),  # q_index (per-shard rows prefix; same shape on every dp shard)
+        P("dp"),  # block_ids (values index the shard-local page pool)
+    )
+
+    def step(weights, caches, token_ids, seq_lens, q_index, block_ids):
+        rank_ep = jax.lax.axis_index("tp")
+        out, new_caches = forward_step(
+            weights,
+            caches,
+            cfg,
+            token_ids,
+            seq_lens,
+            q_index,
+            block_ids,
+            is_prefill,
+            axis_name="tp",
+            rank_ep=rank_ep,
+            **fw_kw,
+        )
+        return out, new_caches
+
+    return shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(wspecs, cache_spec, *data_specs),
+        out_specs=(P("dp"), cache_spec),
+        check_vma=False,
+    )
+
+
+def repack_qkv_for_tp(wqkv: jax.Array, cfg: ModelConfig, tp: int) -> jax.Array:
+    """Reorder packed [H, (Hq+2Hkv)*D] columns so a tp-split gives each rank
+    its own contiguous [q_heads/tp | k_heads/tp | v_heads/tp] block."""
+    h = cfg.hidden
+    d = cfg.head_dim
+    q, kh = cfg.q_heads, cfg.kv_heads
+    wq = wqkv[:, : q * d].reshape(h, tp, q // tp * d)
+    wk = wqkv[:, q * d : (q + kh) * d].reshape(h, tp, kh // tp * d)
+    wv = wqkv[:, (q + kh) * d :].reshape(h, tp, kh // tp * d)
+    return jnp.concatenate([wq, wk, wv], axis=-1).reshape(h, -1)
+
+
+def repack_gate_up_for_tp(w_gate_up: jax.Array, tp: int) -> jax.Array:
+    """Reorder packed [H, 2I] (gate|up halves) columns so a tp-split gives
+    each rank its own contiguous [gate_r | up_r] block."""
+    h, two_i = w_gate_up.shape
+    i = two_i // 2
+    g = w_gate_up[:, :i].reshape(h, tp, i // tp)
+    u = w_gate_up[:, i:].reshape(h, tp, i // tp)
+    return jnp.concatenate([g, u], axis=-1).reshape(h, -1)
+
+
+def shard_weights_for_tp(weights, cfg: ModelConfig, tp: int):
+    """Apply the column repacks needed before placing weights on a tp mesh."""
+    layers = []
+    for l in weights["layers"]:
+        nl = {**l, "wqkv": repack_qkv_for_tp(l["wqkv"], cfg, tp)}
+        if "w_gate_up" in l:
+            nl["w_gate_up"] = repack_gate_up_for_tp(l["w_gate_up"], tp)
+        layers.append(nl)
+    return {**weights, "layers": layers}
+
+
+__all__ = [
+    "ModelConfig",
+    "MoEConfig",
+    "llama3_8b",
+    "tiny_config",
+    "init_weights",
+    "init_cache",
+    "forward_step",
+    "make_sharded_step",
+    "shard_weights_specs",
+    "repack_qkv_for_tp",
+    "repack_gate_up_for_tp",
+    "shard_weights_for_tp",
+]

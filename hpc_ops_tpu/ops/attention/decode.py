@@ -178,6 +178,220 @@ def _decode_kernel(
             o_ref[0, 0] = acc_scr[...] * l_inv
 
 
+def _decode_tasks_kernel(
+    # scalar prefetch
+    kv_lens_ref,  # [B]
+    block_tbl_ref,  # [B * max_blocks]
+    t_batch_ref,  # [T]
+    t_head_ref,  # [T]
+    t_tile_start_ref,  # [T]
+    t_num_tiles_ref,  # [T]
+    # inputs
+    q_ref,  # [1, 1, SGP, D] (block for this task's (b, h))
+    k_pages_ref,
+    v_pages_ref,
+    # outputs (per task)
+    o_ref,  # [1, SGP, D] f32 UNNORMALIZED
+    m_ref,  # [1, SGP, LANES] f32
+    l_ref,  # [1, SGP, LANES] f32
+    # scratch
+    k_buf,
+    v_buf,
+    sems,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    sq: int,
+    pcb: int,
+    page_size: int,
+    max_blocks: int,
+):
+    t = pl.program_id(0)
+    ck = pcb * page_size
+    b = t_batch_ref[t]
+    h = t_head_ref[t]
+    tile0 = t_tile_start_ref[t]
+    ntiles = t_num_tiles_ref[t]
+    active = b >= 0
+
+    # inactive tasks emit neutral partials so the segment-combine ignores them
+    @pl.when(jnp.logical_not(active))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(active)
+    def _():
+        kv_len = kv_lens_ref[jnp.maximum(b, 0)]
+
+        def start_copy(j, slot):
+            page_start = b * max_blocks + (tile0 + j) * pcb
+            kc = MultiPageCopy(
+                k_pages_ref, k_buf, sems.at[slot, 0], block_tbl_ref,
+                head=h, page_start=page_start, num_pages=pcb, slot=slot,
+            )
+            vc = MultiPageCopy(
+                v_pages_ref, v_buf, sems.at[slot, 1], block_tbl_ref,
+                head=h, page_start=page_start, num_pages=pcb, slot=slot,
+            )
+            return kc, vc
+
+        kc0, vc0 = start_copy(0, 0)
+        kc0.start()
+        vc0.start()
+
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        def body(j, _):
+            slot = j % 2
+
+            @pl.when(j + 1 < ntiles)
+            def _():
+                kc, vc = start_copy(j + 1, (j + 1) % 2)
+                kc.start()
+                vc.start()
+
+            kc, vc = start_copy(j, slot)
+            kc.wait()
+            k = k_buf[slot].reshape(ck, k_buf.shape[-1]).astype(jnp.bfloat16)
+            q = q_ref[0, 0]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            sgp = q.shape[0]
+            kpos = (tile0 + j) * ck + jax.lax.broadcasted_iota(
+                jnp.int32, (sgp, ck), 1
+            )
+            row = jax.lax.broadcasted_iota(jnp.int32, (sgp, ck), 0)
+            qpos = kv_len - sq + row % sq
+            s = jnp.where(kpos <= qpos, s, MASK_VALUE)
+
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_curr = jnp.broadcast_to(
+                jnp.max(s, axis=1, keepdims=True), m_prev.shape
+            )
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            l_scr[...] = alpha * l_prev + jnp.broadcast_to(
+                jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+            )
+            m_scr[...] = m_next
+            vc.wait()
+            v = v_buf[slot].reshape(ck, v_buf.shape[-1]).astype(jnp.bfloat16)
+            o_curr = jax.lax.dot(
+                p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+            )
+            acc_scr[...] = acc_scr[...] * alpha[:, :1] + o_curr
+            return ()
+
+        jax.lax.fori_loop(0, ntiles, body, ())
+        o_ref[0] = acc_scr[...]
+        m_ref[0] = m_scr[...]
+        l_ref[0] = l_scr[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sq", "pages_per_compute_block", "interpret")
+)
+def _decode_tasks_pallas(
+    q4,  # [B, Hkv, SGP, D]
+    k_pages,
+    v_pages,
+    block_ids,
+    kv_lens,
+    t_batch,
+    t_head,
+    t_tile_start,
+    t_num_tiles,
+    sq: int,
+    pages_per_compute_block: int,
+    interpret: bool = False,
+):
+    b, hkv, sgp, d = q4.shape
+    _, nb, bs, _ = k_pages.shape
+    dv = v_pages.shape[-1]
+    max_blocks = block_ids.shape[1]
+    pcb = pages_per_compute_block
+    cap = t_batch.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(cap,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, sgp, d),
+                lambda t, kvl, tbl, tb, th, ts, tn: (
+                    jnp.maximum(tb[t], 0),
+                    th[t],
+                    0,
+                    0,
+                ),
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, sgp, dv), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, sgp, _LANES), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, sgp, _LANES), lambda t, *_: (t, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, pcb, bs, d), k_pages.dtype),
+            pltpu.VMEM((2, pcb, bs, dv), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((sgp, _LANES), jnp.float32),
+            pltpu.VMEM((sgp, _LANES), jnp.float32),
+            pltpu.VMEM((sgp, dv), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_tasks_kernel,
+        sq=sq,
+        pcb=pcb,
+        page_size=bs,
+        max_blocks=max_blocks,
+    )
+    o, m, l = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((cap, sgp, dv), jnp.float32),
+            jax.ShapeDtypeStruct((cap, sgp, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((cap, sgp, _LANES), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        kv_lens,
+        block_ids.reshape(-1),
+        t_batch,
+        t_head,
+        t_tile_start,
+        t_num_tiles,
+        q4,
+        k_pages,
+        v_pages,
+    )
+    return o, m[:, :, 0], l[:, :, 0]
+
+
+def _segment_combine(o, m, l, seg, num_segs):
+    """Merge per-task partials by (batch, head) segment with LSE rescaling."""
+    m_g = jax.ops.segment_max(m, seg, num_segments=num_segs)  # [S, SGP]
+    m_safe = jnp.where(jnp.isfinite(m_g), m_g, 0.0)
+    alpha = jnp.exp(jnp.minimum(m - m_safe[seg], 0.0))
+    alpha = jnp.where(jnp.isfinite(m), alpha, 0.0)
+    l_g = jax.ops.segment_sum(l * alpha, seg, num_segments=num_segs)
+    o_g = jax.ops.segment_sum(o * alpha[:, :, None], seg, num_segments=num_segs)
+    l_inv = jnp.where(l_g == 0.0, 1.0, 1.0 / l_g)
+    return o_g * l_inv[:, :, None]  # [S, SGP, D]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sq", "pages_per_compute_block", "interpret"),
@@ -275,6 +489,7 @@ def attention_decode(
     *,
     sm_scale: float | None = None,
     pages_per_compute_block: int | None = None,
+    task_tile: int = 512,
     cache_layout: str = "NHD",
     impl: str = "auto",
 ):
@@ -285,8 +500,14 @@ def attention_decode(
     [num_blocks, block_size, Hkv, D] (NHD, default) or
     [Hkv, num_blocks, block_size, D] (``cache_layout="HND"``, the native fast
     layout). Returns [B*Sq, Hq, Dv] bf16.
+
+    ``task_map``: optional :class:`~hpc_ops_tpu.ops.attention.scheduler.TaskMap`
+    from ``assign_attention_decode_task`` (scheduled with ``tile=task_tile``
+    tokens per work tile) — runs the task-scheduled kernel whose grid covers
+    exactly the existing work (the reference's dynamic split-k mode) and
+    merges split partials with a segment-combine epilogue.
     """
-    del splitk, task_map  # TPU path: scheduling is the pipelined grid itself
+    del splitk  # static split-k: the pipelined grid plays that role on TPU
     sq = mtp + 1
     b = num_seq_kvcache.shape[0]
     hq, d = q.shape[1], q.shape[2]
@@ -343,20 +564,42 @@ def attention_decode(
         k_pages, v_pages = kcache, vcache
 
     page_size = k_pages.shape[2]
-    if pages_per_compute_block is None:
-        pages_per_compute_block = max(1, min(512 // page_size, block_ids.shape[1]))
-
-    o4 = _decode_pallas(
-        q4,
-        k_pages,
-        v_pages,
-        block_ids.astype(jnp.int32),
-        kv_lens,
-        sq,
-        pages_per_compute_block,
-        interpret=interpret_default(),
-    )
-    out = _unpack_o(o4, b, sq, hkv, g, v_pages.shape[-1])
+    dv = v_pages.shape[-1]
+    if task_map is not None:
+        assert task_tile % page_size == 0, "task_tile must be page-aligned"
+        pcb = task_tile // page_size
+        o_p, m_p, l_p = _decode_tasks_pallas(
+            q4,
+            k_pages,
+            v_pages,
+            block_ids.astype(jnp.int32),
+            kv_lens,
+            task_map.batch,
+            task_map.head,
+            task_map.tile_start,
+            task_map.num_tiles,
+            sq,
+            pcb,
+            interpret=interpret_default(),
+        )
+        o_seg = _segment_combine(o_p, m_p, l_p, task_map.seg, task_map.num_segs)
+        o4 = o_seg.reshape(b, hkv, sgp, dv)
+    else:
+        if pages_per_compute_block is None:
+            pages_per_compute_block = max(
+                1, min(512 // page_size, block_ids.shape[1])
+            )
+        o4 = _decode_pallas(
+            q4,
+            k_pages,
+            v_pages,
+            block_ids.astype(jnp.int32),
+            kv_lens,
+            sq,
+            pages_per_compute_block,
+            interpret=interpret_default(),
+        )
+    out = _unpack_o(o4, b, sq, hkv, g, dv)
     if is_fp8 and vscale is not None:
         out = out * vscale.reshape(()).astype(jnp.float32)
     return out.astype(jnp.bfloat16)

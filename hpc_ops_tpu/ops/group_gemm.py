@@ -126,7 +126,10 @@ def _align_rows(x, seqlens, cu_seqlens, g_starts, tm: int, total_pad: int):
 def _gg_pertensor_kernel(
     grp_ref, row_ref, x_ref, w_ref, scale_ref, o_ref, acc_ref
 ):
-    @pl.when(pl.program_id(2) == 0)
+    t = pl.program_id(0)  # read outside pl.when (interpret-mode requirement)
+    jk = pl.program_id(2)
+
+    @pl.when(jk == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -136,9 +139,8 @@ def _gg_pertensor_kernel(
         x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
 
-    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    @pl.when(jk == pl.num_programs(2) - 1)
     def _():
-        t = pl.program_id(0)
         sc = scale_ref[grp_ref[t]]
         o_ref[...] = (acc_ref[...] * sc).astype(o_ref.dtype)
 

@@ -82,8 +82,28 @@ def store_kv(
     k_new: jax.Array,  # [rows, H_kv, D_qk]
     v_new: jax.Array,  # [rows, H_kv, D_v]
     slots: jax.Array,  # [rows] flat slot ids (from flat_slot_ids)
+    layout: str = "NHD",
 ) -> PagedKVCache:
-    """Scatter new K/V rows into the paged cache (dropped where slots are OOB)."""
+    """Scatter new K/V rows into the paged cache (dropped where slots are OOB).
+
+    layout "NHD": caches are [nb, bs, H, D] (reference contract);
+    layout "HND": caches are [H, nb, bs, D] (the fast-kernel page layout —
+    models should keep caches HND natively to avoid per-step transposes).
+    """
+    if layout == "HND":
+        h, nb, bs, dk = cache.k.shape
+        dv = cache.v.shape[-1]
+        k_flat = cache.k.reshape(h, nb * bs, dk)
+        v_flat = cache.v.reshape(h, nb * bs, dv)
+        k_flat = k_flat.at[:, slots].set(
+            jnp.moveaxis(k_new.astype(cache.k.dtype), 1, 0), mode="drop"
+        )
+        v_flat = v_flat.at[:, slots].set(
+            jnp.moveaxis(v_new.astype(cache.v.dtype), 1, 0), mode="drop"
+        )
+        return PagedKVCache(
+            k=k_flat.reshape(cache.k.shape), v=v_flat.reshape(cache.v.shape)
+        )
     nb, bs, h, dk = cache.k.shape
     dv = cache.v.shape[-1]
     k_flat = cache.k.reshape(nb * bs, h, dk)
@@ -97,6 +117,7 @@ def zero_block_tails(
     cache: PagedKVCache,
     seq_lens: jax.Array,  # [num_req] total tokens now in cache per request
     block_ids: jax.Array,  # [num_req, max_blocks]
+    layout: str = "NHD",
 ) -> PagedKVCache:
     """Zero unused slots of each request's last block.
 
@@ -105,7 +126,7 @@ def zero_block_tails(
     should be zero-padded").
     """
     num_req = seq_lens.shape[0]
-    bs = cache.block_size
+    bs = cache.block_size if layout == "NHD" else cache.k.shape[2]
     last_pos = seq_lens - 1
     last_blk = jnp.maximum(last_pos, 0) // bs
     last_off = jnp.maximum(last_pos, 0) % bs
@@ -116,6 +137,16 @@ def zero_block_tails(
     slots = jnp.where(
         ok, phys[:, None] * bs + offs, jnp.int32(2**31 - 1)
     ).reshape(-1)
+    if layout == "HND":
+        h, nb, _, dk = cache.k.shape
+        dv = cache.v.shape[-1]
+        zk = jnp.zeros((h, slots.shape[0], dk), cache.k.dtype)
+        zv = jnp.zeros((h, slots.shape[0], dv), cache.v.dtype)
+        k_flat = cache.k.reshape(h, nb * bs, dk).at[:, slots].set(zk, mode="drop")
+        v_flat = cache.v.reshape(h, nb * bs, dv).at[:, slots].set(zv, mode="drop")
+        return PagedKVCache(
+            k=k_flat.reshape(cache.k.shape), v=v_flat.reshape(cache.v.shape)
+        )
     nb, _, h, dk = cache.k.shape
     dv = cache.v.shape[-1]
     zk = jnp.zeros((slots.shape[0], h, dk), cache.k.dtype)

@@ -136,6 +136,9 @@ def reduce(x, topk_pos, topk_scale, shared_output=None):
     s, k = topk_pos.shape
     safe = jnp.maximum(topk_pos, 0)
     rows = x[safe.reshape(-1)].reshape(s, k, x.shape[-1]).astype(jnp.float32)
+    # select-then-multiply: unwritten GEMM rows may hold garbage (even NaN),
+    # and NaN * 0 would poison the sum — zero dropped rows explicitly.
+    rows = jnp.where((topk_pos >= 0)[..., None], rows, 0.0)
     w = jnp.where(topk_pos >= 0, topk_scale.astype(jnp.float32), 0.0)
     out = jnp.einsum("skh,sk->sh", rows, w)
     if shared_output is not None:

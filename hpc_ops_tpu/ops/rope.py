@@ -140,6 +140,7 @@ def rope_norm_store_kv(
     k_norm_weight: Optional[jax.Array] = None,
     qk_norm_policy: int = 0,
     store_to_cache: bool = True,
+    cache_layout: str = "NHD",
 ):
     """RoPE + optional QK RMSNorm + paged-KV store (BF16).
 
@@ -151,7 +152,10 @@ def rope_norm_store_kv(
       (the reference's out_k/out_v mode).
     """
     del is_prefill  # one unified path: positions come from the scalar tables
-    num_kv_heads, qk_dim = key_cache.shape[2], key_cache.shape[3]
+    if cache_layout == "HND":
+        num_kv_heads, qk_dim = key_cache.shape[0], key_cache.shape[3]
+    else:
+        num_kv_heads, qk_dim = key_cache.shape[2], key_cache.shape[3]
     v_dim = value_cache.shape[3]
     q, k, v, m = _rope_norm_core(
         qkv,
@@ -174,11 +178,12 @@ def rope_norm_store_kv(
         return q_out, k_out, v_out
 
     cache = PagedKVCache(key_cache, value_cache)
-    slots = flat_slot_ids(
-        m.positions, m.req_ids, kvcache_indices, cache.block_size, m.valid
+    blk = key_cache.shape[2] if cache_layout == "HND" else key_cache.shape[1]
+    slots = flat_slot_ids(m.positions, m.req_ids, kvcache_indices, blk, m.valid)
+    cache = store_kv(cache, k, v, slots, layout=cache_layout)
+    cache = zero_block_tails(
+        cache, num_seqlen_per_req, kvcache_indices, layout=cache_layout
     )
-    cache = store_kv(cache, k, v, slots)
-    cache = zero_block_tails(cache, num_seqlen_per_req, kvcache_indices)
     return q_out, cache.k, cache.v
 
 
@@ -200,6 +205,7 @@ def rope_norm_store_kv_fp8(
     q_norm_weight: Optional[jax.Array] = None,
     k_norm_weight: Optional[jax.Array] = None,
     qk_norm_policy: int = 0,
+    cache_layout: str = "NHD",
 ):
     """FP8 variant: quantizes Q (dynamic per-token-per-head or static) and
     stores K/V into an FP8 cache with static per-tensor scales.
@@ -214,7 +220,10 @@ def rope_norm_store_kv_fp8(
       [rows, Hq] in decode, or None when quant_policy=STATIC.
     """
     upper = FP8_MAX if upper_max is None else float(upper_max)
-    num_kv_heads, qk_dim = key_cache.shape[2], key_cache.shape[3]
+    if cache_layout == "HND":
+        num_kv_heads, qk_dim = key_cache.shape[0], key_cache.shape[3]
+    else:
+        num_kv_heads, qk_dim = key_cache.shape[2], key_cache.shape[3]
     v_dim = value_cache.shape[3]
     num_req = num_seqlen_per_req.shape[0]
     rows = qkv.shape[0]
@@ -261,11 +270,12 @@ def rope_norm_store_kv_fp8(
     )
 
     cache = PagedKVCache(key_cache, value_cache)
-    slots = flat_slot_ids(
-        m.positions, m.req_ids, kvcache_indices, cache.block_size, m.valid
+    blk = key_cache.shape[2] if cache_layout == "HND" else key_cache.shape[1]
+    slots = flat_slot_ids(m.positions, m.req_ids, kvcache_indices, blk, m.valid)
+    cache = store_kv(cache, k_q, v_q, slots, layout=cache_layout)
+    cache = zero_block_tails(
+        cache, num_seqlen_per_req, kvcache_indices, layout=cache_layout
     )
-    cache = store_kv(cache, k_q, v_q, slots)
-    cache = zero_block_tails(cache, num_seqlen_per_req, kvcache_indices)
 
     split_k_flag = jnp.zeros((num_req, num_kv_heads), jnp.int32)
     return q_fp8, q_scale, split_k_flag, cache.k, cache.v

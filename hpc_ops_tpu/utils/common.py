@@ -23,9 +23,26 @@ def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-@functools.cache
+_INTERPRET_OVERRIDE: bool | None = None
+
+
+def set_interpret_override(value: bool | None) -> None:
+    """Force (True/False) or reset (None) Pallas interpret mode globally.
+
+    Needed when the default backend is TPU but a computation targets a CPU
+    device mesh (e.g. the multi-chip dry-run on a host-device mesh)."""
+    global _INTERPRET_OVERRIDE
+    _INTERPRET_OVERRIDE = value
+
+
 def interpret_default() -> bool:
     """Pallas kernels run in interpreter mode on non-TPU backends (CI/CPU-mesh)."""
+    if _INTERPRET_OVERRIDE is not None:
+        return _INTERPRET_OVERRIDE
+    import os
+
+    if os.environ.get("HPC_FORCE_INTERPRET"):
+        return True
     return not on_tpu()
 
 

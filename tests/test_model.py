@@ -1,0 +1,160 @@
+"""End-to-end model tests: prefill + decode consistency on the flagship
+decoder (dense and MoE), single-device and TP/EP-sharded over the host mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpc_ops_tpu.models.llama import (
+    forward_step,
+    init_cache,
+    init_weights,
+    make_sharded_step,
+    shard_weights_for_tp,
+    tiny_config,
+)
+from hpc_ops_tpu.parallel import make_mesh
+from hpc_ops_tpu.utils.common import set_interpret_override
+from hpc_ops_tpu.utils.testing import assert_allclose
+
+
+def run_prefill_then_decode(cfg, seed=0):
+    """Prefill 7 tokens for 2 requests, then decode 1 token; return logits."""
+    key = jax.random.PRNGKey(seed)
+    weights = init_weights(key, cfg)
+    bs = 16
+    caches = init_cache(cfg, num_blocks=8, block_size=bs)
+
+    q_lens = [7, 5]
+    b = len(q_lens)
+    rows = sum(q_lens)
+    token_ids = jnp.asarray(np.arange(rows) % cfg.vocab, jnp.int32)
+    seq_lens = jnp.asarray(q_lens, jnp.int32)
+    q_index = jnp.asarray([0, 7, 12], jnp.int32)
+    block_ids = jnp.asarray([[0, 1, -1], [2, 3, -1]], jnp.int32)
+
+    logits_p, caches = forward_step(
+        weights, caches, cfg, token_ids, seq_lens, q_index, block_ids,
+        is_prefill=True, max_seqlens_q=8,
+    )
+
+    # decode one token per request
+    new_tok = jnp.asarray([3, 5], jnp.int32)
+    seq_lens2 = seq_lens + 1
+    q_index2 = jnp.asarray([0, 1, 2], jnp.int32)
+    logits_d, caches = forward_step(
+        weights, caches, cfg, new_tok, seq_lens2, q_index2, block_ids,
+        is_prefill=False, max_seqlens_q=1,
+    )
+    return logits_p, logits_d, caches
+
+
+@pytest.mark.parametrize("fp8_kv", [False, True])
+def test_dense_model_forward(fp8_kv):
+    cfg = tiny_config(fp8_kv=fp8_kv)
+    logits_p, logits_d, caches = run_prefill_then_decode(cfg)
+    assert logits_p.shape == (2, cfg.vocab)
+    assert logits_d.shape == (2, cfg.vocab)
+    assert np.isfinite(np.asarray(logits_d, np.float32)).all()
+    # prefill-then-decode must differ from prefill logits (cache grew)
+    assert not np.allclose(
+        np.asarray(logits_p, np.float32), np.asarray(logits_d, np.float32)
+    )
+
+
+def test_moe_model_forward():
+    cfg = tiny_config(moe=True)
+    logits_p, logits_d, _ = run_prefill_then_decode(cfg)
+    assert np.isfinite(np.asarray(logits_d, np.float32)).all()
+
+
+def test_decode_matches_incremental_prefill():
+    """Decoding token t+1 after prefill must equal prefilling t+1 tokens."""
+    cfg = tiny_config()
+    key = jax.random.PRNGKey(1)
+    weights = init_weights(key, cfg)
+    bs = 16
+
+    toks = np.arange(9) % cfg.vocab
+    # full prefill of 9 tokens
+    caches_a = init_cache(cfg, 4, bs)
+    logits_full, _ = forward_step(
+        weights, caches_a, cfg,
+        jnp.asarray(toks, jnp.int32), jnp.asarray([9], jnp.int32),
+        jnp.asarray([0, 9], jnp.int32), jnp.asarray([[0, 1]], jnp.int32),
+        is_prefill=True, max_seqlens_q=9,
+    )
+
+    # prefill 8 then decode the 9th
+    caches_b = init_cache(cfg, 4, bs)
+    _, caches_b = forward_step(
+        weights, caches_b, cfg,
+        jnp.asarray(toks[:8], jnp.int32), jnp.asarray([8], jnp.int32),
+        jnp.asarray([0, 8], jnp.int32), jnp.asarray([[0, 1]], jnp.int32),
+        is_prefill=True, max_seqlens_q=8,
+    )
+    logits_inc, _ = forward_step(
+        weights, caches_b, cfg,
+        jnp.asarray(toks[8:], jnp.int32), jnp.asarray([9], jnp.int32),
+        jnp.asarray([0, 1], jnp.int32), jnp.asarray([[0, 1]], jnp.int32),
+        is_prefill=False, max_seqlens_q=1,
+    )
+    assert_allclose(
+        np.asarray(logits_inc, np.float32),
+        np.asarray(logits_full, np.float32),
+        atol=0.15,
+        rtol=0.1,
+        name="decode_vs_prefill",
+    )
+
+
+@pytest.mark.parametrize("moe", [False, True])
+def test_sharded_step_tp_dp(moe):
+    """Full forward step sharded over a 2x4 (dp, tp) host mesh vs single-dev."""
+    cpus = jax.devices("cpu")
+    if len(cpus) < 8:
+        pytest.skip("need 8 host devices")
+    set_interpret_override(True)
+    try:
+        cfg = tiny_config(moe=moe)
+        tp, dp = 4, 2
+        mesh = make_mesh(tp=tp, dp=dp, devices=cpus)
+        key = jax.random.PRNGKey(7)
+        weights = init_weights(key, cfg)
+        weights_tp = shard_weights_for_tp(weights, cfg, tp)
+
+        bs = 16
+        # one decode token for each of 2 requests per dp shard; each shard
+        # owns a local pool of 4 pages, block_ids are shard-local.
+        b_total = 2 * dp
+        nb_local = 4
+        caches = init_cache(cfg, num_blocks=nb_local * dp, block_size=bs)
+        token_ids = jnp.asarray(np.arange(b_total) + 1, jnp.int32)
+        seq_lens = jnp.ones((b_total,), jnp.int32)
+        q_index = jnp.asarray([0, 1, 2], jnp.int32)  # per-dp-shard (2 reqs)
+        block_ids_local = np.array([[0, 1], [2, 3]], np.int32)
+        block_ids = jnp.asarray(np.tile(block_ids_local, (dp, 1)))
+
+        step = make_sharded_step(mesh, cfg, is_prefill=False, max_seqlens_q=1)
+        logits, new_caches = step(
+            weights_tp, caches, token_ids, seq_lens, q_index, block_ids
+        )
+        assert logits.shape == (b_total, cfg.vocab)
+
+        # single-device reference: same requests, globally-distinct pages
+        caches_ref = init_cache(cfg, num_blocks=2 * b_total, block_size=bs)
+        block_ids_ref = jnp.asarray(
+            np.arange(2 * b_total, dtype=np.int32).reshape(b_total, 2)
+        )
+        want, _ = forward_step(
+            weights, caches_ref, cfg, token_ids, seq_lens,
+            jnp.asarray([0, 1, 2, 3, 4], jnp.int32), block_ids_ref,
+            is_prefill=False, max_seqlens_q=1,
+        )
+        assert_allclose(
+            np.asarray(logits, np.float32), np.asarray(want, np.float32),
+            atol=0.3, rtol=0.1, name="sharded_vs_single",
+        )
+    finally:
+        set_interpret_override(None)

@@ -190,7 +190,9 @@ def test_stem_paged_kv_e2e_sanity():
     m = np.asarray(mask)
     assert m.shape == (1, hq, 4, 4)
     assert m.dtype == np.uint8
-    # prompt blocks = 4 < 56 -> budget = all blocks: causal lower triangle all 1
+    # prompt blocks = 4 < 56 -> budget = all blocks: causal lower triangle all 1.
+    # NOTE: the initial-sink force (col < initial_blocks=4) applies even above
+    # the causal diagonal — matching the reference kernel
+    # (stem_kernels.cuh:1233 "selected |= (col < initial_blocks)").
     for qb_i in range(4):
-        assert m[0, 0, qb_i, : qb_i + 1].all()
-        assert not m[0, 0, qb_i, qb_i + 1 :].any()
+        assert m[0, 0, qb_i].all()
