@@ -1,0 +1,159 @@
+"""Attention decode benchmark — dynamic-scheduling scenarios.
+
+Mirrors the reference's flagship bench
+(benchmark/attention_decode/bench_attention_decode_bf16.py and README
+scenarios): mixed KV-length batches stressing the scheduler, BF16 and FP8
+caches, grid-mode ("static") vs task-map ("dynamic") execution. Latency is
+microseconds per operator call (median of replays); bandwidth is achieved
+HBM GB/s over the KV bytes actually read.
+
+Usage:
+    python benchmark/attention_decode/bench_attention_decode.py \
+        --cases uniform_512 skewed_extreme --methods grid taskmap \
+        --dtypes bf16 fp8 --csv out.csv --jsonl out.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from common import Reporter, peak_hbm_gbps, time_fn
+
+BLOCK_SIZE = 64
+HEAD_DIM = 128
+
+# scenario name -> list of (count, kv_len); reference README "Scenario Names"
+SCENARIOS = {
+    "uniform_512": [(64, 512)],
+    "uniform_4096": [(64, 4096)],
+    "skewed_mix": [(32, 128), (32, 4096)],
+    "skewed_extreme": [(1, 16384), (15, 64)],
+    "one_64k_7x4k": [(1, 65536), (7, 4096)],
+    "one_64k_15x4k": [(1, 65536), (15, 4096)],
+    "one_64k_31x4k": [(1, 65536), (31, 4096)],
+    "one_128k_31x4k": [(1, 131072), (31, 4096)],
+    "two_32k_30x4k": [(2, 32768), (30, 4096)],
+}
+
+
+def expand(case):
+    lens = []
+    for count, kv in SCENARIOS[case]:
+        lens += [kv] * count
+    return np.asarray(lens, np.int64)
+
+
+def build_inputs(kv_lens, hkv, g, dtype, rng):
+    b = len(kv_lens)
+    hq = hkv * g
+    max_blocks = int(np.max(kv_lens)) // BLOCK_SIZE
+    nb_per = np.maximum(kv_lens // BLOCK_SIZE, 1)
+    total_blocks = int(nb_per.sum())
+    q = jnp.asarray(rng.standard_normal((b, hq, HEAD_DIM)), jnp.bfloat16)
+    k = rng.standard_normal((hkv, total_blocks, BLOCK_SIZE, HEAD_DIM)) / 8
+    v = rng.standard_normal((hkv, total_blocks, BLOCK_SIZE, HEAD_DIM)) / 8
+    if dtype == "fp8":
+        k_pages = jnp.asarray(k * 16, jnp.float8_e4m3fn)
+        v_pages = jnp.asarray(v * 16, jnp.float8_e4m3fn)
+    else:
+        k_pages = jnp.asarray(k, jnp.bfloat16)
+        v_pages = jnp.asarray(v, jnp.bfloat16)
+    # contiguous block table, padded with zeros up to max_blocks per request
+    tbl = np.zeros((b, max_blocks), np.int32)
+    start = 0
+    for i, nbp in enumerate(nb_per):
+        tbl[i, :nbp] = np.arange(start, start + nbp, dtype=np.int32)
+        start += nbp
+    block_ids = jnp.asarray(tbl)
+    seq_lens = jnp.asarray(kv_lens, jnp.int32)
+    kv_bytes = (
+        2
+        * int(kv_lens.sum())
+        * hkv
+        * HEAD_DIM
+        * (1 if dtype == "fp8" else 2)
+    )
+    return q, k_pages, v_pages, block_ids, seq_lens, kv_bytes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", nargs="*", default=list(SCENARIOS))
+    ap.add_argument("--methods", nargs="*", default=["grid", "taskmap"])
+    ap.add_argument("--dtypes", nargs="*", default=["bf16", "fp8"])
+    ap.add_argument("--kv-heads", type=int, default=1)
+    ap.add_argument("--gqa", type=int, default=8)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--task-tile", type=int, default=2048)
+    ap.add_argument("--csv", default=None)
+    ap.add_argument("--jsonl", default=None)
+    args = ap.parse_args()
+
+    from hpc_ops_tpu.ops.attention.decode import attention_decode
+    from hpc_ops_tpu.ops.attention.scheduler import assign_attention_decode_task
+
+    rep = Reporter(csv_path=args.csv, jsonl_path=args.jsonl)
+    peak = peak_hbm_gbps()
+    rng = np.random.default_rng(41)
+
+    for case in args.cases:
+        kv_lens = expand(case)
+        for dtype in args.dtypes:
+            q, kp, vp, block_ids, seq_lens, kv_bytes = build_inputs(
+                kv_lens, args.kv_heads, args.gqa, dtype, rng
+            )
+            kw = dict(new_kv_included=True, cache_layout="HND")
+            if dtype == "fp8":
+                kw.update(
+                    qscale=None,
+                    kscale=jnp.float32(1 / 16.0),
+                    vscale=jnp.float32(1 / 16.0),
+                )
+            for method in args.methods:
+                if method == "taskmap":
+                    tm = assign_attention_decode_task(
+                        np.asarray(seq_lens),
+                        num_head_kv=args.kv_heads,
+                        tile=args.task_tile,
+                    )
+                    fn = lambda q, kp, vp, bi, sl: attention_decode(  # noqa: E731
+                        q, kp, vp, bi, sl,
+                        task_map=tm, task_tile=args.task_tile, **kw,
+                    )
+                else:
+                    fn = lambda q, kp, vp, bi, sl: attention_decode(  # noqa: E731
+                        q, kp, vp, bi, sl, **kw
+                    )
+                sec = time_fn(
+                    fn, (q, kp, vp, block_ids, seq_lens),
+                    warmup=args.warmup, iters=args.iters,
+                )
+                gbps = kv_bytes / sec / 1e9
+                rep.add(
+                    bench="attention_decode",
+                    case=case,
+                    dtype=dtype,
+                    method=method,
+                    batch=len(kv_lens),
+                    kv_heads=args.kv_heads,
+                    gqa=args.gqa,
+                    latency_us=round(sec * 1e6, 1),
+                    hbm_gbps=round(gbps, 1),
+                    frac_of_peak=round(gbps / peak, 4),
+                )
+    rep.flush()
+
+
+if __name__ == "__main__":
+    main()

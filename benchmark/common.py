@@ -1,0 +1,135 @@
+"""Shared benchmark harness.
+
+Methodology mirrors the reference (benchmark/fused_moe/worker.py:33-50,
+benchmark/attention_decode/README.md "Timing Modes"): warmup runs are
+dropped, latency is the median over replay samples, and results are emitted
+as CSV + JSONL rows. The TPU analog of CUDA-Graph replay + Nsight projected
+durations is a jitted function re-dispatched in a tight loop with
+``jax.block_until_ready`` fencing; per-call dispatch overhead is amortized
+by timing ``inner`` chained iterations per sample where requested.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from statistics import median
+from typing import Any, Callable
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+PEAK_HBM_GBPS = {
+    "TPU v5 lite": 819.0,  # v5e
+    "TPU v5p": 2765.0,
+    "TPU v5": 2765.0,
+    "TPU v4": 1228.0,
+    "TPU v6 lite": 1640.0,  # v6e / Trillium
+}
+
+# Dense bf16 peak TFLOP/s per chip (MXU); fp8/int8 doubles where supported.
+PEAK_BF16_TFLOPS = {
+    "TPU v5 lite": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v5": 459.0,
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,
+}
+
+
+def device_kind() -> str:
+    return jax.devices()[0].device_kind
+
+
+def peak_hbm_gbps() -> float:
+    kind = device_kind()
+    for k in sorted(PEAK_HBM_GBPS, key=len, reverse=True):
+        if kind.startswith(k):
+            return PEAK_HBM_GBPS[k]
+    return 819.0
+
+
+def peak_bf16_tflops() -> float:
+    kind = device_kind()
+    for k in sorted(PEAK_BF16_TFLOPS, key=len, reverse=True):
+        if kind.startswith(k):
+            return PEAK_BF16_TFLOPS[k]
+    return 197.0
+
+
+def _sync(tree) -> None:
+    """Force execution with a tiny device->host readback per leaf.
+
+    ``jax.block_until_ready`` does not reliably wait for execution on
+    tunneled/virtualized TPU attachments; fetching one element does.
+    """
+    import numpy as np
+
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
+def time_fn(
+    fn: Callable[..., Any],
+    args: tuple = (),
+    *,
+    warmup: int = 2,
+    iters: int = 10,
+    jit: bool = True,
+) -> float:
+    """Median seconds per call of ``jit(fn)(*args)``.
+
+    Arrays must be passed via ``args`` (closed-over arrays become jit
+    constants, which some remote-compile setups ship over the wire).
+    """
+    f = jax.jit(fn) if jit else fn
+    for _ in range(warmup):
+        _sync(f(*args))
+    samples = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(f(*args))
+        samples.append(time.perf_counter() - t0)
+    return float(median(samples))
+
+
+@dataclass
+class Reporter:
+    """Collects result rows; writes CSV and JSONL like the reference benches."""
+
+    csv_path: str | None = None
+    jsonl_path: str | None = None
+    rows: list = field(default_factory=list)
+
+    def add(self, **row) -> None:
+        row.setdefault("device", device_kind())
+        self.rows.append(row)
+        line = " ".join(f"{k}={v}" for k, v in row.items())
+        print(line, flush=True)
+
+    def flush(self) -> None:
+        if self.jsonl_path:
+            os.makedirs(os.path.dirname(self.jsonl_path) or ".", exist_ok=True)
+            with open(self.jsonl_path, "a") as fh:
+                for row in self.rows:
+                    fh.write(json.dumps(row) + "\n")
+        if self.csv_path and self.rows:
+            os.makedirs(os.path.dirname(self.csv_path) or ".", exist_ok=True)
+            keys = sorted({k for row in self.rows for k in row})
+            new = not os.path.exists(self.csv_path)
+            with open(self.csv_path, "a", newline="") as fh:
+                w = csv.DictWriter(fh, fieldnames=keys)
+                if new:
+                    w.writeheader()
+                for row in self.rows:
+                    w.writerow(row)

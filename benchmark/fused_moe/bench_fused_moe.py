@@ -1,0 +1,128 @@
+"""Fused MoE benchmark.
+
+Mirrors the reference's fused-MoE bench (benchmark/fused_moe/README.md):
+model shapes from qwen3-235b / hunyuan-large / deepseek-v3 class MoEs, run
+single-chip with EP/TP factors folded into the local expert count and
+intermediate size (the reference benchmarks one GPU of a TP8/EP8 node the
+same way). Reports latency plus achieved weight-bandwidth (the decode-batch
+regime is weight-bound) and achieved TFLOP/s.
+
+Usage:
+    python benchmark/fused_moe/bench_fused_moe.py --models qwen3_235b \
+        --tokens 128 1024 --csv moe.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from common import Reporter, peak_bf16_tflops, peak_hbm_gbps, time_fn
+
+# name -> (hidden, intermediate, num_experts, topk) full-model shapes
+MODELS = {
+    "qwen3_235b": (4096, 1536, 128, 8),
+    "hunyuan_large": (6400, 3072, 16, 1),
+    "deepseek_v3": (7168, 2048, 256, 8),
+    "mixtral_8x7b": (4096, 14336, 8, 2),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", nargs="*", default=["qwen3_235b", "deepseek_v3"])
+    ap.add_argument("--tokens", nargs="*", type=int, default=[64, 256, 1024, 4096])
+    ap.add_argument("--ep", type=int, default=8, help="expert-parallel factor")
+    ap.add_argument("--tp", type=int, default=1, help="tensor-parallel factor")
+    ap.add_argument("--blockwise", action="store_true")
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--csv", default=None)
+    ap.add_argument("--jsonl", default=None)
+    args = ap.parse_args()
+
+    from hpc_ops_tpu.ops.moe import fuse_moe_blockwise_fp8, fuse_moe_pertensor_fp8
+    from hpc_ops_tpu.ops.quant import blockwise_fp8_quant
+
+    rep = Reporter(csv_path=args.csv, jsonl_path=args.jsonl)
+    rng = np.random.default_rng(41)
+    fp8 = jnp.float8_e4m3fn
+
+    for model in args.models:
+        h, inter, e_total, topk = MODELS[model]
+        e_local = max(e_total // args.ep, 1)
+        i_local = max(inter // args.tp, 128)
+        w_gu = jnp.asarray(
+            rng.standard_normal((e_local, 2 * i_local, h)) / 8, fp8
+        )
+        w_dn = jnp.asarray(
+            rng.standard_normal((e_local, h, i_local)) / 8, fp8
+        )
+        for s in args.tokens:
+            x = jnp.asarray(rng.standard_normal((s, h)) / 8, fp8)
+            topk_ids = jnp.asarray(
+                np.stack(
+                    [rng.choice(e_total, topk, replace=False) for _ in range(s)]
+                ).astype(np.int32)
+            )
+            topk_scale = jnp.asarray(
+                rng.random((s, topk)).astype(np.float32) / topk
+            )
+            if args.blockwise:
+                xs = jnp.ones((s, h // 128), jnp.float32)
+                wgu_s = jnp.ones(
+                    (e_local, 2 * i_local // 128, -(-h // 128)), jnp.float32
+                )
+                wdn_s = jnp.ones(
+                    (e_local, h // 128, -(-i_local // 128)), jnp.float32
+                )
+                fn = lambda x, xs, w_gu, w_dn, ti, ts: fuse_moe_blockwise_fp8(  # noqa: E731
+                    x, xs, w_gu, wgu_s, w_dn, wdn_s, ti, ts,
+                    rank_ep=0, num_expert_total=e_total,
+                )
+                fargs = (x, xs, w_gu, w_dn, topk_ids, topk_scale)
+            else:
+                gu_scale = jnp.ones((e_local,), jnp.float32)
+                dn_scale = jnp.ones((e_local,), jnp.float32)
+                am_scale = jnp.ones((1,), jnp.float32)
+                fn = lambda x, w_gu, w_dn, ti, ts: fuse_moe_pertensor_fp8(  # noqa: E731
+                    x, w_gu, w_dn, gu_scale, dn_scale, am_scale,
+                    ti, ts, rank_ep=0, num_expert_total=e_total,
+                )
+                fargs = (x, w_gu, w_dn, topk_ids, topk_scale)
+            sec = time_fn(fn, fargs, warmup=args.warmup, iters=args.iters)
+            # expected local expert work: tokens landing on this rank's experts
+            frac_local = e_local / e_total
+            eff_tokens = s * topk * frac_local
+            flops = eff_tokens * (2 * h * 2 * i_local + 2 * i_local * h)
+            w_bytes = w_gu.size + w_dn.size  # fp8: 1 byte/elt
+            rep.add(
+                bench="fused_moe",
+                model=model,
+                tokens=s,
+                ep=args.ep,
+                tp=args.tp,
+                experts_local=e_local,
+                scheme="blockwise" if args.blockwise else "pertensor",
+                latency_us=round(sec * 1e6, 1),
+                tflops=round(flops / sec / 1e12, 2),
+                weight_gbps=round(w_bytes / sec / 1e9, 1),
+                frac_peak_bw=round(w_bytes / sec / 1e9 / peak_hbm_gbps(), 4),
+                frac_peak_flops=round(
+                    flops / sec / 1e12 / peak_bf16_tflops(), 4
+                ),
+            )
+    rep.flush()
+
+
+if __name__ == "__main__":
+    main()

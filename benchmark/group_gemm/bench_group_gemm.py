@@ -1,0 +1,115 @@
+"""Grouped GEMM FP8 benchmark (per-tensor and blockwise scales).
+
+Mirrors the reference's group-GEMM benches (README 1.1x/1.88x vs DeepGEMM):
+varlen expert groups [total_seq, K] x [G, N, K] -> bf16. Reports achieved
+TFLOP/s vs the chip's 8-bit matmul peak and a dense-XLA bf16 baseline doing
+the same FLOPs (upper bound for a non-grouped kernel).
+
+Usage: python benchmark/group_gemm/bench_group_gemm.py --csv gg.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from common import Reporter, peak_bf16_tflops, time_fn
+
+# (groups, avg_rows_per_group, N, K)
+SHAPES = [
+    (8, 128, 4096, 7168),
+    (16, 64, 2048, 7168),
+    (32, 256, 1536, 4096),
+    (128, 16, 512, 4096),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--schemes", nargs="*", default=["pertensor", "blockwise"])
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--csv", default=None)
+    ap.add_argument("--jsonl", default=None)
+    args = ap.parse_args()
+
+    from hpc_ops_tpu.ops.group_gemm import (
+        group_gemm_blockwise_fp8,
+        group_gemm_pertensor_fp8,
+    )
+
+    rep = Reporter(csv_path=args.csv, jsonl_path=args.jsonl)
+    rng = np.random.default_rng(41)
+    fp8 = jnp.float8_e4m3fn
+
+    for g_num, avg, n, k in SHAPES:
+        lens = rng.poisson(avg, g_num).astype(np.int64) + 1
+        total = int(lens.sum())
+        x = jnp.asarray(rng.standard_normal((total, k)) / 8, fp8)
+        w = jnp.asarray(rng.standard_normal((g_num, n, k)) / 8, fp8)
+        seqlens = jnp.asarray(lens, jnp.int32)
+        cu = jnp.asarray(
+            np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        )
+        flops = 2 * total * n * k
+
+        for scheme in args.schemes:
+            if scheme == "pertensor":
+                ys = jnp.ones((g_num,), jnp.float32)
+                fn = lambda x, w, sl, cu: group_gemm_pertensor_fp8(  # noqa: E731
+                    x, w, sl, cu, ys
+                )
+            else:
+                xs = jnp.ones((total, k // 128), jnp.float32)
+                ws = jnp.ones((g_num, n // 128, -(-k // 128)), jnp.float32)
+                fn = lambda x, w, sl, cu: group_gemm_blockwise_fp8(  # noqa: E731
+                    x, w, sl, cu, xs, ws, x_scale_layout="natural"
+                )
+            try:
+                sec = time_fn(
+                    fn, (x, w, seqlens, cu),
+                    warmup=args.warmup, iters=args.iters,
+                )
+            except Exception as exc:  # pragma: no cover
+                rep.add(bench="group_gemm", scheme=scheme, groups=g_num,
+                        error=str(exc)[:120])
+                continue
+            rep.add(
+                bench="group_gemm",
+                scheme=scheme,
+                groups=g_num,
+                total_rows=total,
+                n=n,
+                k=k,
+                latency_us=round(sec * 1e6, 1),
+                tflops=round(flops / sec / 1e12, 2),
+                frac_peak=round(flops / sec / 1e12 / peak_bf16_tflops(), 4),
+            )
+
+        # dense-XLA bf16 upper-bound baseline: one [total,K]x[K,N] matmul
+        xb = x.astype(jnp.bfloat16)
+        wb = w[0].astype(jnp.bfloat16).T
+        sec_b = time_fn(
+            lambda a, b: a @ b, (xb, wb),
+            warmup=args.warmup, iters=args.iters,
+        )
+        rep.add(
+            bench="group_gemm", scheme="dense_bf16_xla", groups=g_num,
+            total_rows=total, n=n, k=k,
+            latency_us=round(sec_b * 1e6, 1),
+            tflops=round(flops / sec_b / 1e12, 2),
+        )
+    rep.flush()
+
+
+if __name__ == "__main__":
+    main()

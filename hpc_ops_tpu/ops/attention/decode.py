@@ -42,8 +42,9 @@ def _decode_kernel(
     # scalar prefetch
     kv_lens_ref,  # [B] effective kv length
     block_tbl_ref,  # [B * max_blocks] flattened page table
+    scale_ref,  # [1] f32 — sm_scale (x kscale for fp8), folded in-kernel
     # inputs
-    q_ref,  # [1, 1, SGP, D] VMEM (pre-scaled q, bf16)
+    q_ref,  # [1, 1, SGP, D] VMEM bf16
     k_pages_ref,  # [Hkv, nb, bs, D] ANY
     v_pages_ref,  # [Hkv, nb, bs, D] ANY
     # outputs
@@ -63,10 +64,10 @@ def _decode_kernel(
     max_blocks: int,
     batch: int,
     num_kv_heads: int,
+    num_t: int,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
-    t = pl.program_id(2)
     ck = pcb * page_size  # kv tokens per compute block
 
     kv_len = kv_lens_ref[b]
@@ -95,61 +96,65 @@ def _decode_kernel(
         )
         return kc, vc
 
-    active = t < t_max
-
-    @pl.when(active)
+    # First program of the whole grid starts its own copy into slot 0.
+    @pl.when((b == 0) & (h == 0))
     def _():
-        # First program of the whole grid starts its own copy into slot 0.
-        @pl.when((b == 0) & (h == 0) & (t == 0))
-        def _():
-            buf_idx_ref[0] = 0
-            kc, vc = start_copy(b, h, t, 0)
-            kc.start()
-            vc.start()
+        buf_idx_ref[0] = 0
+        kc, vc = start_copy(b, h, 0, 0)
+        kc.start()
+        vc.start()
 
+    m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # scale the tiny q tile in-kernel (f32 then back to bf16) — cheaper
+    # than a full pre-scaling pass over q in HBM
+    q = (q_ref[0, 0].astype(jnp.float32) * scale_ref[0]).astype(jnp.bfloat16)
+    sgp = q.shape[0]
+
+    # successor of this (b, h) in the grid walk — its first chunk is
+    # prefetched while this program's last chunk computes
+    nb_ = jnp.where(h == num_kv_heads - 1, b + 1, b)
+    nh = jnp.where(h == num_kv_heads - 1, 0, h + 1)
+
+    def body(t, _):
         slot = buf_idx_ref[0]
         next_slot = 1 - slot
-
-        # Prefetch the next *active* block (possibly in the next head/batch)
-        # into the other buffer; the active blocks form one sequential chain,
-        # so every program prefetches exactly its successor.
         is_last_t = t == t_max - 1
-        nb_ = jnp.where(is_last_t, jnp.where(h == num_kv_heads - 1, b + 1, b), b)
-        nh = jnp.where(is_last_t, jnp.where(h == num_kv_heads - 1, 0, h + 1), h)
-        nt = jnp.where(is_last_t, 0, t + 1)
 
-        @pl.when(nb_ < batch)
+        # prefetch the next chunk in the global (b, h, t) chain
+        pb = jnp.where(is_last_t, nb_, b)
+        ph = jnp.where(is_last_t, nh, h)
+        pt = jnp.where(is_last_t, 0, t + 1)
+
+        @pl.when(pb < batch)
         def _():
-            kc, vc = start_copy(nb_, nh, nt, next_slot)
+            kc, vc = start_copy(pb, ph, pt, next_slot)
             kc.start()
             vc.start()
 
         buf_idx_ref[0] = next_slot
 
-        @pl.when(t == 0)
-        def _():
-            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-            l_scr[...] = jnp.zeros_like(l_scr)
-            acc_scr[...] = jnp.zeros_like(acc_scr)
-
-        # Wait for this block's pages.
         kc, vc = start_copy(b, h, t, slot)
         kc.wait()
         # bf16 operands keep the MXU at full rate; accumulate in f32.
         k = k_buf[slot].reshape(ck, k_buf.shape[-1]).astype(jnp.bfloat16)
-
-        q = q_ref[0, 0]  # [SGP, D] bf16 (pre-scaled)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [SGP, ck]
 
         # mask: kv position valid and causal w.r.t. the draft-token row
-        sgp = q.shape[0]
         kpos = t * ck + jax.lax.broadcasted_iota(jnp.int32, (sgp, ck), 1)
-        # row r corresponds to draft index r % sq (rows are g*sq + s)
-        row = jax.lax.broadcasted_iota(jnp.int32, (sgp, ck), 0)
-        qpos = kv_len - sq + row % sq
-        s = jnp.where(kpos <= qpos, s, MASK_VALUE)
+        if sq == 1:
+            # no draft tokens: every row attends [0, kv_len) — skip the
+            # per-row position math (saves two 32K-element VPU passes/chunk)
+            s = jnp.where(kpos < kv_len, s, MASK_VALUE)
+        else:
+            # row r corresponds to draft index r % sq (rows are g*sq + s)
+            row = jax.lax.broadcasted_iota(jnp.int32, (sgp, ck), 0)
+            qpos = kv_len - sq + row % sq
+            s = jnp.where(kpos <= qpos, s, MASK_VALUE)
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -170,18 +175,24 @@ def _decode_kernel(
             p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + o_curr
+        return ()
 
-        @pl.when(t == t_max - 1)
-        def _():
-            l = l_scr[:, :1]
-            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_ref[0, 0] = acc_scr[...] * l_inv
+    if num_t == 1:
+        # every sequence fits one compute chunk: no loop machinery at all
+        body(0, ())
+    else:
+        jax.lax.fori_loop(0, t_max, body, (), unroll=False)
+
+    l = l_scr[:, :1]
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
 
 
 def _decode_tasks_kernel(
     # scalar prefetch
     kv_lens_ref,  # [B]
     block_tbl_ref,  # [B * max_blocks]
+    scale_ref,  # [1] f32
     t_batch_ref,  # [T]
     t_head_ref,  # [T]
     t_tile_start_ref,  # [T]
@@ -258,7 +269,9 @@ def _decode_tasks_kernel(
             kc, vc = start_copy(j, slot)
             kc.wait()
             k = k_buf[slot].reshape(ck, k_buf.shape[-1]).astype(jnp.bfloat16)
-            q = q_ref[0, 0]
+            q = (q_ref[0, 0].astype(jnp.float32) * scale_ref[0]).astype(
+                jnp.bfloat16
+            )
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
@@ -266,9 +279,12 @@ def _decode_tasks_kernel(
             kpos = (tile0 + j) * ck + jax.lax.broadcasted_iota(
                 jnp.int32, (sgp, ck), 1
             )
-            row = jax.lax.broadcasted_iota(jnp.int32, (sgp, ck), 0)
-            qpos = kv_len - sq + row % sq
-            s = jnp.where(kpos <= qpos, s, MASK_VALUE)
+            if sq == 1:
+                s = jnp.where(kpos < kv_len, s, MASK_VALUE)
+            else:
+                row = jax.lax.broadcasted_iota(jnp.int32, (sgp, ck), 0)
+                qpos = kv_len - sq + row % sq
+                s = jnp.where(kpos <= qpos, s, MASK_VALUE)
 
             m_prev = m_scr[...]
             l_prev = l_scr[...]
@@ -305,6 +321,7 @@ def _decode_tasks_pallas(
     v_pages,
     block_ids,
     kv_lens,
+    scale,
     t_batch,
     t_head,
     t_tile_start,
@@ -321,12 +338,12 @@ def _decode_tasks_pallas(
     cap = t_batch.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(cap,),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, sgp, d),
-                lambda t, kvl, tbl, tb, th, ts, tn: (
+                lambda t, kvl, tbl, sc, tb, th, ts, tn: (
                     jnp.maximum(tb[t], 0),
                     th[t],
                     0,
@@ -369,6 +386,7 @@ def _decode_tasks_pallas(
     )(
         kv_lens,
         block_ids.reshape(-1),
+        scale,
         t_batch,
         t_head,
         t_tile_start,
@@ -397,11 +415,12 @@ def _segment_combine(o, m, l, seg, num_segs):
     static_argnames=("sq", "pages_per_compute_block", "interpret"),
 )
 def _decode_pallas(
-    q4,  # [B, Hkv, SGP, D] bf16, pre-scaled
+    q4,  # [B, Hkv, SGP, D] bf16
     k_pages,  # [Hkv, nb, bs, D]
     v_pages,
     block_ids,  # [B, max_blocks] int32
     kv_lens,  # [B] int32
+    scale,  # [1] f32 — sm_scale (x per-tensor kscale), applied in-kernel
     sq: int,
     pages_per_compute_block: int,
     interpret: bool = False,
@@ -411,20 +430,19 @@ def _decode_pallas(
     dv = v_pages.shape[-1]
     max_blocks = block_ids.shape[1]
     pcb = pages_per_compute_block
-    num_t = cdiv(max_blocks, pcb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b, hkv, num_t),
+        num_scalar_prefetch=3,
+        grid=(b, hkv),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, sgp, d), lambda bi, hi, ti, *_: (bi, hi, 0, 0)
+                (1, 1, sgp, d), lambda bi, hi, *_: (bi, hi, 0, 0)
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, sgp, dv), lambda bi, hi, ti, *_: (bi, hi, 0, 0)
+            (1, 1, sgp, dv), lambda bi, hi, *_: (bi, hi, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, pcb, bs, d), k_pages.dtype),
@@ -444,16 +462,17 @@ def _decode_pallas(
         max_blocks=max_blocks,
         batch=b,
         num_kv_heads=hkv,
+        num_t=cdiv(max_blocks, pcb),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, sgp, dv), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, sgp, dv), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(kv_lens, block_ids.reshape(-1), q4, k_pages, v_pages)
+    )(kv_lens, block_ids.reshape(-1), scale, q4, k_pages, v_pages)
     return out
 
 
@@ -545,14 +564,20 @@ def attention_decode(
             quant_type=quant_type,
         )
 
-    # fold per-tensor scales into q / output
+    # per-tensor scales fold into a single in-kernel logit scale; only the
+    # per-token-per-head qscale (fp8) needs a pass over q itself
     scale = (1.0 / (d**0.5)) if sm_scale is None else sm_scale
-    qf = q.astype(jnp.float32)
-    if qscale is not None:
-        qf = qf * qscale.reshape(b * sq, hq)[..., None].astype(jnp.float32)
     if is_fp8 and kscale is not None:
-        scale = scale * kscale.reshape(()).astype(jnp.float32)
-    qf = (qf * scale).astype(jnp.bfloat16)
+        scale_arr = (kscale.reshape(()).astype(jnp.float32) * scale).reshape(1)
+    else:
+        scale_arr = jnp.full((1,), scale, jnp.float32)
+    if qscale is not None:
+        qf = (
+            q.astype(jnp.float32)
+            * qscale.reshape(b * sq, hq)[..., None].astype(jnp.float32)
+        ).astype(jnp.bfloat16)
+    else:
+        qf = q.astype(jnp.bfloat16)
 
     sgp = max(round_up(g * sq, 8), 8)
     q4 = _pack_q(qf, b, sq, hkv, g, d, sgp)
@@ -572,8 +597,9 @@ def attention_decode(
             q4,
             k_pages,
             v_pages,
-            block_ids.astype(jnp.int32),
+            jnp.maximum(block_ids.astype(jnp.int32), 0),
             kv_lens,
+            scale_arr,
             task_map.batch,
             task_map.head,
             task_map.tile_start,
@@ -586,15 +612,20 @@ def attention_decode(
         o4 = o_seg.reshape(b, hkv, sgp, dv)
     else:
         if pages_per_compute_block is None:
+            # Large chunks amortize DMA issue + grid overhead; measured on
+            # v5e: 512-token chunks reach ~55% of the bandwidth of
+            # 4096-token chunks on the uniform_4096 scenario. VMEM cost is
+            # 2 slots * 2 (K,V) * chunk_tokens * D * dtype_size (~4MB bf16).
             pages_per_compute_block = max(
-                1, min(512 // page_size, block_ids.shape[1])
+                1, min(4096 // page_size, block_ids.shape[1])
             )
         o4 = _decode_pallas(
             q4,
             k_pages,
             v_pages,
-            block_ids.astype(jnp.int32),
+            jnp.maximum(block_ids.astype(jnp.int32), 0),
             kv_lens,
+            scale_arr,
             sq,
             pages_per_compute_block,
             interpret=interpret_default(),

@@ -36,10 +36,13 @@ class MultiPageCopy:
     """
 
     def __init__(self, pages_ref, buf_ref, sem, block_tbl_ref, *, head, page_start, num_pages, slot):
+        # block_tbl entries must already be valid page ids (callers clamp
+        # padding entries to 0 once, outside the kernel) — a per-page clip
+        # here would cost ~4 scalar-core ops per page per construction,
+        # which measurably slows DMA issue on wide fan-outs.
         self._copies = []
-        nb = pages_ref.shape[1]
         for i in range(num_pages):
-            phys = jnp.clip(block_tbl_ref[page_start + i], 0, nb - 1)
+            phys = block_tbl_ref[page_start + i]
             self._copies.append(
                 pltpu.make_async_copy(
                     pages_ref.at[head, phys],

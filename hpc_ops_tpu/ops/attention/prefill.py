@@ -199,6 +199,309 @@ def _prefill_kernel(
             ).wait()
 
 
+def _prefill_sparse_kernel(
+    # scalar prefetch
+    q_starts_ref,  # [B]
+    q_lens_ref,  # [B]
+    kv_lens_ref,  # [B]
+    block_tbl_ref,  # [B*max_blocks]
+    # inputs
+    q_hbm_ref,  # [Hq, total_q_pad, D] ANY
+    k_pages_ref,  # [Hkv, nb, bs, D] ANY
+    v_pages_ref,
+    bits_hbm_ref,  # [B, Hq, n_tm, n_chunks] int32 ANY — per-page mask bits
+    # outputs
+    o_hbm_ref,  # [Hq, total_q_pad, D] ANY
+    # scratch
+    q_buf,  # [G, TQ, D] bf16
+    k_buf,  # [2, pcb, bs, D]
+    v_buf,
+    acc_buf,
+    m_buf,
+    l_buf,
+    o_stage,
+    bits_smem,  # SMEM [G, n_chunks] int32
+    list_smem,  # SMEM [n_chunks] int32 — compacted active chunk ids
+    cnt_smem,  # SMEM [1] int32
+    q_sem,
+    kv_sems,
+    bits_sem,
+    o_sem,
+    *,
+    tq: int,
+    pcb: int,
+    page_size: int,
+    max_blocks: int,
+    group: int,
+    n_chunks: int,
+):
+    """Block-sparse paged prefill (reference op #4,
+    warp_spec_with_kvcache_blocksparse_fp8_dim128.cu / kHasMask).
+
+    The mask arrives bit-packed: bits[b, hq, q_tile, chunk] has bit p set iff
+    page p of that KV chunk is attended by that (head, q-tile). Each program
+    (b, kv_head, q_tile):
+      1. DMAs its group's bit rows into SMEM,
+      2. compacts the union-active chunk list with a scalar loop (the TPU
+         analog of the reference's "skip masked KV tiles" mainloop guard),
+      3. streams ONLY active chunks through the double-buffered KV slab,
+      4. applies the per-head per-page fine mask on the logits.
+    Masked-out tiles cost neither DMA bytes nor MXU flops — the source of
+    the reference's 3.16x sparse speedup (README.md:173). Rows with no
+    active pages emit 0 (the reference emits NaN; callers keep the causal
+    diagonal in the mask, hpc/attention.py:268-278).
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    tqi = pl.program_id(2)
+    ck = pcb * page_size
+
+    q_start = q_starts_ref[b]
+    q_len = q_lens_ref[b]
+    kv_len = kv_lens_ref[b]
+    kv_off = kv_len - q_len
+
+    tile_active = tqi * tq < q_len
+
+    @pl.when(tile_active)
+    def _():
+        # ---- fetch this tile's mask bits for the whole GQA group
+        bits_cp = pltpu.make_async_copy(
+            bits_hbm_ref.at[b, pl.ds(h * group, group), tqi, :],
+            bits_smem,
+            bits_sem,
+        )
+        bits_cp.start()
+
+        row0 = pl.multiple_of(q_start + tqi * tq, tq)
+        for g in range(group):
+            pltpu.make_async_copy(
+                q_hbm_ref.at[h * group + g, pl.ds(row0, tq), :],
+                q_buf.at[g],
+                q_sem,
+            ).start()
+
+        kv_hi = jnp.minimum(kv_len, kv_off + (tqi + 1) * tq)
+        num_kv_tiles = jnp.maximum((kv_hi + ck - 1) // ck, 1)
+
+        bits_cp.wait()
+
+        # ---- compact the active chunk list (scalar loop over chunks)
+        def scan_body(j, cnt):
+            u = bits_smem[0, j]
+            for g in range(1, group):
+                u = u | bits_smem[g, j]
+            active = (u != 0) & (j < num_kv_tiles)
+
+            @pl.when(active)
+            def _():
+                list_smem[cnt] = j
+
+            return cnt + active.astype(jnp.int32)
+
+        cnt = jax.lax.fori_loop(0, n_chunks, scan_body, jnp.int32(0))
+        cnt_smem[0] = cnt
+
+        def start_kv(j, slot):
+            kc = MultiPageCopy(
+                k_pages_ref, k_buf, kv_sems.at[slot, 0], block_tbl_ref,
+                head=h, page_start=b * max_blocks + j * pcb,
+                num_pages=pcb, slot=slot,
+            )
+            vc = MultiPageCopy(
+                v_pages_ref, v_buf, kv_sems.at[slot, 1], block_tbl_ref,
+                head=h, page_start=b * max_blocks + j * pcb,
+                num_pages=pcb, slot=slot,
+            )
+            return kc, vc
+
+        @pl.when(cnt > 0)
+        def _():
+            kc0, vc0 = start_kv(list_smem[0], 0)
+            kc0.start()
+            vc0.start()
+
+        m_buf[...] = jnp.full_like(m_buf, -jnp.inf)
+        l_buf[...] = jnp.zeros_like(l_buf)
+        acc_buf[...] = jnp.zeros_like(acc_buf)
+
+        for g in range(group):
+            pltpu.make_async_copy(
+                q_hbm_ref.at[h * group + g, pl.ds(row0, tq), :], q_buf.at[g], q_sem
+            ).wait()
+
+        def body(i, _):
+            slot = i % 2
+            j = list_smem[i]
+
+            @pl.when(i + 1 < cnt_smem[0])
+            def _():
+                kc, vc = start_kv(list_smem[i + 1], (i + 1) % 2)
+                kc.start()
+                vc.start()
+
+            kc, vc = start_kv(j, slot)
+            kc.wait()
+            k = k_buf[slot].reshape(ck, k_buf.shape[-1]).astype(jnp.bfloat16)
+            vc.wait()
+            v = v_buf[slot].reshape(ck, v_buf.shape[-1]).astype(jnp.bfloat16)
+
+            kpos = j * ck + jax.lax.broadcasted_iota(jnp.int32, (tq, ck), 1)
+            qpos = kv_off + tqi * tq + jax.lax.broadcasted_iota(
+                jnp.int32, (tq, ck), 0
+            )
+            causal = (kpos <= qpos) & (kpos < kv_len)
+            page_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, ck), 1) // page_size
+
+            for g in range(group):
+                bits_val = bits_smem[g, j]  # scalar int32
+                keep = (
+                    jax.lax.shift_right_logical(
+                        jnp.broadcast_to(bits_val, (tq, ck)), page_idx
+                    )
+                    & 1
+                ) == 1
+                q = q_buf[g]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                s = jnp.where(causal & keep, s, MASK_VALUE)
+                m_prev = m_buf[g]
+                l_prev = l_buf[g]
+                m_curr = jnp.broadcast_to(
+                    jnp.max(s, axis=1, keepdims=True), m_prev.shape
+                )
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(s - m_next[:, :1])
+                l_buf[g] = alpha * l_prev + jnp.broadcast_to(
+                    jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+                )
+                m_buf[g] = m_next
+                o_curr = jax.lax.dot(
+                    p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+                )
+                acc_buf[g] = acc_buf[g] * alpha[:, :1] + o_curr
+            return ()
+
+        jax.lax.fori_loop(0, cnt, body, (), unroll=False)
+
+        # rows whose max logit never rose above MASK_VALUE had no active
+        # (head, page) anywhere -> emit 0 (reference emits NaN; callers keep
+        # the causal diagonal set so this is the padding/degenerate case)
+        for g in range(group):
+            l = l_buf[g][:, :1]
+            dead = m_buf[g][:, :1] <= (0.5 * MASK_VALUE)
+            l_inv = jnp.where(
+                dead | (l == 0.0), 0.0, 1.0 / jnp.where(l == 0.0, 1.0, l)
+            )
+            o_stage[g] = (acc_buf[g] * l_inv).astype(o_stage.dtype)
+            pltpu.make_async_copy(
+                o_stage.at[g],
+                o_hbm_ref.at[h * group + g, pl.ds(row0, tq), :],
+                o_sem,
+            ).start()
+        for g in range(group):
+            pltpu.make_async_copy(
+                o_stage.at[g], o_hbm_ref.at[h * group + g, pl.ds(row0, tq), :], o_sem
+            ).wait()
+
+
+def _pack_mask_bits(block_mask, pcb: int, n_chunks: int):
+    """[B, Hq, n_tm, n_tkv] {0,1} -> [B, Hq, n_tm, n_chunks] int32 where bit p
+    of chunk j = mask for page j*pcb+p (pcb <= 30)."""
+    b, hq, n_tm, n_tkv = block_mask.shape
+    pad = n_chunks * pcb - n_tkv
+    m = jnp.pad((block_mask != 0).astype(jnp.int32), ((0, 0),) * 3 + ((0, pad),))
+    m = m.reshape(b, hq, n_tm, n_chunks, pcb)
+    weights = jnp.left_shift(1, jnp.arange(pcb, dtype=jnp.int32))
+    return jnp.sum(m * weights, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tq", "pages_per_compute_block", "max_q_tiles", "interpret"),
+)
+def _prefill_sparse_pallas(
+    q_t,  # [Hq, total_q_pad, D] bf16 pre-scaled
+    k_pages,  # [Hkv, nb, bs, D]
+    v_pages,
+    q_starts,
+    q_lens,
+    kv_lens,
+    block_ids,
+    mask_bits,  # [B, Hq, n_tm, n_chunks] int32
+    tq: int,
+    pages_per_compute_block: int,
+    max_q_tiles: int,
+    interpret: bool = False,
+):
+    hq, total_q_pad, d = q_t.shape
+    hkv, nb, bs, _ = k_pages.shape
+    dv = v_pages.shape[-1]
+    group = hq // hkv
+    b = kv_lens.shape[0]
+    pcb = pages_per_compute_block
+    max_blocks = block_ids.shape[1]
+    n_chunks = mask_bits.shape[-1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, hkv, max_q_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((group, tq, d), jnp.bfloat16),
+            pltpu.VMEM((2, pcb, bs, d), k_pages.dtype),
+            pltpu.VMEM((2, pcb, bs, dv), v_pages.dtype),
+            pltpu.VMEM((group, tq, dv), jnp.float32),
+            pltpu.VMEM((group, tq, _LANES), jnp.float32),
+            pltpu.VMEM((group, tq, _LANES), jnp.float32),
+            pltpu.VMEM((group, tq, dv), jnp.bfloat16),
+            pltpu.SMEM((group, n_chunks), jnp.int32),
+            pltpu.SMEM((n_chunks,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _prefill_sparse_kernel,
+        tq=tq,
+        pcb=pcb,
+        page_size=bs,
+        max_blocks=max_blocks,
+        group=group,
+        n_chunks=n_chunks,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hq, total_q_pad, dv), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        q_starts,
+        q_lens,
+        kv_lens,
+        block_ids.reshape(-1),
+        q_t,
+        k_pages,
+        v_pages,
+        mask_bits,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tq", "pages_per_compute_block", "max_q_tiles", "interpret"),
@@ -279,6 +582,8 @@ def attention_with_kvcache_prefill(
     quant_type: QuantType = QuantType.QPERTOKEN_PERHEAD_KPERTENSOR_VPERTENSOR,
     block_mask=None,
     *,
+    mask_tile_q: int = 128,
+    mask_tile_kv: int = 128,
     sm_scale: float | None = None,
     tq: int = 128,
     pages_per_compute_block: int | None = None,
@@ -307,9 +612,13 @@ def attention_with_kvcache_prefill(
         QuantType.QPERTOKEN_PERHEAD_KPERTOKEN_PERHEAD_VPERHEAD_QKHADAMARD,
     )
 
-    if impl == "ref" or pertoken_k or block_mask is not None:
-        # QuantType-0 and block-sparse currently use the XLA gather path;
-        # the sparse Pallas path lands with the CSR tile-list kernel.
+    sparse = block_mask is not None
+    if sparse and (mask_tile_q != tq or mask_tile_kv % k_pages.shape[2]):
+        # the Pallas sparse kernel requires q-tile == mask tile_m and
+        # page-aligned kv mask tiles; anything else runs the oracle path
+        sparse = False
+    if impl == "ref" or pertoken_k or (block_mask is not None and not sparse):
+        # QuantType-0 decode uses the XLA gather path.
         return attention_with_kvcache_prefill_ref(
             q,
             kcache_n,
@@ -323,6 +632,8 @@ def attention_with_kvcache_prefill(
             vscale=vscale,
             quant_type=quant_type,
             block_mask=block_mask,
+            mask_tile_q=mask_tile_q,
+            mask_tile_kv=mask_tile_kv,
         )
 
     total_q, hq, d = q.shape
@@ -342,46 +653,80 @@ def attention_with_kvcache_prefill(
     qf = qf * scale
 
     # Repack rows so every request starts at a tq-aligned row (HBM slice
-    # offsets must be sublane-tile aligned for the in-kernel DMAs). Waste is
-    # < tq rows per request; the bound keeps the shape static.
+    # offsets must be sublane-tile aligned for the in-kernel DMAs). Each
+    # request gets a fixed max_q_pad slot filled by one contiguous
+    # dynamic_slice — an XLA scatter here costs ~40ms on an 8K prefill,
+    # ~100x the copies.
     cu = cu_seqlens_q.astype(jnp.int32)
     q_lens = cu[1:] - cu[:-1]
-    q_lens_al = ((q_lens + tq - 1) // tq) * tq
-    q_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(q_lens_al)[:-1]]
-    )
-    total_q_pad = round_up(total_q, tq) + b * tq
-    row = jnp.arange(total_q, dtype=jnp.int32)
-    req = jnp.minimum(
-        jnp.searchsorted(cu[1:], row, side="right").astype(jnp.int32), b - 1
-    )
-    pos = row - cu[req]
-    new_row = q_starts[req] + pos
-    q_t = (
-        jnp.zeros((hq, total_q_pad, d), jnp.bfloat16)
-        .at[:, new_row]
-        .set(jnp.transpose(qf.astype(jnp.bfloat16), (1, 0, 2)), mode="drop")
+    max_q_pad = round_up(int(max_seqlens_q), tq)
+    total_q_pad = b * max_q_pad
+    q_starts = jnp.arange(b, dtype=jnp.int32) * max_q_pad
+    qT = jnp.transpose(qf.astype(jnp.bfloat16), (1, 0, 2))  # [hq, total_q, d]
+    qT = jnp.pad(qT, ((0, 0), (0, max_q_pad), (0, 0)))
+    q_t = jnp.concatenate(
+        [
+            jax.lax.dynamic_slice(qT, (0, cu[i], 0), (hq, max_q_pad, d))
+            for i in range(b)
+        ],
+        axis=1,
     )
 
     page_size = k_pages.shape[2]
     if pages_per_compute_block is None:
         pages_per_compute_block = max(1, min(256 // page_size, block_ids.shape[1]))
 
-    max_q_tiles = cdiv(int(max_seqlens_q), tq)
-    o_t = _prefill_pallas(
-        q_t,
-        k_pages,
-        v_pages,
-        q_starts,
-        q_lens,
-        seqlens_kvcache.astype(jnp.int32),
-        block_ids.astype(jnp.int32),
-        tq,
-        pages_per_compute_block,
-        max_q_tiles,
-        interpret=interpret_default(),
-    )
-    out = jnp.transpose(o_t[:, new_row], (1, 0, 2))
+    max_q_tiles = max_q_pad // tq
+    if sparse:
+        pcb = pages_per_compute_block
+        if pcb > 16:  # bits per chunk live in one int32
+            pcb = 16
+        pages_per_tile = mask_tile_kv // page_size
+        # expand mask kv-cols to page granularity, then bit-pack per chunk;
+        # the chunk dim is padded to a lane multiple (128) because the
+        # per-tile bits row is DMA'd HBM->SMEM inside the kernel
+        bm_pages = jnp.repeat(block_mask, pages_per_tile, axis=-1)
+        n_chunks = round_up(cdiv(block_ids.shape[1], pcb), 128)
+        mask_bits = _pack_mask_bits(bm_pages, pcb, n_chunks)
+        o_t = _prefill_sparse_pallas(
+            q_t,
+            k_pages,
+            v_pages,
+            q_starts,
+            q_lens,
+            seqlens_kvcache.astype(jnp.int32),
+            jnp.maximum(block_ids.astype(jnp.int32), 0),
+            mask_bits,
+            tq,
+            pcb,
+            max_q_tiles,
+            interpret=interpret_default(),
+        )
+    else:
+        o_t = _prefill_pallas(
+            q_t,
+            k_pages,
+            v_pages,
+            q_starts,
+            q_lens,
+            seqlens_kvcache.astype(jnp.int32),
+            jnp.maximum(block_ids.astype(jnp.int32), 0),
+            tq,
+            pages_per_compute_block,
+            max_q_tiles,
+            interpret=interpret_default(),
+        )
+    # Compact per-request slots back to packed rows with contiguous
+    # dynamic_update_slices (ascending i: each write covers the previous
+    # slot's garbage tail; the extension row absorbs the last one's).
+    dv_out = o_t.shape[-1]
+    o_ext = jnp.zeros((hq, total_q + max_q_pad, dv_out), o_t.dtype)
+    for i in range(b):
+        blk = jax.lax.dynamic_slice(
+            o_t, (0, i * max_q_pad, 0), (hq, max_q_pad, dv_out)
+        )
+        o_ext = jax.lax.dynamic_update_slice(o_ext, blk, (0, cu[i], 0))
+    out = jnp.transpose(o_ext[:, :total_q], (1, 0, 2))
     if is_fp8 and vscale is not None:
         out = (out.astype(jnp.float32) * vscale.reshape(()).astype(jnp.float32)).astype(
             jnp.bfloat16

@@ -191,3 +191,53 @@ def test_paged_prefill_fp8_pertensor():
         tq=64,
     )
     assert_allclose(np.asarray(out, np.float32), want, atol=0.15, rtol=0.1, name="fp8")
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_blocksparse_prefill_pallas_vs_ref(seed):
+    """Sparse Pallas kernel (mask-skipped chunks) vs the oracle mask path."""
+    rng = np.random.RandomState(41 + seed)
+    hq, hkv, d, bs = 4, 2, 128, 16
+    q_lens = [128, 77]
+    kv_lens = [192, 77]
+    mtq = mtkv = 64
+    total_q = sum(q_lens)
+    q = rng.randn(total_q, hq, d).astype(np.float32)
+    ks = [rng.randn(L, hkv, d).astype(np.float32) for L in kv_lens]
+    vs = [rng.randn(L, hkv, d).astype(np.float32) for L in kv_lens]
+
+    q_bf = jnp.asarray(q, jnp.bfloat16)
+    kcache, vcache, block_ids = build_paged(ks, vs, bs)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(q_lens)]), jnp.int32)
+
+    n_tm = (max(q_lens) + mtq - 1) // mtq
+    n_tkv = (max(kv_lens) + mtkv - 1) // mtkv
+    mask = (rng.rand(2, hq, n_tm, n_tkv) < 0.5).astype(np.uint8)
+    # keep the causal diagonal tile of every q tile (reference contract)
+    for bi, (ql, kl) in enumerate(zip(q_lens, kv_lens)):
+        off = kl - ql
+        for t in range((ql + mtq - 1) // mtq):
+            mask[bi, :, t, (off + t * mtq) // mtkv] = 1
+    block_mask = jnp.asarray(mask)
+
+    args = (
+        q_bf,
+        jnp.asarray(kcache, jnp.bfloat16),
+        jnp.asarray(vcache, jnp.bfloat16),
+        cu_q,
+        jnp.asarray(block_ids),
+        jnp.asarray(kv_lens, jnp.int32),
+        max(q_lens),
+    )
+    kw = dict(
+        block_mask=block_mask, mask_tile_q=mtq, mask_tile_kv=mtkv, tq=mtq
+    )
+    out = attention_with_kvcache_prefill(*args, **kw)
+    want = attention_with_kvcache_prefill(*args, impl="ref", **kw)
+    assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(want, np.float32),
+        atol=4e-2,
+        rtol=4e-2,
+        name="sparse_pallas_vs_ref",
+    )
