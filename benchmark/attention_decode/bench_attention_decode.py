@@ -122,10 +122,17 @@ def main():
                 )
             for method in args.methods:
                 if method == "taskmap":
+                    from hpc_ops_tpu.ops.attention.scheduler import task_capacity
+
+                    cap = task_capacity(
+                        len(kv_lens), int(kv_lens.max()), args.kv_heads,
+                        args.task_tile, 1,
+                    )
                     tm = assign_attention_decode_task(
                         np.asarray(seq_lens),
                         num_head_kv=args.kv_heads,
                         tile=args.task_tile,
+                        capacity=cap,
                     )
                     fn = lambda q, kp, vp, bi, sl: attention_decode(  # noqa: E731
                         q, kp, vp, bi, sl,

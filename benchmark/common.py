@@ -79,6 +79,31 @@ def _sync(tree) -> None:
             np.asarray(jax.device_get(leaf.ravel()[:1]))
 
 
+_OVERHEAD: float | None = None
+
+
+def dispatch_overhead() -> float:
+    """Fixed seconds per dispatch + tiny-readback round trip.
+
+    On tunneled TPU attachments this is ~30ms — larger than many kernels —
+    so per-call timings subtract it. Measured once per process.
+    """
+    global _OVERHEAD
+    if _OVERHEAD is None:
+        import jax.numpy as jnp
+
+        x = jnp.ones((8, 128), jnp.float32)
+        f = jax.jit(lambda x: x + 1.0)
+        _sync(f(x))
+        samples = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            _sync(f(x))
+            samples.append(time.perf_counter() - t0)
+        _OVERHEAD = float(median(samples))
+    return _OVERHEAD
+
+
 def time_fn(
     fn: Callable[..., Any],
     args: tuple = (),
@@ -87,7 +112,8 @@ def time_fn(
     iters: int = 10,
     jit: bool = True,
 ) -> float:
-    """Median seconds per call of ``jit(fn)(*args)``.
+    """Median seconds per call of ``jit(fn)(*args)``, with the fixed
+    dispatch/readback overhead subtracted.
 
     Arrays must be passed via ``args`` (closed-over arrays become jit
     constants, which some remote-compile setups ship over the wire).
@@ -100,7 +126,11 @@ def time_fn(
         t0 = time.perf_counter()
         _sync(f(*args))
         samples.append(time.perf_counter() - t0)
-    return float(median(samples))
+    overhead = dispatch_overhead() if jit else 0.0
+    raw = float(median(samples))
+    # floor at 5% of the raw sample: once the kernel is much smaller than
+    # the fixed overhead the subtraction is noise-dominated
+    return max(raw - overhead, 0.05 * raw)
 
 
 @dataclass

@@ -59,8 +59,15 @@ def main():
             (x, w_high, w_low, scale),
             warmup=args.warmup, iters=args.iters,
         )
+        # honest fp32 baseline: force full-precision accumulation — this
+        # environment sets --xla_allow_excess_precision, which would silently
+        # demote a plain f32 matmul to one bf16 pass
         t_base = time_fn(
-            lambda xf, w: xf @ w.T, (xf, w32),
+            lambda xf, w: jax.lax.dot_general(
+                xf, w, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            ),
+            (xf, w32),
             warmup=args.warmup, iters=args.iters,
         )
         flops = 2 * m * n * k

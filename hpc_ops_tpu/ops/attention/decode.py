@@ -385,7 +385,10 @@ def _decode_tasks_pallas(
         interpret=interpret,
     )(
         kv_lens,
-        block_ids.reshape(-1),
+        # a request's last work tile may extend past its page-table row
+        # (tile span > kv_len): pad so kernel page lookups stay in bounds;
+        # the extra pages read valid data that the kv_len mask discards
+        jnp.pad(block_ids.reshape(-1), (0, pcb)),
         scale,
         t_batch,
         t_head,
@@ -472,7 +475,7 @@ def _decode_pallas(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(kv_lens, block_ids.reshape(-1), scale, q4, k_pages, v_pages)
+    )(kv_lens, jnp.pad(block_ids.reshape(-1), (0, pcb)), scale, q4, k_pages, v_pages)
     return out
 
 
@@ -591,8 +594,9 @@ def attention_decode(
     page_size = k_pages.shape[2]
     dv = v_pages.shape[-1]
     if task_map is not None:
-        assert task_tile % page_size == 0, "task_tile must be page-aligned"
-        pcb = task_tile // page_size
+        tile = getattr(task_map, "tile", task_tile)
+        assert tile % page_size == 0, "task tile must be page-aligned"
+        pcb = tile // page_size
         o_p, m_p, l_p = _decode_tasks_pallas(
             q4,
             k_pages,

@@ -494,7 +494,7 @@ def _prefill_sparse_pallas(
         q_starts,
         q_lens,
         kv_lens,
-        block_ids.reshape(-1),
+        jnp.pad(block_ids.reshape(-1), (0, pcb)),
         q_t,
         k_pages,
         v_pages,
@@ -565,7 +565,7 @@ def _prefill_pallas(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_starts, q_lens, kv_lens, block_ids.reshape(-1), q_t, k_pages, v_pages)
+    )(q_starts, q_lens, kv_lens, jnp.pad(block_ids.reshape(-1), (0, pcb)), q_t, k_pages, v_pages)
 
 
 def attention_with_kvcache_prefill(

@@ -46,6 +46,7 @@ class TaskMap(NamedTuple):
     seg: jax.Array  # [T] int32 segment id = batch * H + head (for combine)
     num_tasks: jax.Array  # [] int32
     num_segs: int  # static: B * H
+    tile: int = 512  # static: tokens per work tile (what `tile_start` counts)
 
     @property
     def capacity(self) -> int:
@@ -141,6 +142,7 @@ def assign_decode_tasks_jnp(
         seg=jnp.where(valid, bh, 0),
         num_tasks=num_tasks,
         num_segs=b * num_head_kv,
+        tile=tile,
     )
 
 
@@ -234,6 +236,7 @@ def assign_attention_decode_task(
         seg=jnp.asarray(seg),
         num_tasks=jnp.asarray(n, jnp.int32),
         num_segs=b * num_head_kv,
+        tile=tile,
     )
 
 

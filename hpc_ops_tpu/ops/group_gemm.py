@@ -260,6 +260,142 @@ def _gg_blockwise_pallas(
     return out[:, :n]
 
 
+def _gg_scatter_kernel(
+    row_idx_ref,  # [num_tiles*tm] int32 source token row per aligned slot
+    grp_ref,  # [num_tiles] int32
+    x_hbm_ref,  # [total_tokens, Kb, 128] ANY (3D view: row slices are full
+    #            in both trailing dims, satisfying DMA tiling rules)
+    w_ref,  # [1, tn, Kp] VMEM block
+    scale_ref,  # [G] SMEM
+    o_ref,  # [tm, tn] VMEM block
+    xbuf,  # [tm, Kb, 128] VMEM scratch
+    sem,
+    acc_ref,
+    *,
+    tm: int,
+):
+    """Scatter grouped GEMM (reference op #9,
+    src/group_gemm/cp_async/entry.cc group_gemm_fp8_scatter): token rows are
+    gathered from HBM *inside* the kernel via per-row DMAs driven by
+    scalar-prefetched row indices, so no gathered copy of x is ever
+    materialized (the reference fuses the MoE gather into the GEMM the same
+    way). Slots with index < 0 read row 0; their outputs are garbage by
+    contract and are dropped by the consumer (reference behavior for
+    off-rank tokens)."""
+    t = pl.program_id(0)
+    jn = pl.program_id(1)
+
+    @pl.when(jn == 0)
+    def _():
+        copies = []
+        for r in range(tm):
+            idx = jnp.maximum(row_idx_ref[t * tm + r], 0)
+            c = pltpu.make_async_copy(x_hbm_ref.at[idx], xbuf.at[r], sem)
+            c.start()
+            copies.append(c)
+        for c in copies:
+            c.wait()
+
+    tm_, kb, _ = xbuf.shape
+    x = xbuf[...].reshape(tm_, kb * 128).astype(jnp.bfloat16)
+    w = w_ref[0].astype(jnp.bfloat16)
+    acc_ref[...] = jax.lax.dot_general(
+        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    sc = scale_ref[grp_ref[t]]
+    o_ref[...] = (acc_ref[...] * sc).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+def _gg_scatter_pallas(x, weight, y_scale, row_idx, grp, tm, tn, interpret=False):
+    total, k = x.shape
+    g, n, _ = weight.shape
+    # row slabs are DMA'd as [Kb, 128] views; Kb must respect the dtype's
+    # sublane packing (4 sublanes/tile-row for 8-bit types) -> K % 512
+    kp = round_up(k, 512)
+    np_ = round_up(n, tn)
+    if kp != k:
+        x = jnp.pad(x, ((0, 0), (0, kp - k)))
+        weight = jnp.pad(weight, ((0, 0), (0, 0), (0, kp - k)))
+    if np_ != n:
+        weight = jnp.pad(weight, ((0, 0), (0, np_ - n), (0, 0)))
+    num_tiles = grp.shape[0]
+    kb = kp // 128
+    out = pl.pallas_call(
+        functools.partial(_gg_scatter_kernel, tm=tm),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles, np_ // tn),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (1, tn, kp), lambda t, jn, row_r, grp_r: (grp_r[t], jn, 0)
+                ),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tm, tn), lambda t, jn, row_r, grp_r: (t, jn)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((tm, kb, 128), x.dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((tm, tn), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles * tm, np_), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        row_idx, grp, x.reshape(total, kb, 128), weight,
+        y_scale.astype(jnp.float32),
+    )
+    return out[:, :n]
+
+
+def group_gemm_fp8_scatter(
+    x,
+    weight,
+    y_scale,
+    row_indices,
+    grp,
+    num_seq_per_group_avg: int = 32,
+    *,
+    tn: int = 256,
+    impl: str = "auto",
+):
+    """Low-latency scatter grouped GEMM (reference ops #9/#12,
+    group_gemm_fp8_scatter_cp_async): ``out[slot] = x[row_indices[slot]] @
+    W[grp[slot // tm]]^T * y_scale[grp]``.
+
+    x: [total_tokens, K] fp8/bf16 (original, un-gathered tokens);
+    row_indices: [num_tiles * tm] int32 source row per aligned output slot
+    (-1 = empty slot, output garbage — dropped by the consumer);
+    grp: [num_tiles] int32 expert/group of each m-tile.
+    Returns [num_tiles * tm, N] bf16 in the tile-aligned layout.
+
+    The reference constrains this path to N_tp <= 512 (hpc/fuse_moe.py:133)
+    because the token gather re-runs per n-tile; same economics here.
+    """
+    tm = _pick_tm(num_seq_per_group_avg)
+    if impl == "ref":
+        xg = jnp.where(
+            (row_indices >= 0)[:, None], x[jnp.maximum(row_indices, 0)], 0
+        )
+        o = jnp.einsum(
+            "sk,snk->sn",
+            xg.astype(jnp.float32),
+            weight.astype(jnp.float32)[jnp.repeat(grp, tm)],
+        )
+        return (o * y_scale[jnp.repeat(grp, tm)][:, None]).astype(jnp.bfloat16)
+    return _gg_scatter_pallas(
+        x, weight, y_scale, row_indices.astype(jnp.int32),
+        grp.astype(jnp.int32), tm, min(tn, round_up(weight.shape[1], 128)),
+        interpret=interpret_default(),
+    )
+
+
 def _pick_tm(num_seq_per_group_avg: int) -> int:
     if num_seq_per_group_avg <= 32:
         return 32
@@ -295,17 +431,33 @@ def group_gemm_pertensor_fp8(
     g = seqlens.shape[0]
     tm = _pick_tm(num_seq_per_group_avg)
     total_tiles_max = cdiv(total, tm) + g
-    total_pad = (total_tiles_max + 1) * tm  # +1 trash tile
-    grp, row_blk, g_starts, _ = _flat_tiles(
-        seqlens.astype(jnp.int32), tm, total_tiles_max
+    seqlens = seqlens.astype(jnp.int32)
+    cu = cu_seqlens.astype(jnp.int32)
+
+    # Build the slot -> source-row map with vector math only (no scatter of
+    # x into an aligned copy — the kernel gathers rows from x in-place).
+    tiles_per_g = cdiv_dyn(seqlens, tm)
+    cu_tiles = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tiles_per_g).astype(jnp.int32)]
     )
-    x_al, new_row = _align_rows(
-        x, seqlens.astype(jnp.int32), cu_seqlens.astype(jnp.int32), g_starts, tm, total_pad
+    total_tiles = cu_tiles[g]
+    grp, _, _, _ = _flat_tiles(seqlens, tm, total_tiles_max)
+    slot = jnp.arange(total_tiles_max * tm, dtype=jnp.int32)
+    tile = slot // tm
+    g_of = grp[tile]
+    row_in_group = (tile - cu_tiles[g_of]) * tm + slot % tm
+    valid = (tile < total_tiles) & (row_in_group < seqlens[g_of])
+    row_idx = jnp.where(valid, cu[g_of] + row_in_group, -1)
+
+    out_al = _gg_scatter_pallas(
+        x, weight, y_scale, row_idx, grp, tm, tn, interpret=interpret_default()
     )
-    out_al = _gg_pertensor_pallas(
-        x_al, weight, y_scale, grp, row_blk, tm, tn, min(tk, round_up(k, 128)),
-        interpret=interpret_default(),
+    # compact back: packed row -> its aligned slot
+    row = jnp.arange(total, dtype=jnp.int32)
+    req = jnp.minimum(
+        jnp.searchsorted(cu[1:], row, side="right").astype(jnp.int32), g - 1
     )
+    new_row = cu_tiles[req] * tm + (row - cu[req])
     return out_al[new_row]
 
 
@@ -410,6 +562,7 @@ __all__ = [
     "group_gemm_fp8",
     "group_gemm_pertensor_fp8",
     "group_gemm_blockwise_fp8",
+    "group_gemm_fp8_scatter",
     "group_gemm_ref",
     "group_gemm_blockwise_ref",
     "reformat_x_scale",

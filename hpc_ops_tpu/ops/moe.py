@@ -28,6 +28,7 @@ from hpc_ops_tpu.ops.group_gemm import (
     _flat_tiles,
     _gg_blockwise_pallas,
     _gg_pertensor_pallas,
+    _gg_scatter_pallas,
     _pick_tm,
     cdiv_dyn,
 )
@@ -90,6 +91,46 @@ def _gather_aligned(x, topk_ids, num_expert: int, rank_ep: int, tm: int):
     return GatherResult(
         xg, topk_pos, seqlens, cu, tiles, cu_tiles, grp, row_blk, valid
     )
+
+
+def _route_aligned(topk_ids, num_expert: int, rank_ep: int, tm: int):
+    """Routing metadata only — no token materialization (reference cp_async
+    path: count_and_build_indices, src/fuse_moe/cp_async/count.cu). Returns
+    (row_idx [num_tiles*tm] int32 source token per aligned slot, -1 empty;
+    topk_pos [S, K]; seqlens; grp [num_tiles])."""
+    s, k = topk_ids.shape
+    flat = topk_ids.reshape(-1).astype(jnp.int32) - rank_ep * num_expert
+    valid = (flat >= 0) & (flat < num_expert)
+    key = jnp.where(valid, flat, num_expert)
+    order = jnp.argsort(key, stable=True)
+
+    seqlens = jnp.bincount(key, length=num_expert + 1)[:num_expert].astype(jnp.int32)
+    cu = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(seqlens).astype(jnp.int32)]
+    )
+    tiles = cdiv_dyn(seqlens, tm)
+    cu_tiles = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tiles).astype(jnp.int32)]
+    )
+    num_tiles = cdiv(s * k, tm) + num_expert
+
+    j = jnp.arange(s * k, dtype=jnp.int32)
+    e = key[order]
+    e_c = jnp.minimum(e, num_expert - 1)
+    aligned = cu_tiles[e_c] * tm + (j - cu[e_c])
+    aligned = jnp.where(e < num_expert, aligned, num_tiles * tm)
+
+    row_idx = (
+        jnp.full((num_tiles * tm + 1,), -1, jnp.int32)
+        .at[aligned]
+        .set(jnp.where(e < num_expert, (order // k).astype(jnp.int32), -1),
+             mode="drop")[:-1]
+    )
+    inv = jnp.argsort(order)
+    topk_pos = jnp.where(valid, aligned[inv], -1).reshape(s, k)
+
+    grp, _, _, _ = _flat_tiles(seqlens, tm, num_tiles)
+    return row_idx, topk_pos, seqlens, cu, tiles, cu_tiles, grp
 
 
 def count_and_gather(
@@ -172,6 +213,28 @@ def fuse_moe_pertensor_fp8(
     """
     e_local = gate_up_weight.shape[0]
     tm = _pick_tm(num_seq_per_group_avg)
+
+    if impl in ("auto", "scatter"):
+        # Low-latency scatter pipeline (reference cp_async fuse_moe,
+        # src/fuse_moe/cp_async/fuse_moe.cu:53-100): routing builds only an
+        # index vector; both GEMMs gather their rows in-kernel, so the
+        # expert-grouped token copy is never materialized in HBM.
+        interp = interpret_default()
+        row_idx, topk_pos, seqlens, cu, tiles, cu_tiles, grp = _route_aligned(
+            topk_ids, e_local, rank_ep, tm
+        )
+        gate_up = _gg_scatter_pallas(
+            x, gate_up_weight, gate_up_scale, row_idx, grp,
+            tm, min(512, gate_up_weight.shape[1]), interpret=interp,
+        )
+        down_in = act_mul_and_quant(gate_up, act_and_mul_scale, use_bf16_mul)
+        ident = jnp.arange(row_idx.shape[0], dtype=jnp.int32)
+        down = _gg_scatter_pallas(
+            down_in, down_weight, down_scale, ident, grp,
+            tm, min(512, down_weight.shape[1]), interpret=interp,
+        )
+        return reduce(down, topk_pos, topk_scale, shared_output)
+
     g = _gather_aligned(x, topk_ids, e_local, rank_ep, tm)
 
     if impl == "ref":

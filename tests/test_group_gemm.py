@@ -117,3 +117,39 @@ def test_group_gemm_blockwise_fp8(seqlens):
         atol=1e-5,
         name="transposed_layout",
     )
+
+
+def test_group_gemm_fp8_scatter():
+    """Scatter variant: in-kernel row gather vs materialized-gather oracle."""
+    from hpc_ops_tpu.ops.group_gemm import _pick_tm, group_gemm_fp8_scatter
+
+    rng = np.random.RandomState(11)
+    total_tokens, k_dim, n, g = 50, 256, 384, 3
+    tm = _pick_tm(32)
+    num_tiles = 4
+    x = jnp.asarray(rng.randn(total_tokens, k_dim) / 8, jnp.float8_e4m3fn)
+    w = jnp.asarray(rng.randn(g, n, k_dim) / 8, jnp.float8_e4m3fn)
+    y_scale = jnp.asarray(rng.rand(g).astype(np.float32))
+
+    grp = jnp.asarray(np.array([0, 1, 1, 2], np.int32))
+    row_idx = np.full((num_tiles * tm,), -1, np.int32)
+    # scatter some real tokens into slots (ragged fill per tile)
+    fill = [5, tm, 7, 1]
+    for t in range(num_tiles):
+        row_idx[t * tm : t * tm + fill[t]] = rng.randint(
+            0, total_tokens, fill[t]
+        )
+    row_idx_j = jnp.asarray(row_idx)
+
+    out = group_gemm_fp8_scatter(x, w, y_scale, row_idx_j, grp)
+    assert out.shape == (num_tiles * tm, n)
+
+    xf = np.asarray(x, np.float32)
+    wf = np.asarray(w, np.float32)
+    for t in range(num_tiles):
+        gi = int(grp[t])
+        for r in range(fill[t]):
+            slot = t * tm + r
+            want = xf[row_idx[slot]] @ wf[gi].T * float(y_scale[gi])
+            got = np.asarray(out[slot], np.float32)
+            np.testing.assert_allclose(got, want, atol=0.15, rtol=0.08)

@@ -97,9 +97,10 @@ def test_count_and_gather_and_reduce():
     assert_allclose(np.asarray(got, np.float32), want, atol=3e-2, rtol=3e-2)
 
 
+@pytest.mark.parametrize("impl", ["scatter", "gather"])
 @pytest.mark.parametrize("rank_ep,size_ep", [(0, 1), (1, 4)])
 @pytest.mark.parametrize("has_shared", [False, True])
-def test_fuse_moe_pertensor_fp8(rank_ep, size_ep, has_shared):
+def test_fuse_moe_pertensor_fp8(rank_ep, size_ep, has_shared, impl):
     rng = np.random.RandomState(41)
     s, k, h, interm, e_total = 32, 4, 256, 256, 16
     e_local = e_total // size_ep
@@ -127,6 +128,7 @@ def test_fuse_moe_pertensor_fp8(rank_ep, size_ep, has_shared):
         jnp.asarray(topk_scale),
         rank_ep,
         e_total,
+        impl=impl,
     )
     if has_shared:
         out = fuse_moe_pertensor_fp8(
@@ -141,6 +143,7 @@ def test_fuse_moe_pertensor_fp8(rank_ep, size_ep, has_shared):
             rank_ep,
             e_total,
             shared_output=shared,
+            impl=impl,
         )
 
     want = naive_moe(
