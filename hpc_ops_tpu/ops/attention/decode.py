@@ -188,6 +188,212 @@ def _decode_kernel(
     o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
 
 
+def _decode_qt0_kernel(
+    # scalar prefetch
+    kv_lens_ref,
+    block_tbl_ref,
+    scale_ref,  # [1] f32 (sm_scale; k scales are per-token here)
+    # inputs
+    q_ref,  # [1, 1, SGP, D] bf16 (per-token-per-head q scale folded outside)
+    k_pages_ref,  # [Hkv, nb, bs, D] fp8 ANY
+    v_pages_ref,
+    ks_ref,  # [1, 1, num_t, ck] f32 VMEM block — dense per-token K scales
+    # outputs
+    o_ref,
+    # scratch
+    k_buf,
+    v_buf,
+    sems,
+    m_scr,
+    l_scr,
+    acc_scr,
+    buf_idx_ref,
+    *,
+    sq: int,
+    pcb: int,
+    page_size: int,
+    max_blocks: int,
+    batch: int,
+    num_kv_heads: int,
+    num_t: int,
+):
+    """QuantType-0 decode (reference scheme (b), hpc/attention.py:8-12):
+    fp8 K with one scale per (token, kv-head). The scale is applied to the
+    LOGITS after the QK matmul (s[:, j] *= ks[j] — exact, since the scale is
+    constant along D), so the kernel needs no K dequant pass; scales arrive
+    as a dense per-(batch, head) row gathered through the page table outside
+    (4 bytes/token vs 128 for K — ~3% extra traffic). V's per-head scale
+    folds into the output outside."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    ck = pcb * page_size
+
+    kv_len = kv_lens_ref[b]
+    t_max = jnp.maximum((kv_len + ck - 1) // ck, 1)
+
+    def start_copy(bi, hi, ti, slot):
+        args = dict(
+            block_tbl_ref=block_tbl_ref, head=hi,
+            page_start=bi * max_blocks + ti * pcb, num_pages=pcb, slot=slot,
+        )
+        kc = MultiPageCopy(k_pages_ref, k_buf, sems.at[slot, 0], **args)
+        vc = MultiPageCopy(v_pages_ref, v_buf, sems.at[slot, 1], **args)
+        return kc, vc
+
+    @pl.when((b == 0) & (h == 0))
+    def _():
+        buf_idx_ref[0] = 0
+        kc, vc = start_copy(b, h, 0, 0)
+        kc.start()
+        vc.start()
+
+    m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = (q_ref[0, 0].astype(jnp.float32) * scale_ref[0]).astype(jnp.bfloat16)
+    sgp = q.shape[0]
+
+    nb_ = jnp.where(h == num_kv_heads - 1, b + 1, b)
+    nh = jnp.where(h == num_kv_heads - 1, 0, h + 1)
+
+    def body(t, _):
+        slot = buf_idx_ref[0]
+        next_slot = 1 - slot
+        is_last_t = t == t_max - 1
+        pb = jnp.where(is_last_t, nb_, b)
+        ph = jnp.where(is_last_t, nh, h)
+        pt = jnp.where(is_last_t, 0, t + 1)
+
+        @pl.when(pb < batch)
+        def _():
+            kc, vc = start_copy(pb, ph, pt, next_slot)
+            kc.start()
+            vc.start()
+
+        buf_idx_ref[0] = next_slot
+
+        kc, vc = start_copy(b, h, t, slot)
+        kc.wait()
+        k = k_buf[slot].reshape(ck, k_buf.shape[-1]).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * ks_ref[0, 0, t][None, :]
+
+        kpos = t * ck + jax.lax.broadcasted_iota(jnp.int32, (sgp, ck), 1)
+        if sq == 1:
+            s = jnp.where(kpos < kv_len, s, MASK_VALUE)
+        else:
+            row = jax.lax.broadcasted_iota(jnp.int32, (sgp, ck), 0)
+            qpos = kv_len - sq + row % sq
+            s = jnp.where(kpos <= qpos, s, MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.broadcast_to(jnp.max(s, axis=1, keepdims=True), m_prev.shape)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_scr[...] = alpha * l_prev + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+        )
+        m_scr[...] = m_next
+
+        vc.wait()
+        v = v_buf[slot].reshape(ck, v_buf.shape[-1]).astype(jnp.bfloat16)
+        o_curr = jax.lax.dot(
+            p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + o_curr
+        return ()
+
+    if num_t == 1:
+        body(0, ())
+    else:
+        jax.lax.fori_loop(0, t_max, body, (), unroll=False)
+
+    l = l_scr[:, :1]
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sq", "pages_per_compute_block", "interpret")
+)
+def _decode_qt0_pallas(
+    q4,  # [B, Hkv, SGP, D] bf16
+    k_pages,  # [Hkv, nb, bs, D] fp8
+    v_pages,
+    ks_dense,  # [B, Hkv, num_t, ck] f32 — page-table-gathered K scales
+    block_ids,
+    kv_lens,
+    scale,
+    sq: int,
+    pages_per_compute_block: int,
+    interpret: bool = False,
+):
+    b, hkv, sgp, d = q4.shape
+    _, nb, bs, _ = k_pages.shape
+    dv = v_pages.shape[-1]
+    max_blocks = block_ids.shape[1]
+    pcb = pages_per_compute_block
+    num_t = ks_dense.shape[2]
+    ck = ks_dense.shape[3]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, sgp, d), lambda bi, hi, *_: (bi, hi, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 1, num_t, ck), lambda bi, hi, *_: (bi, hi, 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, sgp, dv), lambda bi, hi, *_: (bi, hi, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, pcb, bs, d), k_pages.dtype),
+            pltpu.VMEM((2, pcb, bs, dv), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((sgp, _LANES), jnp.float32),
+            pltpu.VMEM((sgp, _LANES), jnp.float32),
+            pltpu.VMEM((sgp, dv), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_qt0_kernel,
+        sq=sq,
+        pcb=pcb,
+        page_size=bs,
+        max_blocks=max_blocks,
+        batch=b,
+        num_kv_heads=hkv,
+        num_t=num_t,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, sgp, dv), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        kv_lens,
+        jnp.pad(block_ids.reshape(-1), (0, pcb)),
+        scale,
+        q4,
+        k_pages,
+        v_pages,
+        ks_dense,
+    )
+
+
 def _decode_tasks_kernel(
     # scalar prefetch
     kv_lens_ref,  # [B]
@@ -546,8 +752,11 @@ def attention_decode(
         QuantType.QPERTOKEN_PERHEAD_KPERTOKEN_PERHEAD_VPERHEAD_QKHADAMARD,
     )
 
-    if impl == "ref" or pertoken_k:
-        # QuantType-0 decode currently runs on the XLA gather path.
+    qt0_fast = pertoken_k and task_map is None and kscale.shape[-1] == 1
+    if impl == "ref" or (pertoken_k and not qt0_fast):
+        # QuantType-0 runs the Pallas path only for the reference's actual
+        # scheme (one scale per token-head, no task map); grouped-D scales
+        # and the task-map mode use the XLA gather path.
         if cache_layout == "HND":
             kcache_n = jnp.transpose(kcache, (1, 2, 0, 3))
             vcache_n = jnp.transpose(vcache, (1, 2, 0, 3))
@@ -570,7 +779,7 @@ def attention_decode(
     # per-tensor scales fold into a single in-kernel logit scale; only the
     # per-token-per-head qscale (fp8) needs a pass over q itself
     scale = (1.0 / (d**0.5)) if sm_scale is None else sm_scale
-    if is_fp8 and kscale is not None:
+    if is_fp8 and kscale is not None and not pertoken_k:
         scale_arr = (kscale.reshape(()).astype(jnp.float32) * scale).reshape(1)
     else:
         scale_arr = jnp.full((1,), scale, jnp.float32)
@@ -614,6 +823,48 @@ def attention_decode(
         )
         o_seg = _segment_combine(o_p, m_p, l_p, task_map.seg, task_map.num_segs)
         o4 = o_seg.reshape(b, hkv, sgp, dv)
+    elif pertoken_k:
+        if pages_per_compute_block is None:
+            pages_per_compute_block = max(
+                1, min(4096 // page_size, block_ids.shape[1])
+            )
+        pcb = pages_per_compute_block
+        max_blocks = block_ids.shape[1]
+        num_t = cdiv(max_blocks, pcb)
+        ck = pcb * page_size
+        # kscale arrives paged [nb, bs, Hkv, 1]; gather it dense through the
+        # page table (4 bytes/token — ~3% of the fp8 K traffic) so the
+        # kernel can scale logits per kv column
+        ks = kscale.astype(jnp.float32).reshape(
+            kscale.shape[0], page_size, hkv
+        )  # [nb, bs, Hkv]
+        tbl = jnp.maximum(block_ids.astype(jnp.int32), 0)  # [B, max_blocks]
+        ks_gather = ks[tbl]  # [B, max_blocks, bs, Hkv]
+        ks_dense = jnp.transpose(ks_gather, (0, 3, 1, 2)).reshape(
+            b, hkv, max_blocks * page_size
+        )
+        pad = num_t * ck - max_blocks * page_size
+        if pad:
+            ks_dense = jnp.pad(ks_dense, ((0, 0), (0, 0), (0, pad)))
+        ks_dense = ks_dense.reshape(b, hkv, num_t, ck)
+        o4 = _decode_qt0_pallas(
+            q4,
+            k_pages,
+            v_pages,
+            ks_dense,
+            tbl,
+            kv_lens,
+            scale_arr,
+            sq,
+            pcb,
+            interpret=interpret_default(),
+        )
+        if vscale is not None:
+            # per-head V scale folds into the per-(kv-head) output block
+            o4 = (
+                o4.astype(jnp.float32)
+                * vscale.reshape(1, hkv, 1, 1).astype(jnp.float32)
+            ).astype(jnp.bfloat16)
     else:
         if pages_per_compute_block is None:
             # Large chunks amortize DMA issue + grid overhead; measured on
@@ -635,7 +886,7 @@ def attention_decode(
             interpret=interpret_default(),
         )
     out = _unpack_o(o4, b, sq, hkv, g, dv)
-    if is_fp8 and vscale is not None:
+    if is_fp8 and vscale is not None and not pertoken_k:
         out = out * vscale.reshape(()).astype(jnp.float32)
     return out.astype(jnp.bfloat16)
 

@@ -265,27 +265,33 @@ def _gg_scatter_kernel(
     grp_ref,  # [num_tiles] int32
     x_hbm_ref,  # [total_tokens, Kb, 128] ANY (3D view: row slices are full
     #            in both trailing dims, satisfying DMA tiling rules)
-    w_ref,  # [1, tn, Kp] VMEM block
+    w_ref,  # [1, tn, tk] VMEM block
     scale_ref,  # [G] SMEM
     o_ref,  # [tm, tn] VMEM block
-    xbuf,  # [tm, Kb, 128] VMEM scratch
+    xbuf,  # [tm, Kb, 128] VMEM scratch (full K per row, gathered once)
     sem,
     acc_ref,
     *,
     tm: int,
+    kbt: int,  # K-tile in lane-groups of 128 (tk = kbt * 128)
 ):
     """Scatter grouped GEMM (reference op #9,
     src/group_gemm/cp_async/entry.cc group_gemm_fp8_scatter): token rows are
     gathered from HBM *inside* the kernel via per-row DMAs driven by
     scalar-prefetched row indices, so no gathered copy of x is ever
     materialized (the reference fuses the MoE gather into the GEMM the same
-    way). Slots with index < 0 read row 0; their outputs are garbage by
-    contract and are dropped by the consumer (reference behavior for
-    off-rank tokens)."""
+    way). The gather runs once per m-tile (first (jn, jk) step) and the rows
+    stay in VMEM scratch for every weight block. Slots with index < 0 read
+    row 0; their outputs are garbage by contract and dropped by the consumer
+    (reference behavior for off-rank tokens). Weights stream in (tn, tk)
+    blocks — 8-bit types occupy 32 bits/element in VMEM on generations
+    without native fp8, so a full-K weight block would blow the VMEM budget.
+    """
     t = pl.program_id(0)
     jn = pl.program_id(1)
+    jk = pl.program_id(2)
 
-    @pl.when(jn == 0)
+    @pl.when((jn == 0) & (jk == 0))
     def _():
         copies = []
         for r in range(tm):
@@ -296,23 +302,37 @@ def _gg_scatter_kernel(
         for c in copies:
             c.wait()
 
+    @pl.when(jk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
     tm_, kb, _ = xbuf.shape
-    x = xbuf[...].reshape(tm_, kb * 128).astype(jnp.bfloat16)
+    # kbt is a multiple of 8 so the dynamic sublane offset is provably
+    # tile-aligned for the vector load
+    off = pl.multiple_of(jk * kbt, kbt)
+    xk = xbuf[:, pl.ds(off, kbt), :].reshape(tm_, kbt * 128)
+    x = xk.astype(jnp.bfloat16)
     w = w_ref[0].astype(jnp.bfloat16)
-    acc_ref[...] = jax.lax.dot_general(
+    acc_ref[...] += jax.lax.dot_general(
         x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    sc = scale_ref[grp_ref[t]]
-    o_ref[...] = (acc_ref[...] * sc).astype(o_ref.dtype)
+
+    @pl.when(jk == pl.num_programs(2) - 1)
+    def _():
+        sc = scale_ref[grp_ref[t]]
+        o_ref[...] = (acc_ref[...] * sc).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
-def _gg_scatter_pallas(x, weight, y_scale, row_idx, grp, tm, tn, interpret=False):
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "tk", "interpret"))
+def _gg_scatter_pallas(
+    x, weight, y_scale, row_idx, grp, tm, tn, tk=1024, interpret=False
+):
+    assert tk % 1024 == 0, "tk must keep the k-tile sublane offset 8-aligned"
     total, k = x.shape
     g, n, _ = weight.shape
     # row slabs are DMA'd as [Kb, 128] views; Kb must respect the dtype's
     # sublane packing (4 sublanes/tile-row for 8-bit types) -> K % 512
-    kp = round_up(k, 512)
+    kp = round_up(k, max(tk, 512))
     np_ = round_up(n, tn)
     if kp != k:
         x = jnp.pad(x, ((0, 0), (0, kp - k)))
@@ -321,20 +341,22 @@ def _gg_scatter_pallas(x, weight, y_scale, row_idx, grp, tm, tn, interpret=False
         weight = jnp.pad(weight, ((0, 0), (0, np_ - n), (0, 0)))
     num_tiles = grp.shape[0]
     kb = kp // 128
+    kbt = tk // 128
     out = pl.pallas_call(
-        functools.partial(_gg_scatter_kernel, tm=tm),
+        functools.partial(_gg_scatter_kernel, tm=tm, kbt=kbt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(num_tiles, np_ // tn),
+            grid=(num_tiles, np_ // tn, kp // tk),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
-                    (1, tn, kp), lambda t, jn, row_r, grp_r: (grp_r[t], jn, 0)
+                    (1, tn, tk),
+                    lambda t, jn, jk, row_r, grp_r: (grp_r[t], jn, jk),
                 ),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec(
-                (tm, tn), lambda t, jn, row_r, grp_r: (t, jn)
+                (tm, tn), lambda t, jn, jk, row_r, grp_r: (t, jn)
             ),
             scratch_shapes=[
                 pltpu.VMEM((tm, kb, 128), x.dtype),
@@ -344,7 +366,7 @@ def _gg_scatter_pallas(x, weight, y_scale, row_idx, grp, tm, tn, interpret=False
         ),
         out_shape=jax.ShapeDtypeStruct((num_tiles * tm, np_), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(

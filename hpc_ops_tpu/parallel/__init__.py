@@ -1,3 +1,6 @@
+from hpc_ops_tpu.parallel.collective_kernels import (
+    fuse_allreduce_rmsnorm_pallas,
+)
 from hpc_ops_tpu.parallel.collectives import (
     fuse_allreduce_rmsnorm,
     fuse_allreduce_rmsnorm_ref,
@@ -7,6 +10,7 @@ from hpc_ops_tpu.parallel.mesh import make_mesh, tp_sharding
 
 __all__ = [
     "fuse_allreduce_rmsnorm",
+    "fuse_allreduce_rmsnorm_pallas",
     "fuse_allreduce_rmsnorm_sharded",
     "fuse_allreduce_rmsnorm_ref",
     "make_mesh",

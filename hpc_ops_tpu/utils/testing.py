@@ -31,14 +31,27 @@ def _topk_error_table(name, a, b, k=10):
     return "\n".join(lines)
 
 
-def assert_allclose(got, want, atol=1e-5, rtol=1e-5, name="output", k=10):
-    """np.allclose with a top-k error table on failure."""
+def assert_allclose(
+    got, want, atol=1e-5, rtol=1e-5, name="output", k=10, equal_nan=False
+):
+    """np.allclose with a top-k error table on failure.
+
+    NaNs are a failure by default — matching NaNs would let a test pass
+    vacuously when both implementations blow up the same way (e.g. fp8
+    overflow in badly-scaled test data). Pass ``equal_nan=True`` only when
+    NaN is part of the op's contract.
+    """
     got_np = np.asarray(got, dtype=np.float64)
     want_np = np.asarray(want, dtype=np.float64)
     assert got_np.shape == want_np.shape, (
         f"{name}: shape mismatch {got_np.shape} vs {want_np.shape}"
     )
-    if not np.allclose(got_np, want_np, atol=atol, rtol=rtol, equal_nan=True):
+    if not equal_nan and not np.isfinite(got_np).all():
+        raise AssertionError(
+            f"{name}: got contains {int(np.sum(~np.isfinite(got_np)))} "
+            f"non-finite values"
+        )
+    if not np.allclose(got_np, want_np, atol=atol, rtol=rtol, equal_nan=equal_nan):
         raise AssertionError(
             f"{name}: allclose failed (atol={atol}, rtol={rtol})\n"
             + _topk_error_table(name, got_np, want_np, k=k)

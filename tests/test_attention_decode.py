@@ -157,3 +157,54 @@ def test_attention_decode_fp8_pertensor(quant_type):
         quant_type=quant_type,
     )
     assert_allclose(np.asarray(out, np.float32), want, atol=0.12, rtol=0.08, name="fp8")
+
+
+@pytest.mark.parametrize("s_groups", [1, 4])
+def test_attention_decode_fp8_pertoken_k(s_groups):
+    """QuantType-0: per-token-per-head K scales (scale pages DMA'd with KV),
+    per-head V scale — Pallas kernel vs the dequant oracle."""
+    rng = np.random.RandomState(17)
+    b, hkv, g, d, bs = 3, 2, 4, 128, 16
+    hq = hkv * g
+    kv_lens_np = np.array([40, 16, 64], np.int64)
+    max_blocks = int(np.max((kv_lens_np + bs - 1) // bs))
+    nb = b * max_blocks + 2
+
+    q = jnp.asarray(rng.randn(b, hq, d), jnp.bfloat16)
+    kf = rng.randn(nb, bs, hkv, d).astype(np.float32)
+    vf = rng.randn(nb, bs, hkv, d).astype(np.float32)
+    # proper quantization scales: max|.|/448 per (token, head[, d-group])
+    kg = kf.reshape(nb, bs, hkv, s_groups, d // s_groups)
+    kscale = (np.abs(kg).max(axis=-1) / 448.0 + 1e-6).astype(np.float32)
+    vscale = (
+        np.abs(vf).max(axis=(0, 1, 3)) / 448.0 + 1e-6
+    ).astype(np.float32)
+    ks_rep = np.repeat(kscale, d // s_groups, axis=-1)
+    kc8 = jnp.asarray(kf / ks_rep, jnp.float8_e4m3fn)
+    vc8 = jnp.asarray(vf / vscale[None, None, :, None], jnp.float8_e4m3fn)
+    assert np.isfinite(np.asarray(kc8, np.float32)).all()
+
+    perm = rng.permutation(nb)
+    block_ids = np.stack(
+        [perm[i * max_blocks : (i + 1) * max_blocks] for i in range(b)]
+    ).astype(np.int32)
+
+    args = (
+        q, kc8, vc8, jnp.asarray(block_ids), jnp.asarray(kv_lens_np, jnp.int32)
+    )
+    kw = dict(
+        new_kv_included=True,
+        qscale=None,
+        kscale=jnp.asarray(kscale),
+        vscale=jnp.asarray(vscale),
+        quant_type=QuantType.QPERTOKEN_PERHEAD_KPERTOKEN_PERHEAD_VPERHEAD,
+    )
+    out = attention_decode(*args, **kw)
+    want = attention_decode(*args, impl="ref", **kw)
+    assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(want, np.float32),
+        atol=4e-2,
+        rtol=4e-2,
+        name="qt0_pallas_vs_ref",
+    )
