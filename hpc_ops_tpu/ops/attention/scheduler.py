@@ -152,12 +152,9 @@ _LIB = None
 def _native_lib():
     global _LIB
     if _LIB is None:
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            "runtime",
-            "libhpcsched.so",
-        )
-        _LIB = ctypes.CDLL(path)
+        from hpc_ops_tpu.runtime import native_lib
+
+        _LIB = native_lib()  # builds the .so lazily if missing/stale
         _LIB.hpc_assign_decode_tasks.restype = ctypes.c_int
         _LIB.hpc_assign_decode_tasks.argtypes = [
             ctypes.POINTER(ctypes.c_int32),  # kv_lens

@@ -1,0 +1,200 @@
+"""Minimal continuous-batching serving engine.
+
+The reference is an operator library that plugs into vLLM/SGLang
+(README.md:36-38); a complete framework carries the serving loop itself.
+This engine is that glue: paged-KV block management (native allocator),
+bucketed prefill, dynamically batched decode over a fixed-shape jitted
+step, and fused sampling — all built on the ops in :mod:`hpc_ops_tpu.ops`.
+
+Shape policy (XLA compiles static shapes): prefill pads each prompt to a
+power-of-two bucket; decode always runs the full ``max_batch`` with dummy
+slots parked on a reserved page, so the engine compiles one prefill step
+per bucket plus exactly one decode step.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from hpc_ops_tpu.models.llama import ModelConfig, forward_step, init_cache
+from hpc_ops_tpu.runtime import PagedBlockAllocator
+
+__all__ = ["Engine", "Request"]
+
+
+@dataclass
+class Request:
+    rid: int
+    prompt: list
+    out: list = field(default_factory=list)
+    max_new: int = 16
+    done: bool = False
+
+    @property
+    def tokens(self) -> list:
+        return self.prompt + self.out
+
+
+def _bucket(n: int, lo: int = 16) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class Engine:
+    """Continuous-batching engine over one model + one paged cache pool."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        weights,
+        *,
+        num_blocks: int = 128,
+        block_size: int = 16,
+        max_batch: int = 8,
+        max_blocks_per_seq: int | None = None,
+        temperature: float = 0.0,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.weights = weights
+        self.block_size = block_size
+        self.max_batch = max_batch
+        self.temperature = temperature
+        self.seed = seed
+        self.alloc = PagedBlockAllocator(num_blocks, block_size)
+        self.caches = init_cache(cfg, num_blocks=num_blocks, block_size=block_size)
+        self.max_blocks_per_seq = max_blocks_per_seq or max(num_blocks // 4, 4)
+        # reserved page for dummy decode slots (never read back)
+        self._dummy_seq = -1
+        self.alloc.extend(self._dummy_seq, 1)
+        self._dummy_block = int(self.alloc.table(self._dummy_seq)[0])
+        self.requests: dict[int, Request] = {}
+        self._pending: list[int] = []
+        self._active: list[int] = []
+        self._next_rid = 0
+
+        self._prefill_steps: dict[int, object] = {}
+        self._decode_step = jax.jit(
+            functools.partial(
+                forward_step,
+                cfg=cfg,
+                is_prefill=False,
+                max_seqlens_q=1,
+            ),
+            static_argnames=(),
+        )
+
+    # ------------------------------------------------------------- requests
+    def add_request(self, prompt_ids, max_new: int = 16) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        self.requests[rid] = Request(rid, list(map(int, prompt_ids)), max_new=max_new)
+        self._pending.append(rid)
+        return rid
+
+    # --------------------------------------------------------------- steps
+    def _sample(self, logits) -> np.ndarray:
+        if self.temperature <= 0.0:
+            return np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int64)
+        from hpc_ops_tpu.ops.sampler import fused_sampler
+
+        toks, _ = fused_sampler(
+            logits, temperature=self.temperature, seed=self.seed
+        )
+        return np.asarray(toks).reshape(-1).astype(np.int64)
+
+    def _prefill_fn(self, bucket: int):
+        if bucket not in self._prefill_steps:
+            self._prefill_steps[bucket] = jax.jit(
+                functools.partial(
+                    forward_step,
+                    cfg=self.cfg,
+                    is_prefill=True,
+                    max_seqlens_q=bucket,
+                )
+            )
+        return self._prefill_steps[bucket]
+
+    def _table(self, rid: int) -> np.ndarray:
+        return self.alloc.table(rid, pad_to=self.max_blocks_per_seq)
+
+    def _prefill_one(self, rid: int) -> None:
+        req = self.requests[rid]
+        n = len(req.prompt)
+        bucket = _bucket(n)
+        self.alloc.extend(rid, n)
+        tbl = self._table(rid)
+        tokens = np.zeros((bucket,), np.int32)
+        tokens[:n] = req.prompt
+        logits, self.caches = self._prefill_fn(bucket)(
+            self.weights,
+            self.caches,
+            token_ids=jnp.asarray(tokens),
+            seq_lens=jnp.asarray([n], jnp.int32),
+            q_index=jnp.asarray([0, n], jnp.int32),
+            block_ids=jnp.asarray(tbl[None, :]),
+        )
+        tok = int(self._sample(logits.reshape(1, -1))[0])
+        req.out.append(tok)
+        self._active.append(rid)
+        self._finish_if_done(req)
+
+    def _finish_if_done(self, req: Request) -> None:
+        if len(req.out) >= req.max_new:
+            req.done = True
+            if req.rid in self._active:
+                self._active.remove(req.rid)
+            self.alloc.free(req.rid)
+
+    def _decode_batch(self) -> None:
+        rids = self._active[: self.max_batch]
+        b = self.max_batch
+        tokens = np.zeros((b,), np.int32)
+        seq_lens = np.ones((b,), np.int32)
+        tables = np.full((b, self.max_blocks_per_seq), self._dummy_block, np.int32)
+        for i, rid in enumerate(rids):
+            req = self.requests[rid]
+            new_len = len(req.tokens)
+            self.alloc.extend(rid, new_len)
+            tokens[i] = req.tokens[-1]
+            seq_lens[i] = new_len
+            tables[i] = self._table(rid)
+        logits, self.caches = self._decode_step(
+            self.weights,
+            self.caches,
+            token_ids=jnp.asarray(tokens),
+            seq_lens=jnp.asarray(seq_lens),
+            q_index=jnp.arange(b + 1, dtype=jnp.int32),
+            block_ids=jnp.asarray(tables),
+        )
+        toks = self._sample(logits)
+        for i, rid in enumerate(rids):
+            req = self.requests[rid]
+            req.out.append(int(toks[i]))
+            self._finish_if_done(req)
+
+    def step(self) -> bool:
+        """One engine step (a prefill or a decode batch). Returns False when
+        no work remains."""
+        if self._pending:
+            self._prefill_one(self._pending.pop(0))
+            return True
+        if self._active:
+            self._decode_batch()
+            return True
+        return False
+
+    def run(self, prompts, max_new: int = 8) -> list:
+        """Convenience: serve `prompts` to completion, return token lists."""
+        rids = [self.add_request(p, max_new=max_new) for p in prompts]
+        while self.step():
+            pass
+        return [self.requests[r].out for r in rids]
