@@ -1,0 +1,148 @@
+"""FP8-vs-BF16 accuracy delta (BASELINE target: <=1%).
+
+Runs the flagship model twice on identical inputs — once with a BF16 KV
+cache, once with the FP8 KV cache — decoding is teacher-forced onto the
+BF16 trajectory, and reports logit error relative to the logit spread.
+
+Interpretation note: with RANDOM weights a multi-layer net chaotically
+amplifies any per-op perturbation (each layer decorrelates the ~0.5%% fp8
+rounding), so the single-layer row is the op-level fp8 fidelity number and
+the multi-layer row is an upper bound that a trained model would not
+exhibit (trained nets are noise-robust; that robustness is the empirical
+basis for fp8 KV caches).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from common import Reporter
+
+
+def run_config(args, layers, rep):
+    from hpc_ops_tpu.models.llama import (
+        ModelConfig,
+        forward_step,
+        init_cache,
+        init_weights,
+    )
+
+    bs = 32
+    b = args.batch
+    max_len = args.prefill + args.decode_steps
+    nb_per = -(-max_len // bs) + 1
+    # one prompt for BOTH runs (a shared advancing RNG would silently hand
+    # the two paths different inputs)
+    prompt = np.random.RandomState(0).randint(
+        1, 2048, (b, args.prefill)
+    ).astype(np.int32)
+
+    results = {}
+    forced_tokens = None  # teacher-force the fp8 run with the bf16 tokens
+    for fp8 in (False, True):
+        cfg = ModelConfig(
+            vocab=2048,
+            hidden=args.hidden,
+            layers=layers,
+            q_heads=8,
+            kv_heads=4,
+            head_dim=128,
+            intermediate=2 * args.hidden,
+            max_position=4 * max_len,
+            fp8_kv=fp8,
+        )
+        weights = init_weights(jax.random.PRNGKey(0), cfg)
+        caches = init_cache(cfg, num_blocks=b * nb_per, block_size=bs)
+        tbl = jnp.asarray(
+            np.arange(b * nb_per, dtype=np.int32).reshape(b, nb_per)
+        )
+        step_pre = jax.jit(
+            lambda w, c, t, s, qi, bi: forward_step(
+                w, c, cfg, t, s, qi, bi, is_prefill=True,
+                max_seqlens_q=args.prefill,
+            )
+        )
+        step_dec = jax.jit(
+            lambda w, c, t, s, qi, bi: forward_step(
+                w, c, cfg, t, s, qi, bi, is_prefill=False, max_seqlens_q=1,
+            )
+        )
+        logits, caches = step_pre(
+            weights, caches,
+            jnp.asarray(prompt.reshape(-1)),
+            jnp.full((b,), args.prefill, jnp.int32),
+            jnp.asarray(np.arange(b + 1) * args.prefill, jnp.int32),
+            tbl,
+        )
+        all_logits = [np.asarray(logits, np.float32)]
+        tok_trace = []
+        for i in range(args.decode_steps):
+            if forced_tokens is None:
+                toks = np.argmax(all_logits[-1], -1).astype(np.int32)
+            else:
+                toks = forced_tokens[i]  # teacher-force the bf16 trajectory
+            tok_trace.append(toks)
+            seq = args.prefill + i + 1
+            logits, caches = step_dec(
+                weights, caches,
+                jnp.asarray(toks),
+                jnp.full((b,), seq, jnp.int32),
+                jnp.arange(b + 1, dtype=jnp.int32),
+                tbl,
+            )
+            all_logits.append(np.asarray(logits, np.float32))
+        if forced_tokens is None:
+            forced_tokens = tok_trace
+        results[fp8] = np.stack(all_logits)  # [steps+1, B, vocab]
+
+    ref, got = results[False], results[True]
+    # effect size: error relative to the logit spread (random-weight logits
+    # are nearly flat, so |err|/mean|logit| and top-1 flips measure chaos,
+    # not quantization quality)
+    spread = ref.std(axis=-1, keepdims=True) + 1e-9
+    rel = np.abs(got - ref) / spread
+    rel_prefill = float(rel[0].mean())  # pure op-level error, no feedback
+    rel_last = float(rel[-1].mean())
+    top1 = (np.argmax(got, -1) == np.argmax(ref, -1)).mean()
+    rep.add(
+        bench="fp8_accuracy",
+        layers=layers,
+        hidden=args.hidden,
+        decode_steps=args.decode_steps,
+        prefill_rel_err_vs_spread=round(rel_prefill, 5),
+        final_step_rel_err_vs_spread=round(rel_last, 5),
+        mean_rel_err_vs_spread=round(float(rel.mean()), 5),
+        top1_agreement=round(float(top1), 4),
+        meets_1pct_target=bool(rel_prefill <= 0.01),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", nargs="*", type=int, default=[1, 4])
+    ap.add_argument("--hidden", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--prefill", type=int, default=96)
+    ap.add_argument("--decode-steps", type=int, default=16)
+    ap.add_argument("--csv", default=None)
+    ap.add_argument("--jsonl", default=None)
+    args = ap.parse_args()
+
+    rep = Reporter(csv_path=args.csv, jsonl_path=args.jsonl)
+    for layers in args.layers:
+        run_config(args, layers, rep)
+    rep.flush()
+
+
+if __name__ == "__main__":
+    main()

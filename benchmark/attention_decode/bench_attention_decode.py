@@ -59,15 +59,17 @@ def build_inputs(kv_lens, hkv, g, dtype, rng):
     max_blocks = int(np.max(kv_lens)) // BLOCK_SIZE
     nb_per = np.maximum(kv_lens // BLOCK_SIZE, 1)
     total_blocks = int(nb_per.sum())
-    q = jnp.asarray(rng.standard_normal((b, hq, HEAD_DIM)), jnp.bfloat16)
-    k = rng.standard_normal((hkv, total_blocks, BLOCK_SIZE, HEAD_DIM)) / 8
-    v = rng.standard_normal((hkv, total_blocks, BLOCK_SIZE, HEAD_DIM)) / 8
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(b), 3)
+    # generate on-device: host->device copies can be very slow
+    q = jax.random.normal(kq, (b, hq, HEAD_DIM), jnp.bfloat16)
+    k = jax.random.normal(kk, (hkv, total_blocks, BLOCK_SIZE, HEAD_DIM)) / 8
+    v = jax.random.normal(kv, (hkv, total_blocks, BLOCK_SIZE, HEAD_DIM)) / 8
     if dtype == "fp8":
-        k_pages = jnp.asarray(k * 16, jnp.float8_e4m3fn)
-        v_pages = jnp.asarray(v * 16, jnp.float8_e4m3fn)
+        k_pages = (k * 16).astype(jnp.float8_e4m3fn)
+        v_pages = (v * 16).astype(jnp.float8_e4m3fn)
     else:
-        k_pages = jnp.asarray(k, jnp.bfloat16)
-        v_pages = jnp.asarray(v, jnp.bfloat16)
+        k_pages = k.astype(jnp.bfloat16)
+        v_pages = v.astype(jnp.bfloat16)
     # contiguous block table, padded with zeros up to max_blocks per request
     tbl = np.zeros((b, max_blocks), np.int32)
     start = 0

@@ -66,15 +66,14 @@ def main():
         total_blocks = int(nb_per.sum())
         max_blocks = int(nb_per.max())
 
-        q = jnp.asarray(rng.standard_normal((total_q, hq, HEAD_DIM)), jnp.bfloat16)
-        kc = jnp.asarray(
-            rng.standard_normal((total_blocks, BLOCK_SIZE, hkv, HEAD_DIM)) / 8,
-            jnp.bfloat16,
-        )
-        vc = jnp.asarray(
-            rng.standard_normal((total_blocks, BLOCK_SIZE, hkv, HEAD_DIM)) / 8,
-            jnp.bfloat16,
-        )
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(b), 3)
+        q = jax.random.normal(kq, (total_q, hq, HEAD_DIM), jnp.bfloat16)
+        kc = (
+            jax.random.normal(kk, (total_blocks, BLOCK_SIZE, hkv, HEAD_DIM)) / 8
+        ).astype(jnp.bfloat16)
+        vc = (
+            jax.random.normal(kv, (total_blocks, BLOCK_SIZE, hkv, HEAD_DIM)) / 8
+        ).astype(jnp.bfloat16)
         cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens)]).astype(np.int32))
         tbl = np.zeros((b, max_blocks), np.int32)
         start = 0

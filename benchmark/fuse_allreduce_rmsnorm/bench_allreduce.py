@@ -44,8 +44,11 @@ def main():
     )
     from hpc_ops_tpu.parallel.mesh import make_mesh
 
-    ws = len(jax.devices())
-    mesh = make_mesh(tp=ws)
+    devices = jax.devices()
+    if len(devices) < 2:  # single-chip host: use the virtual CPU mesh
+        devices = jax.devices("cpu")
+    ws = len(devices)
+    mesh = make_mesh(tp=ws, devices=devices)
     rep = Reporter(csv_path=args.csv, jsonl_path=args.jsonl)
 
     for h in args.hidden:

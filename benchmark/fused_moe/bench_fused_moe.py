@@ -61,14 +61,12 @@ def main():
         h, inter, e_total, topk = MODELS[model]
         e_local = max(e_total // args.ep, 1)
         i_local = max(inter // args.tp, 128)
-        w_gu = jnp.asarray(
-            rng.standard_normal((e_local, 2 * i_local, h)) / 8, fp8
-        )
-        w_dn = jnp.asarray(
-            rng.standard_normal((e_local, h, i_local)) / 8, fp8
-        )
+        kw1, kw2 = jax.random.split(jax.random.PRNGKey(1))
+        # generate on-device: host->device copies can be very slow
+        w_gu = (jax.random.normal(kw1, (e_local, 2 * i_local, h)) / 8).astype(fp8)
+        w_dn = (jax.random.normal(kw2, (e_local, h, i_local)) / 8).astype(fp8)
         for s in args.tokens:
-            x = jnp.asarray(rng.standard_normal((s, h)) / 8, fp8)
+            x = (jax.random.normal(jax.random.PRNGKey(s), (s, h)) / 8).astype(fp8)
             topk_ids = jnp.asarray(
                 np.stack(
                     [rng.choice(e_total, topk, replace=False) for _ in range(s)]

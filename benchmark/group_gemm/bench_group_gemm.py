@@ -54,8 +54,9 @@ def main():
     for g_num, avg, n, k in SHAPES:
         lens = rng.poisson(avg, g_num).astype(np.int64) + 1
         total = int(lens.sum())
-        x = jnp.asarray(rng.standard_normal((total, k)) / 8, fp8)
-        w = jnp.asarray(rng.standard_normal((g_num, n, k)) / 8, fp8)
+        kx, kw = jax.random.split(jax.random.PRNGKey(g_num))
+        x = (jax.random.normal(kx, (total, k)) / 8).astype(fp8)
+        w = (jax.random.normal(kw, (g_num, n, k)) / 8).astype(fp8)
         seqlens = jnp.asarray(lens, jnp.int32)
         cu = jnp.asarray(
             np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)

@@ -49,8 +49,9 @@ def main():
     rng = np.random.default_rng(41)
 
     for m, n, k in SHAPES:
-        x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
-        w32 = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+        kx, kw = jax.random.split(jax.random.PRNGKey(m + n))
+        x = jax.random.normal(kx, (m, k), jnp.bfloat16)
+        w32 = jax.random.normal(kw, (n, k), jnp.float32)
         w_high, w_low, scale = split_fp32_weight(w32)
         xf = x.astype(jnp.float32)
 

@@ -66,7 +66,7 @@ def main():
     )
 
     for b in args.batches:
-        logits = jnp.asarray(rng.standard_normal((b, VOCAB)) * 4, jnp.float32)
+        logits = jax.random.normal(jax.random.PRNGKey(b), (b, VOCAB)) * 4
         temp = jnp.full((b,), 0.7, jnp.float32)
         tk = jnp.full((b,), 32, jnp.int32)
         tp = jnp.full((b,), 0.9, jnp.float32)

@@ -118,23 +118,27 @@ def _decode_kernel(
     nb_ = jnp.where(h == num_kv_heads - 1, b + 1, b)
     nh = jnp.where(h == num_kv_heads - 1, 0, h + 1)
 
-    def body(t, _):
-        slot = buf_idx_ref[0]
-        next_slot = 1 - slot
-        is_last_t = t == t_max - 1
-
-        # prefetch the next chunk in the global (b, h, t) chain
-        pb = jnp.where(is_last_t, nb_, b)
-        ph = jnp.where(is_last_t, nh, h)
-        pt = jnp.where(is_last_t, 0, t + 1)
+    def body(t, _, slot=None):
+        if slot is None:
+            slot = buf_idx_ref[0]
+            next_slot = 1 - slot
+            is_last_t = t == t_max - 1
+            # prefetch the next chunk in the global (b, h, t) chain
+            pb = jnp.where(is_last_t, nb_, b)
+            ph = jnp.where(is_last_t, nh, h)
+            pt = jnp.where(is_last_t, 0, t + 1)
+            buf_idx_ref[0] = next_slot
+        else:
+            # single-chunk grid: slot is the step parity, the successor is
+            # always the next (b, h) — no SMEM toggle, no selects
+            next_slot = 1 - slot
+            pb, ph, pt = nb_, nh, 0
 
         @pl.when(pb < batch)
         def _():
             kc, vc = start_copy(pb, ph, pt, next_slot)
             kc.start()
             vc.start()
-
-        buf_idx_ref[0] = next_slot
 
         kc, vc = start_copy(b, h, t, slot)
         kc.wait()
@@ -179,7 +183,7 @@ def _decode_kernel(
 
     if num_t == 1:
         # every sequence fits one compute chunk: no loop machinery at all
-        body(0, ())
+        body(0, (), slot=jax.lax.rem(b * num_kv_heads + h, 2))
     else:
         jax.lax.fori_loop(0, t_max, body, (), unroll=False)
 

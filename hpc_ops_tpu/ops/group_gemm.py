@@ -435,7 +435,7 @@ def group_gemm_pertensor_fp8(
     seqlens,
     cu_seqlens,
     y_scale,
-    num_seq_per_group_avg: int = 32,
+    num_seq_per_group_avg: int | None = None,
     *,
     tn: int = 256,
     tk: int = 512,
@@ -451,6 +451,11 @@ def group_gemm_pertensor_fp8(
         return group_gemm_ref(x, weight, seqlens, cu_seqlens, y_scale)
     total, k = x.shape
     g = seqlens.shape[0]
+    if num_seq_per_group_avg is None:
+        # reference derives the m-tile from the average group population
+        # (src/group_gemm/cp_async/entry.cc: total_tokens / num_group);
+        # undersized tiles multiply the weight-block traffic
+        num_seq_per_group_avg = max(total // max(g, 1), 1)
     tm = _pick_tm(num_seq_per_group_avg)
     total_tiles_max = cdiv(total, tm) + g
     seqlens = seqlens.astype(jnp.int32)
@@ -497,7 +502,7 @@ def group_gemm_blockwise_fp8(
     cu_seqlens,
     x_scale,
     w_scale,
-    num_seq_per_group_avg: int = 32,
+    num_seq_per_group_avg: int | None = None,
     *,
     x_scale_layout: str = "transposed",
     tn: int = 256,
@@ -515,6 +520,8 @@ def group_gemm_blockwise_fp8(
     total, k = x.shape
     g, n, _ = weight.shape
     kb = k // 128
+    if num_seq_per_group_avg is None:
+        num_seq_per_group_avg = max(total // max(g, 1), 1)
     tm = _pick_tm(num_seq_per_group_avg)
     total_tiles_max = cdiv(total, tm) + g
     total_pad = (total_tiles_max + 1) * tm

@@ -201,7 +201,7 @@ def fuse_moe_pertensor_fp8(
     use_bf16_mul: bool = True,
     shared_output=None,
     *,
-    num_seq_per_group_avg: int = 32,
+    num_seq_per_group_avg: int | None = None,
     impl: str = "auto",
 ):
     """Per-tensor-scale FP8 fused MoE forward.
@@ -212,6 +212,9 @@ def fuse_moe_pertensor_fp8(
     Returns [S, H] bf16.
     """
     e_local = gate_up_weight.shape[0]
+    if num_seq_per_group_avg is None:
+        s_, k_ = topk_ids.shape
+        num_seq_per_group_avg = max(s_ * k_ // max(e_local, 1), 1)
     tm = _pick_tm(num_seq_per_group_avg)
 
     if impl in ("auto", "scatter"):

@@ -196,3 +196,51 @@ def test_stem_paged_kv_e2e_sanity():
     # (stem_kernels.cuh:1233 "selected |= (col < initial_blocks)").
     for qb_i in range(4):
         assert m[0, 0, qb_i].all()
+
+
+def test_stem_mask_drives_blocksparse_prefill():
+    """The reference long-context pipeline (ops #22 -> #4): Stem generates a
+    block mask that the sparse Pallas prefill consumes; result must match
+    the oracle path under the same mask."""
+    from hpc_ops_tpu.ops.attention.prefill import attention_with_kvcache_prefill
+
+    rng = np.random.RandomState(11)
+    b, hq, hkv, d, bs = 1, 2, 1, 128, 64
+    seq = 1024
+    nb = seq // bs
+    qf = rng.randn(seq, hq, d).astype(np.float32) / np.sqrt(d)
+    q8 = jnp.asarray(qf, jnp.float8_e4m3fn)
+    kcache = jnp.asarray(
+        rng.randn(nb, bs, hkv, d) / np.sqrt(d), jnp.float8_e4m3fn
+    )
+    vcache = jnp.asarray(rng.randn(nb, bs, hkv, d) / 8, jnp.float8_e4m3fn)
+    kv_idx = jnp.arange(nb, dtype=jnp.int32).reshape(1, nb)
+    qscale = jnp.ones((1, hq, seq), jnp.float32)
+    one = jnp.asarray([1.0], jnp.float32)
+    cu = jnp.asarray([0, seq], jnp.int32)
+    lens = jnp.asarray([seq], jnp.int32)
+
+    mask = stem_paged_kv(
+        q8, kcache, vcache, qscale, one, one, kv_idx, cu, lens, lens,
+        # force a sparse regime on this short prompt
+        k_block_num_rate_medium=0.3, k_block_num_bias_medium=1,
+        k_block_num_rate_large=0.2, k_block_num_bias_large=1,
+        initial_blocks=1, window_size=1,
+    )
+    m = np.asarray(mask)
+    assert m.shape == (1, hq, seq // 128, seq // 128)
+
+    args = (q8, kcache, vcache, cu, kv_idx, lens, seq)
+    kw = dict(
+        qscale=qscale, kscale=one, vscale=one,
+        block_mask=mask, mask_tile_q=128, mask_tile_kv=128, tq=128,
+    )
+    out = attention_with_kvcache_prefill(*args, **kw)
+    want = attention_with_kvcache_prefill(*args, impl="ref", **kw)
+    assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(want, np.float32),
+        atol=5e-2,
+        rtol=5e-2,
+        name="stem_to_sparse_prefill",
+    )
