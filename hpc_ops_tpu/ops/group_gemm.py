@@ -263,6 +263,7 @@ def _gg_blockwise_pallas(
 def _gg_scatter_kernel(
     row_idx_ref,  # [num_tiles*tm] int32 source token row per aligned slot
     grp_ref,  # [num_tiles] int32
+    nvt_ref,  # [1] int32 — dynamic count of tiles with real rows
     x_hbm_ref,  # [total_tokens, Kb, 128] ANY (3D view: row slices are full
     #            in both trailing dims, satisfying DMA tiling rules)
     w_ref,  # [1, tn, tk] VMEM block
@@ -290,8 +291,12 @@ def _gg_scatter_kernel(
     t = pl.program_id(0)
     jn = pl.program_id(1)
     jk = pl.program_id(2)
+    # tiles past the dynamic valid count hold no real rows (EP drops
+    # off-rank tokens): skip their gathers and matmuls entirely — with
+    # small expert-parallel shares they are the majority of the grid
+    active = t < nvt_ref[0]
 
-    @pl.when((jn == 0) & (jk == 0))
+    @pl.when(active & (jn == 0) & (jk == 0))
     def _():
         copies = []
         for r in range(tm):
@@ -302,30 +307,33 @@ def _gg_scatter_kernel(
         for c in copies:
             c.wait()
 
-    @pl.when(jk == 0)
+    @pl.when(active)
     def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        @pl.when(jk == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    tm_, kb, _ = xbuf.shape
-    # kbt is a multiple of 8 so the dynamic sublane offset is provably
-    # tile-aligned for the vector load
-    off = pl.multiple_of(jk * kbt, kbt)
-    xk = xbuf[:, pl.ds(off, kbt), :].reshape(tm_, kbt * 128)
-    x = xk.astype(jnp.bfloat16)
-    w = w_ref[0].astype(jnp.bfloat16)
-    acc_ref[...] += jax.lax.dot_general(
-        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        tm_, kb, _ = xbuf.shape
+        # kbt is a multiple of 8 so the dynamic sublane offset is provably
+        # tile-aligned for the vector load
+        off = pl.multiple_of(jk * kbt, kbt)
+        xk = xbuf[:, pl.ds(off, kbt), :].reshape(tm_, kbt * 128)
+        x = xk.astype(jnp.bfloat16)
+        w = w_ref[0].astype(jnp.bfloat16)
+        acc_ref[...] += jax.lax.dot_general(
+            x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
-    @pl.when(jk == pl.num_programs(2) - 1)
-    def _():
-        sc = scale_ref[grp_ref[t]]
-        o_ref[...] = (acc_ref[...] * sc).astype(o_ref.dtype)
+        @pl.when(jk == pl.num_programs(2) - 1)
+        def _():
+            sc = scale_ref[grp_ref[t]]
+            o_ref[...] = (acc_ref[...] * sc).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "tk", "interpret"))
 def _gg_scatter_pallas(
-    x, weight, y_scale, row_idx, grp, tm, tn, tk=1024, interpret=False
+    x, weight, y_scale, row_idx, grp, tm, tn, tk=1024, interpret=False,
+    num_valid_tiles=None,
 ):
     assert tk % 1024 == 0, "tk must keep the k-tile sublane offset 8-aligned"
     total, k = x.shape
@@ -342,21 +350,33 @@ def _gg_scatter_pallas(
     num_tiles = grp.shape[0]
     kb = kp // 128
     kbt = tk // 128
+    if num_valid_tiles is None:
+        num_valid_tiles = jnp.full((1,), num_tiles, jnp.int32)
+    else:
+        num_valid_tiles = num_valid_tiles.reshape(1).astype(jnp.int32)
+
+    def w_map(t, jn, jk, row_r, grp_r, nvt_r):
+        # inactive tiles pin the weight block to (0,0,0) so consecutive
+        # skipped steps never re-fetch
+        act = t < nvt_r[0]
+        return (
+            jnp.where(act, grp_r[t], 0),
+            jnp.where(act, jn, 0),
+            jnp.where(act, jk, 0),
+        )
+
     out = pl.pallas_call(
         functools.partial(_gg_scatter_kernel, tm=tm, kbt=kbt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(num_tiles, np_ // tn, kp // tk),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(
-                    (1, tn, tk),
-                    lambda t, jn, jk, row_r, grp_r: (grp_r[t], jn, jk),
-                ),
+                pl.BlockSpec((1, tn, tk), w_map),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec(
-                (tm, tn), lambda t, jn, jk, row_r, grp_r: (t, jn)
+                (tm, tn), lambda t, jn, jk, row_r, grp_r, nvt_r: (t, jn)
             ),
             scratch_shapes=[
                 pltpu.VMEM((tm, kb, 128), x.dtype),
@@ -370,7 +390,7 @@ def _gg_scatter_pallas(
         ),
         interpret=interpret,
     )(
-        row_idx, grp, x.reshape(total, kb, 128), weight,
+        row_idx, grp, num_valid_tiles, x.reshape(total, kb, 128), weight,
         y_scale.astype(jnp.float32),
     )
     return out[:, :n]
@@ -477,7 +497,8 @@ def group_gemm_pertensor_fp8(
     row_idx = jnp.where(valid, cu[g_of] + row_in_group, -1)
 
     out_al = _gg_scatter_pallas(
-        x, weight, y_scale, row_idx, grp, tm, tn, interpret=interpret_default()
+        x, weight, y_scale, row_idx, grp, tm, tn,
+        interpret=interpret_default(), num_valid_tiles=total_tiles,
     )
     # compact back: packed row -> its aligned slot
     row = jnp.arange(total, dtype=jnp.int32)

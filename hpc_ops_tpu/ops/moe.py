@@ -226,15 +226,18 @@ def fuse_moe_pertensor_fp8(
         row_idx, topk_pos, seqlens, cu, tiles, cu_tiles, grp = _route_aligned(
             topk_ids, e_local, rank_ep, tm
         )
+        nvt = cu_tiles[-1]  # tiles holding real rows; the rest are skipped
         gate_up = _gg_scatter_pallas(
             x, gate_up_weight, gate_up_scale, row_idx, grp,
             tm, min(512, gate_up_weight.shape[1]), interpret=interp,
+            num_valid_tiles=nvt,
         )
         down_in = act_mul_and_quant(gate_up, act_and_mul_scale, use_bf16_mul)
         ident = jnp.arange(row_idx.shape[0], dtype=jnp.int32)
         down = _gg_scatter_pallas(
             down_in, down_weight, down_scale, ident, grp,
             tm, min(512, down_weight.shape[1]), interpret=interp,
+            num_valid_tiles=nvt,
         )
         return reduce(down, topk_pos, topk_scale, shared_output)
 

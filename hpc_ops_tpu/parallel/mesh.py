@@ -41,4 +41,38 @@ def tp_sharding(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-__all__ = ["make_mesh", "tp_sharding", "Mesh", "NamedSharding", "P"]
+def make_hybrid_mesh(
+    dcn_dp: int,
+    tp: int,
+    dp: int = 1,
+    devices=None,
+) -> Mesh:
+    """Multi-host mesh: a slow DCN axis ("ddp", data-parallel across hosts /
+    pod slices) times fast ICI axes ("dp", "tp") within a slice.
+
+    Collective-heavy shardings (TP, EP) stay on the "tp" axis so their
+    all-reduces ride ICI; only gradient/data movement crosses DCN — the
+    layout rule for multislice inference (the reference is single-node
+    NVLink only; DCN scaling is TPU-native headroom).
+    """
+    from jax.experimental import mesh_utils
+
+    if devices is None:
+        devs = mesh_utils.create_hybrid_device_mesh(
+            (dp, tp), (dcn_dp, 1), allow_split_physical_axes=True
+        )
+    else:
+        import numpy as np
+
+        devs = np.asarray(devices[: dcn_dp * dp * tp]).reshape(dcn_dp, dp, tp)
+    return Mesh(devs.reshape(dcn_dp, dp, tp), axis_names=("ddp", "dp", "tp"))
+
+
+__all__ = [
+    "make_mesh",
+    "make_hybrid_mesh",
+    "tp_sharding",
+    "Mesh",
+    "NamedSharding",
+    "P",
+]

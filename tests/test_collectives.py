@@ -44,3 +44,30 @@ def test_fuse_allreduce_rmsnorm(mode, n, h, ws):
         np.asarray(out_res, np.float32), np.asarray(want_res, np.float32),
         atol=1e-1, rtol=1e-1, name="residual",
     )
+
+
+def test_make_hybrid_mesh_cpu():
+    """DCN x ICI mesh layout on host devices: tp contiguous within a slice."""
+    import numpy as np
+
+    from hpc_ops_tpu.parallel.mesh import make_hybrid_mesh
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < 8:
+        pytest.skip("needs 8 host devices")
+    mesh = make_hybrid_mesh(dcn_dp=2, tp=4, dp=1, devices=cpus)
+    assert mesh.axis_names == ("ddp", "dp", "tp")
+    assert mesh.devices.shape == (2, 1, 4)
+    # a tp all-reduce groups devices within one "slice" row
+    with mesh:
+        x = jnp.arange(8.0)
+        f = jax.shard_map(
+            lambda v: jax.lax.psum(v, "tp"),
+            mesh=mesh,
+            in_specs=P(("ddp", "dp", "tp")),
+            out_specs=P(("ddp", "dp", "tp")),
+        )
+        out = np.asarray(f(x))
+    # slice 0 devices hold sum(0..3), slice 1 hold sum(4..7)
+    assert out[:4].tolist() == [6.0] * 4
+    assert out[4:].tolist() == [22.0] * 4
