@@ -55,6 +55,8 @@ def test_make_hybrid_mesh_cpu():
     cpus = jax.devices("cpu")
     if len(cpus) < 8:
         pytest.skip("needs 8 host devices")
+    from jax.sharding import PartitionSpec as P
+
     mesh = make_hybrid_mesh(dcn_dp=2, tp=4, dp=1, devices=cpus)
     assert mesh.axis_names == ("ddp", "dp", "tp")
     assert mesh.devices.shape == (2, 1, 4)
