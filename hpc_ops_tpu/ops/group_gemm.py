@@ -124,59 +124,70 @@ def _align_rows(x, seqlens, cu_seqlens, g_starts, tm: int, total_pad: int):
 
 
 def _gg_pertensor_kernel(
-    grp_ref, row_ref, x_ref, w_ref, scale_ref, o_ref, acc_ref
+    grp_ref, row_ref, nvt_ref, x_ref, w_ref, scale_ref, o_ref, acc_ref
 ):
     t = pl.program_id(0)  # read outside pl.when (interpret-mode requirement)
     jk = pl.program_id(2)
 
-    @pl.when(jk == 0)
+    @pl.when(t < nvt_ref[0])
     def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        @pl.when(jk == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[...].astype(jnp.bfloat16)
-    w = w_ref[0].astype(jnp.bfloat16)
-    acc_ref[...] += jax.lax.dot_general(
-        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        x = x_ref[...].astype(jnp.bfloat16)
+        w = w_ref[0].astype(jnp.bfloat16)
+        acc_ref[...] += jax.lax.dot_general(
+            x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
-    @pl.when(jk == pl.num_programs(2) - 1)
-    def _():
-        sc = scale_ref[grp_ref[t]]
-        o_ref[...] = (acc_ref[...] * sc).astype(o_ref.dtype)
+        @pl.when(jk == pl.num_programs(2) - 1)
+        def _():
+            sc = scale_ref[grp_ref[t]]
+            o_ref[...] = (acc_ref[...] * sc).astype(o_ref.dtype)
 
 
 def _gg_blockwise_kernel(
-    grp_ref, row_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref, acc_ref
+    grp_ref, row_ref, nvt_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref, acc_ref
 ):
+    t = pl.program_id(0)
     jk = pl.program_id(2)
 
-    @pl.when(jk == 0)
+    @pl.when(t < nvt_ref[0])
     def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        @pl.when(jk == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[...].astype(jnp.bfloat16)
-    w = w_ref[0].astype(jnp.bfloat16)
-    part = jax.lax.dot_general(
-        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    # scale blocks carry all k-groups; select this k-block's column/row via
-    # one-hot masked reduction (dynamic lane/sublane offsets aren't allowed)
-    sx_all = sx_ref[...]  # [tm, kb]
-    lane = jax.lax.broadcasted_iota(jnp.int32, sx_all.shape, 1)
-    sx = jnp.sum(jnp.where(lane == jk, sx_all, 0.0), axis=1, keepdims=True)  # [tm,1]
-    sw_all = sw_ref[0]  # [kb, tn]
-    sub = jax.lax.broadcasted_iota(jnp.int32, sw_all.shape, 0)
-    sw = jnp.sum(jnp.where(sub == jk, sw_all, 0.0), axis=0, keepdims=True)  # [1,tn]
-    acc_ref[...] += part * sx * sw
+        x = x_ref[...].astype(jnp.bfloat16)
+        w = w_ref[0].astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # scale blocks carry all k-groups; select this k-block's column/row
+        # via one-hot masked reduction (dynamic lane/sublane offsets aren't
+        # allowed)
+        sx_all = sx_ref[...]  # [tm, kb]
+        lane = jax.lax.broadcasted_iota(jnp.int32, sx_all.shape, 1)
+        sx = jnp.sum(
+            jnp.where(lane == jk, sx_all, 0.0), axis=1, keepdims=True
+        )  # [tm,1]
+        sw_all = sw_ref[0]  # [kb, tn]
+        sub = jax.lax.broadcasted_iota(jnp.int32, sw_all.shape, 0)
+        sw = jnp.sum(
+            jnp.where(sub == jk, sw_all, 0.0), axis=0, keepdims=True
+        )  # [1,tn]
+        acc_ref[...] += part * sx * sw
 
-    @pl.when(jk == pl.num_programs(2) - 1)
-    def _():
-        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+        @pl.when(jk == pl.num_programs(2) - 1)
+        def _():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "tk", "interpret"))
 def _gg_pertensor_pallas(
-    x_al, weight, y_scale, grp, row_blk, tm, tn, tk, interpret=False
+    x_al, weight, y_scale, grp, row_blk, tm, tn, tk, interpret=False,
+    num_valid_tiles=None,
 ):
     total_pad_t, k = x_al.shape  # includes trash tile
     g, n, _ = weight.shape
@@ -186,22 +197,39 @@ def _gg_pertensor_pallas(
     if kp != k:
         x_al = jnp.pad(x_al, ((0, 0), (0, kp - k)))
     num_tiles = grp.shape[0]
+    if num_valid_tiles is None:
+        num_valid_tiles = jnp.full((1,), num_tiles, jnp.int32)
+    else:
+        num_valid_tiles = num_valid_tiles.reshape(1).astype(jnp.int32)
+
+    def pin(val, t, nvt_r, alt=0):
+        return jnp.where(t < nvt_r[0], val, alt)
+
     out = pl.pallas_call(
         _gg_pertensor_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(num_tiles, np_ // tn, kp // tk),
             in_specs=[
                 pl.BlockSpec(
-                    (tm, tk), lambda t, jn, jk, grp_r, row_r: (row_r[t], jk)
+                    (tm, tk),
+                    lambda t, jn, jk, grp_r, row_r, nvt_r: (
+                        row_r[t], pin(jk, t, nvt_r)
+                    ),
                 ),
                 pl.BlockSpec(
-                    (1, tn, tk), lambda t, jn, jk, grp_r, row_r: (grp_r[t], jn, jk)
+                    (1, tn, tk),
+                    lambda t, jn, jk, grp_r, row_r, nvt_r: (
+                        pin(grp_r[t], t, nvt_r),
+                        pin(jn, t, nvt_r),
+                        pin(jk, t, nvt_r),
+                    ),
                 ),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec(
-                (tm, tn), lambda t, jn, jk, grp_r, row_r: (row_r[t], jn)
+                (tm, tn),
+                lambda t, jn, jk, grp_r, row_r, nvt_r: (row_r[t], jn),
             ),
             scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
         ),
@@ -210,13 +238,14 @@ def _gg_pertensor_pallas(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(grp, row_blk, x_al, weight, y_scale.astype(jnp.float32))
+    )(grp, row_blk, num_valid_tiles, x_al, weight, y_scale.astype(jnp.float32))
     return out[:, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
 def _gg_blockwise_pallas(
-    x_al, weight, sx_al, sw_exp, grp, row_blk, tm, tn, interpret=False
+    x_al, weight, sx_al, sw_exp, grp, row_blk, tm, tn, interpret=False,
+    num_valid_tiles=None,
 ):
     tk = 128  # scale-group width
     total_pad_t, k = x_al.shape
@@ -226,28 +255,48 @@ def _gg_blockwise_pallas(
         weight = jnp.pad(weight, ((0, 0), (0, np_ - n), (0, 0)))
         sw_exp = jnp.pad(sw_exp, ((0, 0), (0, 0), (0, np_ - n)))
     num_tiles = grp.shape[0]
+    if num_valid_tiles is None:
+        num_valid_tiles = jnp.full((1,), num_tiles, jnp.int32)
+    else:
+        num_valid_tiles = num_valid_tiles.reshape(1).astype(jnp.int32)
+
+    def pin(val, t, nvt_r, alt=0):
+        return jnp.where(t < nvt_r[0], val, alt)
+
     out = pl.pallas_call(
         _gg_blockwise_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(num_tiles, np_ // tn, k // tk),
             in_specs=[
                 pl.BlockSpec(
-                    (tm, tk), lambda t, jn, jk, grp_r, row_r: (row_r[t], jk)
+                    (tm, tk),
+                    lambda t, jn, jk, grp_r, row_r, nvt_r: (
+                        row_r[t], pin(jk, t, nvt_r)
+                    ),
                 ),
                 pl.BlockSpec(
-                    (1, tn, tk), lambda t, jn, jk, grp_r, row_r: (grp_r[t], jn, jk)
+                    (1, tn, tk),
+                    lambda t, jn, jk, grp_r, row_r, nvt_r: (
+                        pin(grp_r[t], t, nvt_r),
+                        pin(jn, t, nvt_r),
+                        pin(jk, t, nvt_r),
+                    ),
                 ),
                 pl.BlockSpec(
-                    (tm, k // tk), lambda t, jn, jk, grp_r, row_r: (row_r[t], 0)
+                    (tm, k // tk),
+                    lambda t, jn, jk, grp_r, row_r, nvt_r: (row_r[t], 0),
                 ),
                 pl.BlockSpec(
                     (1, k // tk, tn),
-                    lambda t, jn, jk, grp_r, row_r: (grp_r[t], 0, jn),
+                    lambda t, jn, jk, grp_r, row_r, nvt_r: (
+                        pin(grp_r[t], t, nvt_r), 0, pin(jn, t, nvt_r)
+                    ),
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (tm, tn), lambda t, jn, jk, grp_r, row_r: (row_r[t], jn)
+                (tm, tn),
+                lambda t, jn, jk, grp_r, row_r, nvt_r: (row_r[t], jn),
             ),
             scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
         ),
@@ -256,7 +305,7 @@ def _gg_blockwise_pallas(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(grp, row_blk, x_al, weight, sx_al, sw_exp)
+    )(grp, row_blk, num_valid_tiles, x_al, weight, sx_al, sw_exp)
     return out[:, :n]
 
 
@@ -546,7 +595,7 @@ def group_gemm_blockwise_fp8(
     tm = _pick_tm(num_seq_per_group_avg)
     total_tiles_max = cdiv(total, tm) + g
     total_pad = (total_tiles_max + 1) * tm
-    grp, row_blk, g_starts, _ = _flat_tiles(
+    grp, row_blk, g_starts, total_tiles = _flat_tiles(
         seqlens.astype(jnp.int32), tm, total_tiles_max
     )
     x_al, new_row = _align_rows(
@@ -577,7 +626,7 @@ def group_gemm_blockwise_fp8(
     sw_exp = jnp.repeat(sw, 128, axis=2)  # [G, Kb, N]
     out_al = _gg_blockwise_pallas(
         x_al, weight, sx_al, sw_exp, grp, row_blk, tm, tn,
-        interpret=interpret_default(),
+        interpret=interpret_default(), num_valid_tiles=total_tiles,
     )
     return out_al[new_row]
 

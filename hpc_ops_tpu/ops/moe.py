@@ -249,14 +249,17 @@ def fuse_moe_pertensor_fp8(
         down = _naive_group_gemm(down_in, down_weight, g, down_scale, tm)
     else:
         interp = interpret_default()
+        nvt = g.cu_tiles[-1]
         gate_up = _gg_pertensor_pallas(
             g.x_gathered, gate_up_weight, gate_up_scale, g.grp, g.row_blk,
             tm, 256, min(512, gate_up_weight.shape[-1]), interpret=interp,
+            num_valid_tiles=nvt,
         )
         down_in = act_mul_and_quant(gate_up, act_and_mul_scale, use_bf16_mul)
         down = _gg_pertensor_pallas(
             down_in, down_weight, down_scale, g.grp, g.row_blk,
             tm, 256, min(512, down_weight.shape[-1]), interpret=interp,
+            num_valid_tiles=nvt,
         )
     return reduce(down, g.topk_pos, topk_scale, shared_output)
 
@@ -330,7 +333,7 @@ def fuse_moe_blockwise_fp8(
     )  # [E, kb_h, 2I]
     gate_up = _gg_blockwise_pallas(
         g.x_gathered, gate_up_weight, sx_g, sw_gu, g.grp, g.row_blk, tm, 256,
-        interpret=interp,
+        interpret=interp, num_valid_tiles=g.cu_tiles[-1],
     )
     # act + blockwise re-quant of the intermediate
     interm = interm2 // 2
@@ -344,7 +347,7 @@ def fuse_moe_blockwise_fp8(
     )  # [E, kb_i, H]
     down = _gg_blockwise_pallas(
         down_in, down_weight, down_in_scale + 1e-8, sw_dn, g.grp, g.row_blk,
-        tm, 256, interpret=interp,
+        tm, 256, interpret=interp, num_valid_tiles=g.cu_tiles[-1],
     )
     return reduce(down, g.topk_pos, topk_scale, shared_output)
 
