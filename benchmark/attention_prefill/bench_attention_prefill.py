@@ -105,12 +105,16 @@ def main():
         vc8 = vc.astype(jnp.float8_e4m3fn)
         tile_m = 128
         n_tm = -(-max_q // tile_m)
-        n_tkv = max_blocks * BLOCK_SIZE // BLOCK_SIZE  # kv tiles of 64
-        mask = rng.random((b, hq, n_tm, max_blocks)) < args.sparse_keep
+        # one mask per KV head, shared by its GQA group (heads of one group
+        # attend the same KV pages; uncorrelated per-q-head masks defeat the
+        # union-skip and are not what Stem produces for GQA serving)
+        mask_kv = rng.random((b, hkv, n_tm, max_blocks)) < args.sparse_keep
+        mask = np.repeat(mask_kv, g, axis=1)
         for i, l in enumerate(lens):
             for tm_i in range(n_tm):
                 diag = min((tm_i * tile_m) // BLOCK_SIZE, max_blocks - 1)
                 mask[i, :, tm_i, diag] = True
+                mask[i, :, tm_i, :2] = True  # attention sinks
         block_mask = jnp.asarray(mask.astype(np.uint8))
         one = jnp.ones((), jnp.float32)
         qs = jnp.ones((b, hq, max_q), jnp.float32)
@@ -119,7 +123,8 @@ def main():
         fn_sparse = lambda q8, kc8, vc8, cu, bi, skv, qs: (  # noqa: E731
             attention_with_kvcache_blocksparse_prefill_fp8(
                 q8, kc8, vc8, qs, one, one, cu, bi, skv, max_q,
-                block_mask=block_mask,
+                block_mask=block_mask, mask_tile_q=128,
+                mask_tile_kv=BLOCK_SIZE,
             )
         )
         try:
@@ -134,6 +139,8 @@ def main():
                 speedup_vs_dense=round(sec / sec_sp, 2),
             )
         except Exception as exc:  # pragma: no cover
+            import traceback
+            traceback.print_exc()
             rep.add(bench="attention_prefill", case=case, mode="sparse",
                     error=str(exc)[:120])
     rep.flush()

@@ -205,11 +205,13 @@ def _prefill_sparse_kernel(
     q_lens_ref,  # [B]
     kv_lens_ref,  # [B]
     block_tbl_ref,  # [B*max_blocks]
+    cnt_ref,  # [B*Hkv*n_tm] int32 — active chunks per tile (causal-clamped)
     # inputs
     q_hbm_ref,  # [Hq, total_q_pad, D] ANY
     k_pages_ref,  # [Hkv, nb, bs, D] ANY
     v_pages_ref,
-    bits_hbm_ref,  # [B, Hq, n_tm, n_chunks] int32 ANY — per-page mask bits
+    bits_hbm_ref,  # [B*Hkv*n_tm, G, n_chunks] int32 ANY — per-head bits
+    list_hbm_ref,  # [B*Hkv*n_tm, 8, n_chunks] int32 ANY — row 0: chunk list
     # outputs
     o_hbm_ref,  # [Hq, total_q_pad, D] ANY
     # scratch
@@ -221,11 +223,11 @@ def _prefill_sparse_kernel(
     l_buf,
     o_stage,
     bits_smem,  # SMEM [G, n_chunks] int32
-    list_smem,  # SMEM [n_chunks] int32 — compacted active chunk ids
-    cnt_smem,  # SMEM [1] int32
+    list_smem,  # SMEM [8, n_chunks] int32 (row 0 used)
     q_sem,
     kv_sems,
     bits_sem,
+    list_sem,
     o_sem,
     *,
     tq: int,
@@ -234,6 +236,9 @@ def _prefill_sparse_kernel(
     max_blocks: int,
     group: int,
     n_chunks: int,
+    num_kv_heads: int,
+    n_tm: int,
+    pack: int,
 ):
     """Block-sparse paged prefill (reference op #4,
     warp_spec_with_kvcache_blocksparse_fp8_dim128.cu / kHasMask).
@@ -265,13 +270,18 @@ def _prefill_sparse_kernel(
 
     @pl.when(tile_active)
     def _():
-        # ---- fetch this tile's mask bits for the whole GQA group
+        # ---- one DMA fetches this tile's per-head mask bits AND its
+        # precomputed active-chunk list (built vectorized outside the
+        # kernel — an in-kernel scalar compaction loop costs ~10us/tile)
+        flat = (b * num_kv_heads + h) * n_tm + tqi
         bits_cp = pltpu.make_async_copy(
-            bits_hbm_ref.at[b, pl.ds(h * group, group), tqi, :],
-            bits_smem,
-            bits_sem,
+            bits_hbm_ref.at[flat], bits_smem, bits_sem
         )
         bits_cp.start()
+        list_cp = pltpu.make_async_copy(
+            list_hbm_ref.at[flat], list_smem, list_sem
+        )
+        list_cp.start()
 
         row0 = pl.multiple_of(q_start + tqi * tq, tq)
         for g in range(group):
@@ -281,45 +291,44 @@ def _prefill_sparse_kernel(
                 q_sem,
             ).start()
 
-        kv_hi = jnp.minimum(kv_len, kv_off + (tqi + 1) * tq)
-        num_kv_tiles = jnp.maximum((kv_hi + ck - 1) // ck, 1)
-
+        cnt = cnt_ref[(b * num_kv_heads + h) * n_tm + tqi]
         bits_cp.wait()
+        list_cp.wait()
 
-        # ---- compact the active chunk list (scalar loop over chunks)
-        def scan_body(j, cnt):
-            u = bits_smem[0, j]
-            for g in range(1, group):
-                u = u | bits_smem[g, j]
-            active = (u != 0) & (j < num_kv_tiles)
+        # pack PACK active columns per compute step: single-column tiles
+        # leave the MXU mostly idle (64-wide matmuls); packing restores the
+        # arithmetic width while still skipping masked columns entirely
+        max_col = (max_blocks - 1) // pcb
 
-            @pl.when(active)
-            def _():
-                list_smem[cnt] = j
+        def start_pack(i_step, slot):
+            copies = []
+            for p in range(pack):
+                e = jnp.minimum(i_step * pack + p, n_chunks - 1)
+                col = jnp.minimum(list_smem[0, e], max_col)
+                for pg in range(pcb):
+                    phys = block_tbl_ref[b * max_blocks + col * pcb + pg]
+                    copies.append(
+                        pltpu.make_async_copy(
+                            k_pages_ref.at[h, phys],
+                            k_buf.at[slot, p * pcb + pg],
+                            kv_sems.at[slot, 0],
+                        )
+                    )
+                    copies.append(
+                        pltpu.make_async_copy(
+                            v_pages_ref.at[h, phys],
+                            v_buf.at[slot, p * pcb + pg],
+                            kv_sems.at[slot, 1],
+                        )
+                    )
+            return copies
 
-            return cnt + active.astype(jnp.int32)
-
-        cnt = jax.lax.fori_loop(0, n_chunks, scan_body, jnp.int32(0))
-        cnt_smem[0] = cnt
-
-        def start_kv(j, slot):
-            kc = MultiPageCopy(
-                k_pages_ref, k_buf, kv_sems.at[slot, 0], block_tbl_ref,
-                head=h, page_start=b * max_blocks + j * pcb,
-                num_pages=pcb, slot=slot,
-            )
-            vc = MultiPageCopy(
-                v_pages_ref, v_buf, kv_sems.at[slot, 1], block_tbl_ref,
-                head=h, page_start=b * max_blocks + j * pcb,
-                num_pages=pcb, slot=slot,
-            )
-            return kc, vc
+        cnt_steps = (cnt + pack - 1) // pack
 
         @pl.when(cnt > 0)
         def _():
-            kc0, vc0 = start_kv(list_smem[0], 0)
-            kc0.start()
-            vc0.start()
+            for c in start_pack(0, 0):
+                c.start()
 
         m_buf[...] = jnp.full_like(m_buf, -jnp.inf)
         l_buf[...] = jnp.zeros_like(l_buf)
@@ -330,36 +339,46 @@ def _prefill_sparse_kernel(
                 q_hbm_ref.at[h * group + g, pl.ds(row0, tq), :], q_buf.at[g], q_sem
             ).wait()
 
+        ckt = pack * ck
+        qpos = kv_off + tqi * tq + jax.lax.broadcasted_iota(
+            jnp.int32, (tq, ckt), 0
+        )
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tq, ckt), 1)
+        seg = lane // ck  # which packed column this lane belongs to
+        within = lane % ck
+        page_in_col = within // page_size
+
         def body(i, _):
             slot = i % 2
-            j = list_smem[i]
 
-            @pl.when(i + 1 < cnt_smem[0])
+            @pl.when(i + 1 < cnt_steps)
             def _():
-                kc, vc = start_kv(list_smem[i + 1], (i + 1) % 2)
-                kc.start()
-                vc.start()
+                for c in start_pack(i + 1, (i + 1) % 2):
+                    c.start()
 
-            kc, vc = start_kv(j, slot)
-            kc.wait()
-            k = k_buf[slot].reshape(ck, k_buf.shape[-1]).astype(jnp.bfloat16)
-            vc.wait()
-            v = v_buf[slot].reshape(ck, v_buf.shape[-1]).astype(jnp.bfloat16)
+            for c in start_pack(i, slot):
+                c.wait()
+            k = k_buf[slot].reshape(ckt, k_buf.shape[-1]).astype(jnp.bfloat16)
+            v = v_buf[slot].reshape(ckt, v_buf.shape[-1]).astype(jnp.bfloat16)
 
-            kpos = j * ck + jax.lax.broadcasted_iota(jnp.int32, (tq, ck), 1)
-            qpos = kv_off + tqi * tq + jax.lax.broadcasted_iota(
-                jnp.int32, (tq, ck), 0
-            )
+            # per-segment column ids / validity / per-head bits from SMEM
+            kpos = within
+            bits_g = [jnp.zeros((tq, ckt), jnp.int32) for _ in range(group)]
+            for p in range(pack):
+                e = jnp.minimum(i * pack + p, n_chunks - 1)
+                valid = (i * pack + p) < cnt
+                col = list_smem[0, e]
+                base = jnp.where(valid, col * ck, kv_len)  # pads mask out
+                kpos = kpos + jnp.where(seg == p, base, 0)
+                for g in range(group):
+                    bv = bits_smem[g, jnp.minimum(col, n_chunks - 1)]
+                    bits_g[g] = bits_g[g] + jnp.where(seg == p, bv, 0)
+
             causal = (kpos <= qpos) & (kpos < kv_len)
-            page_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, ck), 1) // page_size
 
             for g in range(group):
-                bits_val = bits_smem[g, j]  # scalar int32
                 keep = (
-                    jax.lax.shift_right_logical(
-                        jnp.broadcast_to(bits_val, (tq, ck)), page_idx
-                    )
-                    & 1
+                    jax.lax.shift_right_logical(bits_g[g], page_in_col) & 1
                 ) == 1
                 q = q_buf[g]
                 s = jax.lax.dot_general(
@@ -374,18 +393,18 @@ def _prefill_sparse_kernel(
                 )
                 m_next = jnp.maximum(m_prev, m_curr)
                 alpha = jnp.exp(m_prev - m_next)
-                p = jnp.exp(s - m_next[:, :1])
+                p_ = jnp.exp(s - m_next[:, :1])
                 l_buf[g] = alpha * l_prev + jnp.broadcast_to(
-                    jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+                    jnp.sum(p_, axis=1, keepdims=True), l_prev.shape
                 )
                 m_buf[g] = m_next
                 o_curr = jax.lax.dot(
-                    p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+                    p_.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
                 )
                 acc_buf[g] = acc_buf[g] * alpha[:, :1] + o_curr
             return ()
 
-        jax.lax.fori_loop(0, cnt, body, (), unroll=False)
+        jax.lax.fori_loop(0, cnt_steps, body, (), unroll=False)
 
         # rows whose max logit never rose above MASK_VALUE had no active
         # (head, page) anywhere -> emit 0 (reference emits NaN; callers keep
@@ -413,6 +432,11 @@ def _pack_mask_bits(block_mask, pcb: int, n_chunks: int):
     of chunk j = mask for page j*pcb+p (pcb <= 30)."""
     b, hq, n_tm, n_tkv = block_mask.shape
     pad = n_chunks * pcb - n_tkv
+    assert pad >= 0, (
+        f"block_mask covers {n_tkv} pages but the page table has at most "
+        f"{n_chunks * pcb}: check mask_tile_kv against the actual mask "
+        f"granularity"
+    )
     m = jnp.pad((block_mask != 0).astype(jnp.int32), ((0, 0),) * 3 + ((0, pad),))
     m = m.reshape(b, hq, n_tm, n_chunks, pcb)
     weights = jnp.left_shift(1, jnp.arange(pcb, dtype=jnp.int32))
@@ -421,7 +445,9 @@ def _pack_mask_bits(block_mask, pcb: int, n_chunks: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tq", "pages_per_compute_block", "max_q_tiles", "interpret"),
+    static_argnames=(
+        "n_tm", "tq", "pages_per_compute_block", "max_q_tiles", "interpret"
+    ),
 )
 def _prefill_sparse_pallas(
     q_t,  # [Hq, total_q_pad, D] bf16 pre-scaled
@@ -431,7 +457,10 @@ def _prefill_sparse_pallas(
     q_lens,
     kv_lens,
     block_ids,
-    mask_bits,  # [B, Hq, n_tm, n_chunks] int32
+    bits_flat,  # [B*Hkv*n_tm, G, n_chunks] int32
+    list_flat,  # [B*Hkv*n_tm, 8, n_chunks] int32 (row 0 = chunk list)
+    chunk_cnt,  # [B*Hkv*n_tm] int32
+    n_tm: int,
     tq: int,
     pages_per_compute_block: int,
     max_q_tiles: int,
@@ -444,12 +473,15 @@ def _prefill_sparse_pallas(
     b = kv_lens.shape[0]
     pcb = pages_per_compute_block
     max_blocks = block_ids.shape[1]
-    n_chunks = mask_bits.shape[-1]
+    n_chunks = bits_flat.shape[-1]
+    # pack enough active columns per compute step for a ~256-wide kv tile
+    pack = max(1, 256 // (pcb * bs))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(b, hkv, max_q_tiles),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -458,17 +490,17 @@ def _prefill_sparse_pallas(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((group, tq, d), jnp.bfloat16),
-            pltpu.VMEM((2, pcb, bs, d), k_pages.dtype),
-            pltpu.VMEM((2, pcb, bs, dv), v_pages.dtype),
+            pltpu.VMEM((2, pack * pcb, bs, d), k_pages.dtype),
+            pltpu.VMEM((2, pack * pcb, bs, dv), v_pages.dtype),
             pltpu.VMEM((group, tq, dv), jnp.float32),
             pltpu.VMEM((group, tq, _LANES), jnp.float32),
             pltpu.VMEM((group, tq, _LANES), jnp.float32),
             pltpu.VMEM((group, tq, dv), jnp.bfloat16),
             pltpu.SMEM((group, n_chunks), jnp.int32),
-            pltpu.SMEM((n_chunks,), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((8, n_chunks), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -481,6 +513,9 @@ def _prefill_sparse_pallas(
         max_blocks=max_blocks,
         group=group,
         n_chunks=n_chunks,
+        num_kv_heads=hkv,
+        n_tm=n_tm,
+        pack=pack,
     )
     return pl.pallas_call(
         kernel,
@@ -495,10 +530,12 @@ def _prefill_sparse_pallas(
         q_lens,
         kv_lens,
         jnp.pad(block_ids.reshape(-1), (0, pcb)),
+        chunk_cnt,
         q_t,
         k_pages,
         v_pages,
-        mask_bits,
+        bits_flat,
+        list_flat,
     )
 
 
@@ -674,7 +711,14 @@ def attention_with_kvcache_prefill(
 
     page_size = k_pages.shape[2]
     if pages_per_compute_block is None:
-        pages_per_compute_block = max(1, min(256 // page_size, block_ids.shape[1]))
+        if sparse:
+            # one mask column per compute chunk: larger chunks are active if
+            # ANY of their pages is kept, which destroys the skip ratio
+            pages_per_compute_block = max(mask_tile_kv // page_size, 1)
+        else:
+            pages_per_compute_block = max(
+                1, min(256 // page_size, block_ids.shape[1])
+            )
 
     max_q_tiles = max_q_pad // tq
     if sparse:
@@ -688,15 +732,57 @@ def attention_with_kvcache_prefill(
         bm_pages = jnp.repeat(block_mask, pages_per_tile, axis=-1)
         n_chunks = round_up(cdiv(block_ids.shape[1], pcb), 128)
         mask_bits = _pack_mask_bits(bm_pages, pcb, n_chunks)
+        if mask_bits.shape[2] < max_q_tiles:  # grid indexes q tiles directly
+            mask_bits = jnp.pad(
+                mask_bits,
+                ((0, 0), (0, 0), (0, max_q_tiles - mask_bits.shape[2]), (0, 0)),
+            )
+
+        # active-chunk CSR, built vectorized here (the kernel only DMAs its
+        # tile's row): union over the GQA group, clamped to each q-tile's
+        # causal bound, actives sorted to the front
+        hkv_ = k_pages.shape[0]
+        group_ = hq // hkv_
+        n_tm = mask_bits.shape[2]  # >= max_q_tiles after the pad above
+        bits4 = mask_bits.reshape(b, hkv_, group_, n_tm, n_chunks)
+        union = jnp.any(bits4 != 0, axis=2)  # [B, Hkv, n_tm, n_chunks]
+        kv_lens_i = seqlens_kvcache.astype(jnp.int32)
+        kv_off = kv_lens_i - q_lens  # [B]
+        ckt = pcb * page_size
+        kv_hi = jnp.minimum(
+            kv_lens_i[:, None],
+            kv_off[:, None] + (jnp.arange(n_tm, dtype=jnp.int32)[None] + 1) * tq,
+        )  # [B, n_tm]
+        lim = jnp.maximum((kv_hi + ckt - 1) // ckt, 1)  # chunks in causal range
+        cid = jnp.arange(n_chunks, dtype=jnp.int32)
+        union = union & (cid[None, None, None, :] < lim[:, None, :, None])
+        chunk_list = jnp.sort(
+            jnp.where(union, cid, n_chunks), axis=-1
+        ).astype(jnp.int32)
+        chunk_cnt = (
+            jnp.sum(union, axis=-1).astype(jnp.int32).reshape(-1)
+        )  # [B*Hkv*n_tm]
+        # flat leading dim keeps the per-tile DMAs on an untiled axis
+        bits_flat = jnp.transpose(bits4, (0, 1, 3, 2, 4)).reshape(
+            b * hkv_ * n_tm, group_, n_chunks
+        )
+        list_flat = jnp.broadcast_to(
+            chunk_list.reshape(b * hkv_ * n_tm, 1, n_chunks),
+            (b * hkv_ * n_tm, 8, n_chunks),
+        )
+
         o_t = _prefill_sparse_pallas(
             q_t,
             k_pages,
             v_pages,
             q_starts,
             q_lens,
-            seqlens_kvcache.astype(jnp.int32),
+            kv_lens_i,
             jnp.maximum(block_ids.astype(jnp.int32), 0),
-            mask_bits,
+            bits_flat,
+            list_flat,
+            chunk_cnt,
+            n_tm,
             tq,
             pcb,
             max_q_tiles,

@@ -54,12 +54,25 @@ class TaskMap(NamedTuple):
 
 
 def task_capacity(
-    max_num_batch: int, max_seqlen: int, num_head_kv: int, tile: int, min_tiles: int
+    max_num_batch: int,
+    max_seqlen: int,
+    num_head_kv: int,
+    tile: int,
+    min_tiles: int,
+    num_tasks_target: int = 256,
 ) -> int:
     """Static upper bound on task count (reference analog:
-    get_attention_decode_task_workspace, hpc/attention.py:540-582)."""
+    get_attention_decode_task_workspace, hpc/attention.py:540-582).
+
+    Two regimes bound the count: splitting everything at min_tiles
+    granularity, and the target-capped regime where the scheduler packs to
+    ~num_tasks_target tasks plus at most one partial task per (batch, head).
+    Oversized capacity is pure waste — sentinel tasks still cost a grid
+    step each in the task-scheduled kernel."""
     max_tiles = max_num_batch * num_head_kv * cdiv(max_seqlen, tile)
-    return cdiv(max_tiles, max(min_tiles, 1)) + max_num_batch * num_head_kv
+    fine = cdiv(max_tiles, max(min_tiles, 1)) + max_num_batch * num_head_kv
+    packed = num_tasks_target + 2 * max_num_batch * num_head_kv
+    return min(fine, packed)
 
 
 def assign_decode_tasks_np(
@@ -215,7 +228,10 @@ def assign_attention_decode_task(
     kv_lens = jnp.asarray(num_seq_kvcache, jnp.int32) + (0 if new_kv_included else sq)
     b = kv_lens.shape[0]
     if capacity is None:
-        capacity = task_capacity(b, 128 * 1024, num_head_kv, tile, min_process_len // tile)
+        capacity = task_capacity(
+            b, 128 * 1024, num_head_kv, tile, min_process_len // tile,
+            num_tasks_target,
+        )
     if impl == "jnp":
         return assign_decode_tasks_jnp(
             kv_lens, num_head_kv, capacity, tile, num_tasks_target, min_process_len
