@@ -58,32 +58,40 @@ def main():
         tbl = jnp.asarray(
             np.arange(nb, dtype=np.int32).reshape(b, 4)
         )
-        # donate the caches: without donation every call pays a full
-        # functional cache copy, which swamps the op (in a real serving jit
-        # the cache is threaded through one step and aliased in place)
-        fn = jax.jit(
-            lambda kc, vc, qkv, cs, seq, qi, tbl: rope_norm_store_kv(
-                kc, vc, qkv, cs, seq, qi, tbl, False
-            ),
-            donate_argnums=(0, 1),
-        )
-        sec = None
+        # chain calls inside one jit with the cache as loop carry — the
+        # realistic serving pattern (in-place cache updates); separate
+        # dispatches pay a full functional cache copy per call
         import time as _t
-        for _ in range(args.warmup):
-            q_out, kc, vc = fn(kc, vc, qkv, cos_sin, seq, q_index, tbl)
-        samples = []
+        inner = 10
+
+        def mk(n):
+            @jax.jit
+            def run(kc, vc, qkv, cs, seq, qi, tbl):
+                def body(_, carry):
+                    kc_, vc_ = carry
+                    _q, kc2, vc2 = rope_norm_store_kv(
+                        kc_, vc_, qkv, cs, seq, qi, tbl, False,
+                        zero_tails=False,
+                    )
+                    return (kc2, vc2)
+                return jax.lax.fori_loop(0, n, body, (kc, vc))[0]
+            return run
+
+        runs = {n: mk(n) for n in (inner, 2 * inner)}
+        a = (kc, vc, qkv, cos_sin, seq, q_index, tbl)
+        for r in runs.values():
+            np.asarray(r(*a)[:1, :1, :1, :4])
+        samples = {n: [] for n in runs}
         for _ in range(args.iters):
-            t0 = _t.perf_counter()
-            q_out, kc, vc = fn(kc, vc, qkv, cos_sin, seq, q_index, tbl)
-            jnp.asarray(q_out)[0, 0, 0].block_until_ready()
-            import numpy as _np
-            _np.asarray(q_out[:1, :1, :1])
-            samples.append(_t.perf_counter() - t0)
-        from common import dispatch_overhead
+            for n, r in runs.items():
+                t0 = _t.perf_counter()
+                np.asarray(r(*a)[:1, :1, :1, :4])
+                samples[n].append(_t.perf_counter() - t0)
         import statistics
         sec = max(
-            statistics.median(samples) - dispatch_overhead(),
-            0.05 * statistics.median(samples),
+            (statistics.median(samples[2 * inner])
+             - statistics.median(samples[inner])) / inner,
+            1e-9,
         )
         bytes_moved = (
             rows * (hq + 2 * hkv) * D * 2  # qkv read

@@ -227,6 +227,7 @@ def forward_step(
                 int(QuantPolicy.DYNAMIC_Q_STATIC_KV),
                 max_seqlens=max_seqlens_q,
                 cache_layout="HND",
+                zero_tails=False,  # attention masks by kv_len; skip the pass
             )
         else:
             q, k_new, v_new = rope_norm_store_kv(
@@ -239,6 +240,7 @@ def forward_step(
                 block_ids,
                 is_prefill,
                 cache_layout="HND",
+                zero_tails=False,  # attention masks by kv_len; skip the pass
             )
             q_scale = None
         new_caches.append({"k": k_new, "v": v_new})

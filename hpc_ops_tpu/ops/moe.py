@@ -393,8 +393,23 @@ def _naive_group_gemm(xg, w, g: GatherResult, scale, tm):
     return out.astype(jnp.bfloat16)
 
 
+def count_and_build_indices(topk_ids, num_expert: int, rank_ep: int,
+                            num_seq_per_group_avg: int | None = None):
+    """Routing metadata without token materialization (reference
+    src/fuse_moe/cp_async/count.cu count_and_build_indices): returns
+    (row_indices, topk_pos, seqlens, cu_seqlens, tiles, cu_tiles, grp) —
+    the inputs of :func:`hpc_ops_tpu.ops.group_gemm.group_gemm_fp8_scatter`.
+    """
+    s_, k_ = topk_ids.shape
+    if num_seq_per_group_avg is None:
+        num_seq_per_group_avg = max(s_ * k_ // max(num_expert, 1), 1)
+    tm = _pick_tm(num_seq_per_group_avg)
+    return _route_aligned(topk_ids, num_expert, rank_ep, tm)
+
+
 __all__ = [
     "count_and_gather",
+    "count_and_build_indices",
     "reduce",
     "fuse_moe",
     "fuse_moe_pertensor_fp8",

@@ -141,6 +141,7 @@ def rope_norm_store_kv(
     qk_norm_policy: int = 0,
     store_to_cache: bool = True,
     cache_layout: str = "NHD",
+    zero_tails: bool = True,
 ):
     """RoPE + optional QK RMSNorm + paged-KV store (BF16).
 
@@ -181,9 +182,14 @@ def rope_norm_store_kv(
     blk = key_cache.shape[2] if cache_layout == "HND" else key_cache.shape[1]
     slots = flat_slot_ids(m.positions, m.req_ids, kvcache_indices, blk, m.valid)
     cache = store_kv(cache, k, v, slots, layout=cache_layout)
-    cache = zero_block_tails(
-        cache, num_seqlen_per_req, kvcache_indices, layout=cache_layout
-    )
+    if zero_tails:
+        # this framework's attention kernels mask by kv_len, so garbage in
+        # block tails is never read — zeroing every step costs a scatter
+        # over up to block_size rows per request; opt in only when a
+        # consumer reads raw pages
+        cache = zero_block_tails(
+            cache, num_seqlen_per_req, kvcache_indices, layout=cache_layout
+        )
     return q_out, cache.k, cache.v
 
 
@@ -206,6 +212,7 @@ def rope_norm_store_kv_fp8(
     k_norm_weight: Optional[jax.Array] = None,
     qk_norm_policy: int = 0,
     cache_layout: str = "NHD",
+    zero_tails: bool = True,
 ):
     """FP8 variant: quantizes Q (dynamic per-token-per-head or static) and
     stores K/V into an FP8 cache with static per-tensor scales.
@@ -273,9 +280,10 @@ def rope_norm_store_kv_fp8(
     blk = key_cache.shape[2] if cache_layout == "HND" else key_cache.shape[1]
     slots = flat_slot_ids(m.positions, m.req_ids, kvcache_indices, blk, m.valid)
     cache = store_kv(cache, k_q, v_q, slots, layout=cache_layout)
-    cache = zero_block_tails(
-        cache, num_seqlen_per_req, kvcache_indices, layout=cache_layout
-    )
+    if zero_tails:
+        cache = zero_block_tails(
+            cache, num_seqlen_per_req, kvcache_indices, layout=cache_layout
+        )
 
     split_k_flag = jnp.zeros((num_req, num_kv_heads), jnp.int32)
     return q_fp8, q_scale, split_k_flag, cache.k, cache.v
