@@ -7,11 +7,11 @@ mode.
 
 TPU design (vs. the reference's CUDA split-k CTA scheduling,
 SURVEY.md §3.1): a TPU core executes its grid sequentially with pipelined
-DMA, so "split-k across CTAs" is replaced by a (batch, kv_head, kv_chunk)
-grid in which each chunk's pages are double-buffer DMA'd from HBM while the
-previous chunk computes. Load imbalance between requests costs only skipped
-grid steps (a few cycles each), not idle compute units; the two megacores
-split the batch dimension (``dimension_semantics=("parallel", ...)``).
+DMA, so "split-k across CTAs" is replaced by a (batch, kv_head) grid whose
+programs walk their KV chunks in an inline loop, double-buffer DMA-ing
+pages while the previous chunk computes and prefetching the next program's
+first chunk across the grid-step boundary. Load imbalance between requests
+costs nothing: each program runs exactly ceil(kv_len/chunk) iterations.
 
 Scale handling: all *per-tensor* scales are folded outside the kernel
 (q <- q * qscale * kscale / sqrt(D); out <- out * vscale), so the BF16 and
