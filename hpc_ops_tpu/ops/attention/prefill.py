@@ -18,6 +18,10 @@ TPU design:
     descriptor updates, src/utils/tma.cuh:10-59).
   * All per-tensor scales are folded outside (q <- q*qscale*kscale/sqrt(D),
     out <- out*vscale), so BF16/FP8 differ only in the page dtype upcast.
+  * QuantType-0 (per-token-per-head K scales, per-head V scales) applies K
+    scales to the logits in-kernel (exact: the scale is constant along D)
+    from a dense page-table-gathered row, and folds V's per-head scale into
+    the output — the same scheme as the decode kernels.
 """
 
 from __future__ import annotations
@@ -50,6 +54,7 @@ def _prefill_kernel(
     q_hbm_ref,  # [Hq, total_q_pad, D] ANY
     k_pages_ref,  # [Hkv, nb, bs, D] ANY
     v_pages_ref,
+    ks_ref,  # [1, 1, n_ck, ck] f32 VMEM — per-token K scales (or dummy)
     # outputs
     o_hbm_ref,  # [Hq, total_q_pad, D] ANY (bf16)
     # scratch
@@ -69,6 +74,7 @@ def _prefill_kernel(
     page_size: int,
     max_blocks: int,
     group: int,
+    pertoken_ks: bool,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)  # kv head
@@ -162,6 +168,11 @@ def _prefill_kernel(
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
                 )
+                if pertoken_ks:
+                    # QuantType-0: one K scale per (token, kv-head), applied
+                    # to the logits (exact — constant along D), same trick as
+                    # _decode_qt0_kernel
+                    s = s * ks_ref[0, 0, j][None, :]
                 s = jnp.where(mask, s, MASK_VALUE)
                 m_prev = m_buf[g]
                 l_prev = l_buf[g]
@@ -212,6 +223,7 @@ def _prefill_sparse_kernel(
     v_pages_ref,
     bits_hbm_ref,  # [B*Hkv*n_tm, G, n_chunks] int32 ANY — per-head bits
     list_hbm_ref,  # [B*Hkv*n_tm, 8, n_chunks] int32 ANY — row 0: chunk list
+    ks_ref,  # [1, 1, n_ck, ck] f32 VMEM — per-token K scales (or dummy)
     # outputs
     o_hbm_ref,  # [Hq, total_q_pad, D] ANY
     # scratch
@@ -239,6 +251,7 @@ def _prefill_sparse_kernel(
     num_kv_heads: int,
     n_tm: int,
     pack: int,
+    pertoken_ks: bool,
 ):
     """Block-sparse paged prefill (reference op #4,
     warp_spec_with_kvcache_blocksparse_fp8_dim128.cu / kHasMask).
@@ -364,6 +377,7 @@ def _prefill_sparse_kernel(
             # per-segment column ids / validity / per-head bits from SMEM
             kpos = within
             bits_g = [jnp.zeros((tq, ckt), jnp.int32) for _ in range(group)]
+            ks_rows = []
             for p in range(pack):
                 e = jnp.minimum(i * pack + p, n_chunks - 1)
                 valid = (i * pack + p) < cnt
@@ -373,8 +387,19 @@ def _prefill_sparse_kernel(
                 for g in range(group):
                     bv = bits_smem[g, jnp.minimum(col, n_chunks - 1)]
                     bits_g[g] = bits_g[g] + jnp.where(seg == p, bv, 0)
+                if pertoken_ks:
+                    kc_ = jnp.minimum(col, ks_ref.shape[2] - 1)
+                    ks_rows.append(ks_ref[0, 0, kc_][None, :])  # [1, ck]
 
             causal = (kpos <= qpos) & (kpos < kv_len)
+            if pertoken_ks:
+                # QuantType-0 logit-side K scales, assembled per packed
+                # segment (same trick as _decode_qt0_kernel; exact)
+                ks_row = (
+                    jnp.concatenate(ks_rows, axis=1)
+                    if pack > 1
+                    else ks_rows[0]
+                )  # [1, ckt]
 
             for g in range(group):
                 keep = (
@@ -385,6 +410,8 @@ def _prefill_sparse_kernel(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                if pertoken_ks:
+                    s = s * ks_row
                 s = jnp.where(causal & keep, s, MASK_VALUE)
                 m_prev = m_buf[g]
                 l_prev = l_buf[g]
@@ -446,7 +473,8 @@ def _pack_mask_bits(block_mask, pcb: int, n_chunks: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_tm", "tq", "pages_per_compute_block", "max_q_tiles", "interpret"
+        "n_tm", "tq", "pages_per_compute_block", "max_q_tiles",
+        "pertoken_ks", "interpret",
     ),
 )
 def _prefill_sparse_pallas(
@@ -460,10 +488,12 @@ def _prefill_sparse_pallas(
     bits_flat,  # [B*Hkv*n_tm, G, n_chunks] int32
     list_flat,  # [B*Hkv*n_tm, 8, n_chunks] int32 (row 0 = chunk list)
     chunk_cnt,  # [B*Hkv*n_tm] int32
+    ks_dense,  # [B, Hkv, n_ck, ck] f32 (dummy [B, Hkv, 1, 128] when unused)
     n_tm: int,
     tq: int,
     pages_per_compute_block: int,
     max_q_tiles: int,
+    pertoken_ks: bool = False,
     interpret: bool = False,
 ):
     hq, total_q_pad, d = q_t.shape
@@ -474,6 +504,7 @@ def _prefill_sparse_pallas(
     pcb = pages_per_compute_block
     max_blocks = block_ids.shape[1]
     n_chunks = bits_flat.shape[-1]
+    n_ck, ck_s = ks_dense.shape[2], ks_dense.shape[3]
     # pack enough active columns per compute step for a ~256-wide kv tile
     pack = max(1, 256 // (pcb * bs))
 
@@ -486,6 +517,9 @@ def _prefill_sparse_pallas(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 1, n_ck, ck_s), lambda bi, hi, ti, *_: (bi, hi, 0, 0)
+            ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -516,6 +550,7 @@ def _prefill_sparse_pallas(
         num_kv_heads=hkv,
         n_tm=n_tm,
         pack=pack,
+        pertoken_ks=pertoken_ks,
     )
     return pl.pallas_call(
         kernel,
@@ -536,12 +571,16 @@ def _prefill_sparse_pallas(
         v_pages,
         bits_flat,
         list_flat,
+        ks_dense,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tq", "pages_per_compute_block", "max_q_tiles", "interpret"),
+    static_argnames=(
+        "tq", "pages_per_compute_block", "max_q_tiles", "pertoken_ks",
+        "interpret",
+    ),
 )
 def _prefill_pallas(
     q_t,  # [Hq, total_q_pad, D] bf16 pre-scaled, per-request tq-aligned rows
@@ -551,9 +590,11 @@ def _prefill_pallas(
     q_lens,  # [B] int32
     kv_lens,  # [B] int32
     block_ids,  # [B, max_blocks]
+    ks_dense,  # [B, Hkv, n_ck, ck] f32 (dummy [B, Hkv, 1, 128] when unused)
     tq: int,
     pages_per_compute_block: int,
     max_q_tiles: int,
+    pertoken_ks: bool = False,
     interpret: bool = False,
 ):
     hq, total_q_pad, d = q_t.shape
@@ -564,6 +605,7 @@ def _prefill_pallas(
     pcb = pages_per_compute_block
     max_blocks = block_ids.shape[1]
 
+    n_ck, ck_s = ks_dense.shape[2], ks_dense.shape[3]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b, hkv, max_q_tiles),
@@ -571,6 +613,9 @@ def _prefill_pallas(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 1, n_ck, ck_s), lambda bi, hi, ti, *_: (bi, hi, 0, 0)
+            ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -593,6 +638,7 @@ def _prefill_pallas(
         page_size=bs,
         max_blocks=max_blocks,
         group=group,
+        pertoken_ks=pertoken_ks,
     )
     return pl.pallas_call(
         kernel,
@@ -602,7 +648,16 @@ def _prefill_pallas(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_starts, q_lens, kv_lens, jnp.pad(block_ids.reshape(-1), (0, pcb)), q_t, k_pages, v_pages)
+    )(
+        q_starts,
+        q_lens,
+        kv_lens,
+        jnp.pad(block_ids.reshape(-1), (0, pcb)),
+        q_t,
+        k_pages,
+        v_pages,
+        ks_dense,
+    )
 
 
 def attention_with_kvcache_prefill(
@@ -648,14 +703,24 @@ def attention_with_kvcache_prefill(
         QuantType.QPERTOKEN_PERHEAD_KPERTOKEN_PERHEAD_VPERHEAD,
         QuantType.QPERTOKEN_PERHEAD_KPERTOKEN_PERHEAD_VPERHEAD_QKHADAMARD,
     )
+    # QuantType-0 fast path: one fp8 K scale per (token, kv-head) (paged
+    # [nb, bs, Hkv, 1]) is applied to the LOGITS in-kernel, exactly as
+    # _decode_qt0_kernel does; grouped-D scale layouts fall back to the
+    # oracle
+    pertoken_fast = (
+        pertoken_k and kscale is not None and kscale.shape[-1] == 1
+    )
 
     sparse = block_mask is not None
     if sparse and (mask_tile_q != tq or mask_tile_kv % k_pages.shape[2]):
         # the Pallas sparse kernel requires q-tile == mask tile_m and
         # page-aligned kv mask tiles; anything else runs the oracle path
         sparse = False
-    if impl == "ref" or pertoken_k or (block_mask is not None and not sparse):
-        # QuantType-0 decode uses the XLA gather path.
+    if (
+        impl == "ref"
+        or (pertoken_k and not pertoken_fast)
+        or (block_mask is not None and not sparse)
+    ):
         return attention_with_kvcache_prefill_ref(
             q,
             kcache_n,
@@ -685,7 +750,7 @@ def attention_with_kvcache_prefill(
         pos = row - cu_seqlens_q[req]
         qs = qscale[req, :, jnp.minimum(pos, qscale.shape[-1] - 1)]  # [total_q, Hq]
         qf = qf * qs[..., None]
-    if is_fp8 and kscale is not None:
+    if is_fp8 and kscale is not None and not pertoken_fast:
         scale = scale * kscale.reshape(()).astype(jnp.float32)
     qf = qf * scale
 
@@ -721,6 +786,31 @@ def attention_with_kvcache_prefill(
             )
 
     max_q_tiles = max_q_pad // tq
+    max_blocks_tbl = block_ids.shape[1]
+
+    def gather_ks(pcb_):
+        """Per-token K scales (paged [nb, bs, Hkv, 1]) -> dense
+        [B, Hkv, n_ck, ck] rows through the page table (4 bytes/token,
+        ~3% of the fp8 K traffic) so the kernel can scale logits per kv
+        column; mirrors the decode QuantType-0 gather."""
+        if not pertoken_fast:
+            return jnp.zeros((b, k_pages.shape[0], 1, 128), jnp.float32)
+        hkv_g = k_pages.shape[0]
+        ck_ = pcb_ * page_size
+        n_ck = cdiv(max_blocks_tbl, pcb_)
+        ks = kscale.astype(jnp.float32).reshape(
+            k_pages.shape[1], page_size, hkv_g
+        )  # [nb, bs, Hkv]
+        tbl = jnp.maximum(block_ids.astype(jnp.int32), 0)
+        ks_g = ks[tbl]  # [B, max_blocks, bs, Hkv]
+        ks_d = jnp.transpose(ks_g, (0, 3, 1, 2)).reshape(
+            b, hkv_g, max_blocks_tbl * page_size
+        )
+        pad_ = n_ck * ck_ - max_blocks_tbl * page_size
+        if pad_:
+            ks_d = jnp.pad(ks_d, ((0, 0), (0, 0), (0, pad_)))
+        return ks_d.reshape(b, hkv_g, n_ck, ck_)
+
     if sparse:
         pcb = pages_per_compute_block
         if pcb > 16:  # bits per chunk live in one int32
@@ -782,10 +872,12 @@ def attention_with_kvcache_prefill(
             bits_flat,
             list_flat,
             chunk_cnt,
+            gather_ks(pcb),
             n_tm,
             tq,
             pcb,
             max_q_tiles,
+            pertoken_ks=pertoken_fast,
             interpret=interpret_default(),
         )
     else:
@@ -797,9 +889,11 @@ def attention_with_kvcache_prefill(
             q_lens,
             seqlens_kvcache.astype(jnp.int32),
             jnp.maximum(block_ids.astype(jnp.int32), 0),
+            gather_ks(pages_per_compute_block),
             tq,
             pages_per_compute_block,
             max_q_tiles,
+            pertoken_ks=pertoken_fast,
             interpret=interpret_default(),
         )
     # Compact per-request slots back to packed rows with contiguous
@@ -814,9 +908,17 @@ def attention_with_kvcache_prefill(
         o_ext = jax.lax.dynamic_update_slice(o_ext, blk, (0, cu[i], 0))
     out = jnp.transpose(o_ext[:, :total_q], (1, 0, 2))
     if is_fp8 and vscale is not None:
-        out = (out.astype(jnp.float32) * vscale.reshape(()).astype(jnp.float32)).astype(
-            jnp.bfloat16
-        )
+        vs = vscale.astype(jnp.float32).reshape(-1)
+        if vs.shape[0] == 1:
+            out = (out.astype(jnp.float32) * vs[0]).astype(jnp.bfloat16)
+        else:
+            # QuantType-0 per-kv-head V scale: out = P @ (V_fp8 * vs[h]) =
+            # (P @ V_fp8) * vs[h] — exact, folded per q-head group
+            group_ = hq // k_pages.shape[0]
+            vs_q = jnp.repeat(vs, group_)  # [Hq]
+            out = (out.astype(jnp.float32) * vs_q[None, :, None]).astype(
+                jnp.bfloat16
+            )
     return out
 
 

@@ -193,6 +193,73 @@ def test_paged_prefill_fp8_pertensor():
     assert_allclose(np.asarray(out, np.float32), want, atol=0.15, rtol=0.1, name="fp8")
 
 
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_paged_prefill_fp8_pertoken_k(use_mask):
+    """QuantType-0 prefill fast path (per-token-per-head K scales applied to
+    the logits in-kernel, per-head V scale on the output) vs the dequant
+    oracle — dense and block-sparse kernels."""
+    rng = np.random.RandomState(23)
+    hq, hkv, d, bs = 4, 2, 128, 16
+    q_lens = [128, 77]
+    kv_lens = [192, 77]
+    total_q = sum(q_lens)
+    q = jnp.asarray(rng.randn(total_q, hq, d), jnp.bfloat16)
+    ks = [rng.randn(L, hkv, d).astype(np.float32) for L in kv_lens]
+    vs = [rng.randn(L, hkv, d).astype(np.float32) for L in kv_lens]
+
+    kcache, vcache, block_ids = build_paged(ks, vs, bs)
+    nb = kcache.shape[0]
+    kscale = (np.abs(kcache).max(axis=-1, keepdims=True) / 448.0 + 1e-6).astype(
+        np.float32
+    )  # [nb, bs, hkv, 1]
+    vscale = (np.abs(vcache).max(axis=(0, 1, 3)) / 448.0 + 1e-6).astype(
+        np.float32
+    )  # [hkv]
+    kc8 = jnp.asarray(kcache / kscale, jnp.float8_e4m3fn)
+    vc8 = jnp.asarray(vcache / vscale[None, None, :, None], jnp.float8_e4m3fn)
+    assert np.isfinite(np.asarray(kc8, np.float32)).all()
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(q_lens)]), jnp.int32)
+
+    kw = dict(
+        qscale=None,
+        kscale=jnp.asarray(kscale),
+        vscale=jnp.asarray(vscale),
+        quant_type=QuantType.QPERTOKEN_PERHEAD_KPERTOKEN_PERHEAD_VPERHEAD,
+        tq=64,
+    )
+    if use_mask:
+        mtq = mtkv = 64
+        n_tm = (max(q_lens) + mtq - 1) // mtq
+        n_tkv = (max(kv_lens) + mtkv - 1) // mtkv
+        mask = (rng.rand(2, hq, n_tm, n_tkv) < 0.5).astype(np.uint8)
+        for bi, (ql, kl) in enumerate(zip(q_lens, kv_lens)):
+            off = kl - ql
+            for t in range((ql + mtq - 1) // mtq):
+                mask[bi, :, t, (off + t * mtq) // mtkv] = 1
+        kw.update(
+            block_mask=jnp.asarray(mask), mask_tile_q=mtq, mask_tile_kv=mtkv
+        )
+
+    args = (
+        q,
+        kc8,
+        vc8,
+        cu_q,
+        jnp.asarray(block_ids),
+        jnp.asarray(kv_lens, jnp.int32),
+        max(q_lens),
+    )
+    out = attention_with_kvcache_prefill(*args, **kw)
+    want = attention_with_kvcache_prefill(*args, impl="ref", **kw)
+    assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(want, np.float32),
+        atol=4e-2,
+        rtol=4e-2,
+        name=f"qt0_prefill{'_sparse' if use_mask else ''}",
+    )
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_blocksparse_prefill_pallas_vs_ref(seed):
     """Sparse Pallas kernel (mask-skipped chunks) vs the oracle mask path."""
