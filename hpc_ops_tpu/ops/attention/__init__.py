@@ -17,6 +17,7 @@ from hpc_ops_tpu.ops.attention.reference import (
     mha_varlen_prefill_ref,
 )
 from hpc_ops_tpu.ops.attention.scheduler import (
+    get_attention_decode_task_workspace,
     TaskMap,
     assign_attention_decode_task,
     print_attention_decode_task,
@@ -38,6 +39,7 @@ __all__ = [
     "mha_varlen_prefill_ref",
     "TaskMap",
     "task_capacity",
+    "get_attention_decode_task_workspace",
     "assign_attention_decode_task",
     "print_attention_decode_task",
 ]

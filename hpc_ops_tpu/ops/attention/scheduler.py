@@ -253,6 +253,40 @@ def assign_attention_decode_task(
     )
 
 
+def get_attention_decode_task_workspace(
+    max_num_batch: int,
+    max_seqlen: int,
+    num_head_kv: int,
+    tile: int = 512,
+    min_tiles: int = 1,
+    num_tasks_target: int = 256,
+) -> dict:
+    """Workspace accounting for a decode task map (reference:
+    get_attention_decode_task_workspace, hpc/attention.py:540-582).
+
+    The reference returns byte offsets into a caller-allocated CUDA
+    workspace; on TPU the task map is a set of fixed-shape int32 arrays
+    (static shapes are required under jit), so this returns their shapes
+    and total footprint instead.
+    """
+    cap = task_capacity(
+        max_num_batch, max_seqlen, num_head_kv, tile, min_tiles,
+        num_tasks_target,
+    )
+    arrays = {
+        "batch": (cap,),
+        "head": (cap,),
+        "tile_start": (cap,),
+        "num_tiles": (cap,),
+        "seg": (cap,),
+    }
+    return {
+        "capacity": cap,
+        "arrays": arrays,
+        "total_bytes": sum(4 * s[0] for s in arrays.values()),
+    }
+
+
 def print_attention_decode_task(tm: TaskMap) -> None:
     """Debug pretty-printer (reference: hpc/attention.py:629-696)."""
     n = int(tm.num_tasks)
@@ -275,5 +309,6 @@ __all__ = [
     "assign_decode_tasks_jnp",
     "assign_decode_tasks_native",
     "assign_attention_decode_task",
+    "get_attention_decode_task_workspace",
     "print_attention_decode_task",
 ]
