@@ -193,11 +193,14 @@ def forward_step(
     max_seqlens_q: int = 1,
     temperature: float = 0.0,
     sample_seed: int = 0,
+    return_all_logits: bool = False,
 ):
     """One forward step (prefill or decode) over the paged caches.
 
     Returns (sampled_or_logits, new_caches): greedy/temp-sampled token ids
     [B, 1] when temperature > 0 else raw logits of the last token per request.
+    With ``return_all_logits`` (speculative-decode verification), raw logits
+    for EVERY input row [rows, vocab] instead.
     """
     rows = token_ids.shape[0]
     b = seq_lens.shape[0]
@@ -309,6 +312,8 @@ def forward_step(
             h_normed = rmsnorm_ref(x_res, next_norm, cfg.norm_eps).astype(jnp.bfloat16)
 
     # h_normed is final-normed; logits for the last token of each request
+    if return_all_logits:
+        return h_normed @ weights["lm_head"], new_caches
     last_rows = q_index[1:] - 1  # [B]
     final = h_normed[last_rows]
     logits = final @ weights["lm_head"]

@@ -25,7 +25,27 @@ import jax.numpy as jnp
 from hpc_ops_tpu.models.llama import ModelConfig, forward_step, init_cache
 from hpc_ops_tpu.runtime import PagedBlockAllocator
 
-__all__ = ["Engine", "Request"]
+__all__ = ["Engine", "Request", "ngram_draft"]
+
+
+def ngram_draft(tokens: list, k: int, n: int = 2) -> list:
+    """Prompt-lookup drafter: find the latest earlier occurrence of the
+    final n-gram in the request's own history and propose the k tokens that
+    followed it (the no-extra-model speculative scheme; pairs with the
+    reference's MTP draft support in decode attention, entry.cc:429, and
+    the sampler's draft masking, sampler.h:28-42). Returns [] when the
+    n-gram has no earlier match — the caller falls back to plain decode.
+    """
+    if len(tokens) <= n:
+        return []
+    tail = tokens[-n:]
+    # scan right-to-left over earlier positions
+    for s in range(len(tokens) - n - 1, -1, -1):
+        if tokens[s : s + n] == tail:
+            cand = tokens[s + n : s + n + k]
+            if cand:
+                return list(cand)
+    return []
 
 
 @dataclass
@@ -62,6 +82,8 @@ class Engine:
         max_blocks_per_seq: int | None = None,
         temperature: float = 0.0,
         seed: int = 0,
+        speculative_k: int = 0,
+        draft_fn=None,
     ):
         self.cfg = cfg
         self.weights = weights
@@ -69,6 +91,17 @@ class Engine:
         self.max_batch = max_batch
         self.temperature = temperature
         self.seed = seed
+        # speculative decode (greedy verification is lossless; see
+        # speculative_stats)
+        assert speculative_k == 0 or temperature <= 0.0, (
+            "speculative decode currently requires greedy sampling"
+        )
+        assert speculative_k < block_size, "draft run must fit one page"
+        self.speculative_k = speculative_k
+        self.draft_fn = draft_fn or ngram_draft
+        self.spec_proposed = 0
+        self.spec_accepted = 0
+        self._spec_step = None
         self.alloc = PagedBlockAllocator(num_blocks, block_size)
         self.caches = init_cache(cfg, num_blocks=num_blocks, block_size=block_size)
         self.max_blocks_per_seq = max_blocks_per_seq or max(num_blocks // 4, 4)
@@ -181,6 +214,79 @@ class Engine:
             req.out.append(int(toks[i]))
             self._finish_if_done(req)
 
+    # ------------------------------------------------- speculative decode
+    def _spec_fn(self):
+        if self._spec_step is None:
+            self._spec_step = jax.jit(
+                functools.partial(
+                    forward_step,
+                    cfg=self.cfg,
+                    is_prefill=False,
+                    mtp=self.speculative_k,
+                    max_seqlens_q=1,
+                    return_all_logits=True,
+                )
+            )
+        return self._spec_step
+
+    def _spec_batch(self, drafts: dict) -> None:
+        """One MTP verification step: run [last, d1..dk] per request through
+        the decode path (sq = k+1 draft rows, reference entry.cc:429-434),
+        greedily accept the longest prefix of drafts the model agrees with,
+        and emit one correction token. Greedy verification is lossless —
+        outputs are bit-identical to plain decode. Rejected drafts leave
+        stale KV beyond the committed length; attention masks by seq_len
+        and later steps overwrite those slots."""
+        k = self.speculative_k
+        sq = k + 1
+        rids = self._active[: self.max_batch]
+        b = self.max_batch
+        tokens = np.zeros((b, sq), np.int32)
+        seq_lens = np.full((b,), sq, np.int32)  # dummy rows: positions 0..k
+        tables = np.full((b, self.max_blocks_per_seq), self._dummy_block, np.int32)
+        for i, rid in enumerate(rids):
+            req = self.requests[rid]
+            base = len(req.tokens)
+            d = (drafts[rid] + [0] * k)[:k]
+            tokens[i, 0] = req.tokens[-1]
+            tokens[i, 1:] = d
+            seq_lens[i] = base + k
+            self.alloc.extend(rid, base + k)
+            tables[i] = self._table(rid)
+        logits, self.caches = self._spec_fn()(
+            self.weights,
+            self.caches,
+            token_ids=jnp.asarray(tokens.reshape(-1)),
+            seq_lens=jnp.asarray(seq_lens),
+            q_index=jnp.arange(b + 1, dtype=jnp.int32) * sq,
+            block_ids=jnp.asarray(tables),
+        )
+        targets = np.asarray(jnp.argmax(logits, axis=-1)).reshape(b, sq)
+        for i, rid in enumerate(rids):
+            req = self.requests[rid]
+            d = drafts[rid]
+            a = 0
+            while a < len(d) and d[a] == targets[i, a]:
+                a += 1
+            emitted = list(d[:a]) + [int(targets[i, a])]
+            self.spec_proposed += len(d)
+            self.spec_accepted += a
+            budget = req.max_new - len(req.out)
+            req.out.extend(emitted[:budget])
+            self._finish_if_done(req)
+
+    @property
+    def speculative_stats(self) -> dict:
+        return {
+            "proposed": self.spec_proposed,
+            "accepted": self.spec_accepted,
+            "acceptance": (
+                self.spec_accepted / self.spec_proposed
+                if self.spec_proposed
+                else 0.0
+            ),
+        }
+
     def step(self) -> bool:
         """One engine step (a prefill or a decode batch). Returns False when
         no work remains."""
@@ -188,6 +294,16 @@ class Engine:
             self._prefill_one(self._pending.pop(0))
             return True
         if self._active:
+            if self.speculative_k > 0:
+                drafts = {
+                    rid: self.draft_fn(
+                        self.requests[rid].tokens, self.speculative_k
+                    )
+                    for rid in self._active[: self.max_batch]
+                }
+                if any(drafts.values()):
+                    self._spec_batch(drafts)
+                    return True
             self._decode_batch()
             return True
         return False

@@ -53,3 +53,65 @@ def test_engine_more_requests_than_batch(model):
     eng = Engine(cfg, weights, num_blocks=64, block_size=16, max_batch=2)
     outs = eng.run([[1, 2], [3, 4], [5, 6]], max_new=3)
     assert all(len(o) == 3 for o in outs)
+
+
+def test_engine_speculative_lossless(model):
+    """Greedy speculative decode (MTP verification) must produce
+    bit-identical outputs to plain greedy decode, whether drafts are
+    rejected (junk drafter) or fully accepted (oracle drafter)."""
+    cfg, weights = model
+    prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [5, 6, 5, 6, 5]]
+
+    plain = Engine(cfg, weights, num_blocks=64, block_size=16, max_batch=2)
+    want = plain.run(prompts, max_new=8)
+
+    # junk drafter: every draft is (almost surely) rejected; the correction
+    # token alone must reproduce plain decode
+    junk = Engine(
+        cfg, weights, num_blocks=64, block_size=16, max_batch=2,
+        speculative_k=3, draft_fn=lambda tokens, k: [0] * k,
+    )
+    got = junk.run(prompts, max_new=8)
+    assert got == want
+    assert junk.spec_proposed > 0
+
+    # oracle drafter: proposes the true continuation -> near-full acceptance
+    fulls = [list(p) + list(o) for p, o in zip(prompts, want)]
+
+    def oracle(tokens, k):
+        for f in fulls:
+            if f[: len(tokens)] == list(tokens):
+                return f[len(tokens) : len(tokens) + k]
+        return []
+
+    orc = Engine(
+        cfg, weights, num_blocks=64, block_size=16, max_batch=2,
+        speculative_k=3, draft_fn=oracle,
+    )
+    got2 = orc.run(prompts, max_new=8)
+    assert got2 == want
+    stats = orc.speculative_stats
+    assert stats["acceptance"] > 0.8  # oracle drafts should be accepted
+    # acceptance means fewer model calls: bound the decode step count
+    assert orc.spec_proposed >= orc.spec_accepted > 0
+
+
+def test_engine_speculative_ngram_path(model):
+    """The default n-gram drafter engages on genuinely repetitive output."""
+    cfg, weights = model
+    eng = Engine(
+        cfg, weights, num_blocks=64, block_size=16, max_batch=1,
+        speculative_k=2,
+    )
+    plain = Engine(cfg, weights, num_blocks=64, block_size=16, max_batch=1)
+    prompt = [[3, 9, 4, 3, 9, 4, 3, 9]]
+    assert eng.run(prompt, max_new=6) == plain.run(prompt, max_new=6)
+
+
+def test_ngram_draft():
+    from hpc_ops_tpu.runtime.engine import ngram_draft
+
+    # last bigram (2, 3) seen earlier, followed by 4, 5
+    assert ngram_draft([1, 2, 3, 4, 5, 2, 3], k=2) == [4, 5]
+    assert ngram_draft([1, 2], k=2) == []  # too short
+    assert ngram_draft([1, 2, 3, 4], k=2) == []  # no earlier match
