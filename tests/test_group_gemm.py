@@ -153,3 +153,40 @@ def test_group_gemm_fp8_scatter():
             want = xf[row_idx[slot]] @ wf[gi].T * float(y_scale[gi])
             got = np.asarray(out[slot], np.float32)
             np.testing.assert_allclose(got, want, atol=0.15, rtol=0.08)
+
+
+def test_group_gemm_int8_native():
+    """INT8 grouped GEMM (native s8xs8->s32 MXU path) vs the fp32 oracle."""
+    import numpy as np
+    from hpc_ops_tpu.ops.group_gemm import (
+        group_gemm_pertensor_int8,
+        group_gemm_ref,
+    )
+    from hpc_ops_tpu.ops.quant import scaled_int8_quant
+
+    rng = np.random.RandomState(11)
+    g, n, k = 4, 256, 512
+    seqlens = np.array([40, 0, 100, 17], np.int32)
+    total = int(seqlens.sum())
+    cu = np.concatenate([[0], np.cumsum(seqlens)]).astype(np.int32)
+    x = jnp.asarray(rng.randn(total, k), jnp.float32)
+    w = jnp.asarray(rng.randn(g, n, k), jnp.float32)
+    x8, xs = scaled_int8_quant(x)
+    w8s = [scaled_int8_quant(w[i]) for i in range(g)]
+    w8 = jnp.stack([a for a, _ in w8s])
+    ws = jnp.concatenate([b for _, b in w8s])
+    y_scale = xs.reshape(()) * ws  # [G]
+
+    out = group_gemm_pertensor_int8(
+        x8, w8, jnp.asarray(seqlens), jnp.asarray(cu), y_scale
+    )
+    want = group_gemm_ref(
+        x8, w8, seqlens, cu, np.asarray(y_scale)
+    )
+    assert_allclose(
+        np.asarray(out, np.float32)[: int(cu[-1])],
+        np.asarray(want, np.float32),
+        atol=5e-2,
+        rtol=5e-2,
+        name="int8_gg",
+    )

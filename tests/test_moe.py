@@ -212,3 +212,65 @@ def test_fuse_moe_blockwise_fp8():
 
     # two fp8 quantization hops: ~2-3% relative error is expected
     assert_allclose(np.asarray(out, np.float32), want, atol=0.05, rtol=0.08)
+
+
+def test_fuse_moe_int8_vs_ref():
+    """INT8 fused MoE (native s8 MXU path) matches its own ref pipeline and
+    stays close to an fp32 MoE oracle."""
+    import numpy as np
+    from hpc_ops_tpu.ops.moe import fuse_moe_pertensor_int8
+    from hpc_ops_tpu.ops.quant import scaled_int8_quant
+
+    rng = np.random.RandomState(3)
+    s, h, i, e, k = 64, 256, 128, 8, 2
+    xf = jnp.asarray(rng.randn(s, h), jnp.float32) * 0.3
+    gu = jnp.asarray(rng.randn(e, 2 * i, h), jnp.float32) * 0.05
+    dw = jnp.asarray(rng.randn(e, h, i), jnp.float32) * 0.05
+    topk_ids = jnp.asarray(rng.randint(0, e, (s, k)), jnp.int32)
+    topk_scale = jnp.asarray(rng.rand(s, k), jnp.float32)
+
+    x8, xs = scaled_int8_quant(xf)
+    gu8s = [scaled_int8_quant(gu[j]) for j in range(e)]
+    gu8 = jnp.stack([a for a, _ in gu8s])
+    gus = jnp.concatenate([b for _, b in gu8s])
+    dw8s = [scaled_int8_quant(dw[j]) for j in range(e)]
+    dw8 = jnp.stack([a for a, _ in dw8s])
+    dws = jnp.concatenate([b for _, b in dw8s])
+
+    # activation-range multiplier mapping silu(gate)*up onto [-127, 127]
+    act_scale = jnp.asarray([127.0 / 0.2], jnp.float32)
+    gate_up_scale = xs.reshape(()) * gus  # [E]
+    down_scale = dws / act_scale.reshape(())  # undo act quant multiplier
+
+    args = (
+        x8, gu8, dw8, gate_up_scale, down_scale, act_scale,
+        topk_ids, topk_scale, 0, e,
+    )
+    out = fuse_moe_pertensor_int8(*args)
+    want = fuse_moe_pertensor_int8(*args, impl="ref")
+    assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(want, np.float32),
+        atol=5e-2,
+        rtol=5e-2,
+        name="int8_moe_pallas_vs_ref",
+    )
+
+    # fp32 oracle: full-precision MoE on the dequantized inputs
+    xq = np.asarray(x8, np.float32) * np.asarray(xs)
+    guq = np.asarray(gu8, np.float32) * np.asarray(gus)[:, None, None]
+    dwq = np.asarray(dw8, np.float32) * np.asarray(dws)[:, None, None]
+    acc = np.zeros((s, h), np.float32)
+    for si in range(s):
+        for kj in range(k):
+            ei = int(topk_ids[si, kj])
+            gup = guq[ei] @ xq[si]
+            a = gup[:i] / (1 + np.exp(-gup[:i])) * gup[i:]
+            # int8 requant of the activation (what the pipeline does)
+            a = np.clip(np.round(a * float(act_scale[0])), -127, 127) / float(
+                act_scale[0]
+            )
+            acc[si] += float(topk_scale[si, kj]) * (dwq[ei] @ a)
+    err = np.abs(np.asarray(out, np.float32) - acc)
+    rel = err.max() / (np.abs(acc).max() + 1e-9)
+    assert rel < 0.08, f"int8 MoE vs fp32 oracle rel err {rel}"
