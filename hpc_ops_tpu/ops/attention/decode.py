@@ -192,6 +192,412 @@ def _decode_kernel(
     o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
 
 
+def _decode_fused_kernel(
+    # scalar prefetch
+    kv_lens_ref,  # [B]
+    block_tbl_ref,  # [B * max_blocks]
+    scale_ref,  # [1] f32
+    # inputs
+    q_ref,  # [1, 1, SGP, D] VMEM bf16
+    kv_pages_ref,  # [Hkv, nb, 2*bs, D] ANY — fused K|V pages
+    # outputs
+    o_ref,  # [1, 1, SGP, D]
+    # scratch
+    kv_buf,  # [2, pcb, 2*bs, D]
+    sems,  # DMA sems (2,)
+    m_scr,
+    l_scr,
+    acc_scr,
+    buf_idx_ref,
+    *,
+    sq: int,
+    pcb: int,
+    page_size: int,
+    max_blocks: int,
+    batch: int,
+    num_kv_heads: int,
+    num_t: int,
+):
+    """Fused-layout decode: K and V of a page live in one [2*bs, D] slab
+    (rows [0:bs]=K, [bs:2bs]=V), so each page costs ONE DMA descriptor.
+
+    Why: on v5e the paged-decode pipeline saturates the DMA *issue* rate
+    (~20ns/descriptor) before HBM bytes at 8-16KB pages — an int8 cache
+    through the split layout moves half the bytes in the same wall time.
+    Fusing K+V halves descriptors per token and restores the byte win;
+    this is the serving engine's native layout (reference keeps split
+    K/V caches, hpc/attention.py:341-380 — a deliberate TPU redesign).
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    ck = pcb * page_size
+
+    kv_len = kv_lens_ref[b]
+    t_max = jnp.maximum((kv_len + ck - 1) // ck, 1)
+
+    def start_copy(bi, hi, ti, slot):
+        return MultiPageCopy(
+            kv_pages_ref,
+            kv_buf,
+            sems.at[slot],
+            block_tbl_ref,
+            head=hi,
+            page_start=bi * max_blocks + ti * pcb,
+            num_pages=pcb,
+            slot=slot,
+        )
+
+    @pl.when((b == 0) & (h == 0))
+    def _():
+        buf_idx_ref[0] = 0
+        start_copy(b, h, 0, 0).start()
+
+    m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = (q_ref[0, 0].astype(jnp.float32) * scale_ref[0]).astype(jnp.bfloat16)
+    sgp = q.shape[0]
+
+    nb_ = jnp.where(h == num_kv_heads - 1, b + 1, b)
+    nh = jnp.where(h == num_kv_heads - 1, 0, h + 1)
+
+    def body(t, _, slot=None):
+        if slot is None:
+            slot = buf_idx_ref[0]
+            next_slot = 1 - slot
+            is_last_t = t == t_max - 1
+            pb = jnp.where(is_last_t, nb_, b)
+            ph = jnp.where(is_last_t, nh, h)
+            pt = jnp.where(is_last_t, 0, t + 1)
+            buf_idx_ref[0] = next_slot
+        else:
+            next_slot = 1 - slot
+            pb, ph, pt = nb_, nh, 0
+
+        @pl.when(pb < batch)
+        def _():
+            start_copy(pb, ph, pt, next_slot).start()
+
+        start_copy(b, h, t, slot).wait()
+        kv = kv_buf[slot]  # [pcb, 2*bs, D]
+        k = kv[:, :page_size, :].reshape(ck, kv.shape[-1]).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+        kpos = t * ck + jax.lax.broadcasted_iota(jnp.int32, (sgp, ck), 1)
+        if sq == 1:
+            s = jnp.where(kpos < kv_len, s, MASK_VALUE)
+        else:
+            row = jax.lax.broadcasted_iota(jnp.int32, (sgp, ck), 0)
+            qpos = kv_len - sq + row % sq
+            s = jnp.where(kpos <= qpos, s, MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.broadcast_to(jnp.max(s, axis=1, keepdims=True), m_prev.shape)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_scr[...] = alpha * l_prev + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+        )
+        m_scr[...] = m_next
+
+        v = kv[:, page_size:, :].reshape(ck, kv.shape[-1]).astype(jnp.bfloat16)
+        o_curr = jax.lax.dot(
+            p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + o_curr
+        return ()
+
+    if num_t == 1:
+        body(0, (), slot=jax.lax.rem(b * num_kv_heads + h, 2))
+    else:
+        jax.lax.fori_loop(0, t_max, body, (), unroll=False)
+
+    l = l_scr[:, :1]
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sq", "pages_per_compute_block", "interpret")
+)
+def _decode_fused_pallas(
+    q4,  # [B, Hkv, SGP, D] bf16
+    kv_pages,  # [Hkv, nb, 2*bs, D]
+    block_ids,
+    kv_lens,
+    scale,
+    sq: int,
+    pages_per_compute_block: int,
+    interpret: bool = False,
+):
+    b, hkv, sgp, d = q4.shape
+    _, nb, bs2, _ = kv_pages.shape
+    bs = bs2 // 2
+    dv = kv_pages.shape[-1]
+    max_blocks = block_ids.shape[1]
+    pcb = pages_per_compute_block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, sgp, d), lambda bi, hi, *_: (bi, hi, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, sgp, dv), lambda bi, hi, *_: (bi, hi, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, pcb, bs2, d), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((sgp, _LANES), jnp.float32),
+            pltpu.VMEM((sgp, _LANES), jnp.float32),
+            pltpu.VMEM((sgp, dv), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_fused_kernel,
+        sq=sq,
+        pcb=pcb,
+        page_size=bs,
+        max_blocks=max_blocks,
+        batch=b,
+        num_kv_heads=hkv,
+        num_t=cdiv(max_blocks, pcb),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, sgp, dv), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        kv_lens,
+        jnp.pad(block_ids.reshape(-1), (0, pcb)),
+        scale,
+        q4,
+        kv_pages,
+    )
+
+
+def _decode_fused_packed_kernel(
+    # scalar prefetch
+    kv_lens_ref,  # [B]
+    block_tbl_ref,  # [B * max_blocks]
+    scale_ref,  # [1] f32
+    # inputs
+    q_ref,  # [R, SGP, D] VMEM — R consecutive (b, h) pairs' q tiles
+    kv_pages_ref,  # [Hkv, nb, 2*bs, D] ANY
+    # outputs
+    o_ref,  # [R, SGP, D]
+    # scratch
+    kv_buf,  # [2, pcb, 2*bs, D]
+    sems,  # DMA sems (2,)
+    m_scr,
+    l_scr,
+    acc_scr,
+    buf_idx_ref,
+    *,
+    sq: int,
+    r_pack: int,
+    pcb: int,
+    page_size: int,
+    max_blocks: int,
+    batch: int,
+    num_kv_heads: int,
+):
+    """Short-KV decode: R (batch, head) pairs per grid step.
+
+    At KV <= ~1K the per-(b, h) grid pays more in Mosaic grid-step overhead
+    (~1-2us/step) than in DMA: 64 req x 8 heads = 512 steps vs ~160us of
+    total KV traffic. Packing R pairs into one step cuts steps by R while
+    the (r, t) chunk chain keeps the same double-buffered DMA pipeline.
+    TPU analog of the reference packing several short requests into one CTA
+    bin (assign_task.cu min_process_len), applied to the static grid.
+    """
+    pid = pl.program_id(0)
+    ck = pcb * page_size
+    flat0 = pid * r_pack
+
+    def start_copy(flat, ti, slot):
+        bi = flat // num_kv_heads
+        hi = jax.lax.rem(flat, num_kv_heads)
+        return MultiPageCopy(
+            kv_pages_ref,
+            kv_buf,
+            sems.at[slot],
+            block_tbl_ref,
+            head=hi,
+            page_start=bi * max_blocks + ti * pcb,
+            num_pages=pcb,
+            slot=slot,
+        )
+
+    @pl.when(pid == 0)
+    def _():
+        buf_idx_ref[0] = 0
+        start_copy(0, 0, 0).start()
+
+    total_flat = batch * num_kv_heads
+
+    def r_body(r, _):
+        flat = flat0 + r
+        kv_len = kv_lens_ref[flat // num_kv_heads]
+        t_max = jnp.maximum((kv_len + ck - 1) // ck, 1)
+
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        q = (q_ref[r].astype(jnp.float32) * scale_ref[0]).astype(jnp.bfloat16)
+        sgp = q.shape[0]
+
+        # successor of this pack entry in the global (flat, t) chain
+        nf = flat + 1
+
+        def body(t, _):
+            slot = buf_idx_ref[0]
+            next_slot = 1 - slot
+            is_last_t = t == t_max - 1
+            pf = jnp.where(is_last_t, nf, flat)
+            pt = jnp.where(is_last_t, 0, t + 1)
+            buf_idx_ref[0] = next_slot
+
+            @pl.when(pf < total_flat)
+            def _():
+                start_copy(pf, pt, next_slot).start()
+
+            start_copy(flat, t, slot).wait()
+            kv = kv_buf[slot]
+            k = (
+                kv[:, :page_size, :]
+                .reshape(ck, kv.shape[-1])
+                .astype(jnp.bfloat16)
+            )
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            kpos = t * ck + jax.lax.broadcasted_iota(jnp.int32, (sgp, ck), 1)
+            if sq == 1:
+                s = jnp.where(kpos < kv_len, s, MASK_VALUE)
+            else:
+                row = jax.lax.broadcasted_iota(jnp.int32, (sgp, ck), 0)
+                qpos = kv_len - sq + row % sq
+                s = jnp.where(kpos <= qpos, s, MASK_VALUE)
+
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_curr = jnp.broadcast_to(
+                jnp.max(s, axis=1, keepdims=True), m_prev.shape
+            )
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            l_scr[...] = alpha * l_prev + jnp.broadcast_to(
+                jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+            )
+            m_scr[...] = m_next
+
+            v = (
+                kv[:, page_size:, :]
+                .reshape(ck, kv.shape[-1])
+                .astype(jnp.bfloat16)
+            )
+            o_curr = jax.lax.dot(
+                p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+            )
+            acc_scr[...] = acc_scr[...] * alpha[:, :1] + o_curr
+            return ()
+
+        jax.lax.fori_loop(0, t_max, body, (), unroll=False)
+
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[r] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        return ()
+
+    jax.lax.fori_loop(0, r_pack, r_body, (), unroll=False)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sq", "pages_per_compute_block", "r_pack", "interpret"),
+)
+def _decode_fused_packed_pallas(
+    q4,  # [B, Hkv, SGP, D] bf16
+    kv_pages,  # [Hkv, nb, 2*bs, D]
+    block_ids,
+    kv_lens,
+    scale,
+    sq: int,
+    pages_per_compute_block: int,
+    r_pack: int,
+    interpret: bool = False,
+):
+    b, hkv, sgp, d = q4.shape
+    bs = kv_pages.shape[2] // 2
+    dv = kv_pages.shape[-1]
+    max_blocks = block_ids.shape[1]
+    pcb = pages_per_compute_block
+    total_flat = b * hkv
+    assert total_flat % r_pack == 0
+
+    q_flat = q4.reshape(total_flat, sgp, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(total_flat // r_pack,),
+        in_specs=[
+            pl.BlockSpec((r_pack, sgp, d), lambda p, *_: (p, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((r_pack, sgp, dv), lambda p, *_: (p, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, pcb, 2 * bs, d), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((sgp, _LANES), jnp.float32),
+            pltpu.VMEM((sgp, _LANES), jnp.float32),
+            pltpu.VMEM((sgp, dv), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_fused_packed_kernel,
+        sq=sq,
+        r_pack=r_pack,
+        pcb=pcb,
+        page_size=bs,
+        max_blocks=max_blocks,
+        batch=b,
+        num_kv_heads=hkv,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((total_flat, sgp, dv), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        kv_lens,
+        jnp.pad(block_ids.reshape(-1), (0, pcb)),
+        scale,
+        q_flat,
+        kv_pages,
+    )
+    return out.reshape(b, hkv, sgp, dv)
+
+
 def _decode_qt0_kernel(
     # scalar prefetch
     kv_lens_ref,
@@ -745,7 +1151,7 @@ def attention_decode(
     hq, d = q.shape[1], q.shape[2]
     if cache_layout == "NHD":
         hkv = kcache.shape[2]
-    else:
+    else:  # "HND" or "FUSED" ([Hkv, nb, 2*bs, D], vcache unused)
         hkv = kcache.shape[0]
     g = hq // hkv
     kv_lens = num_seq_kvcache.astype(jnp.int32) + (0 if new_kv_included else sq)
@@ -756,11 +1162,21 @@ def attention_decode(
         QuantType.QPERTOKEN_PERHEAD_KPERTOKEN_PERHEAD_VPERHEAD_QKHADAMARD,
     )
 
-    qt0_fast = pertoken_k and task_map is None and kscale.shape[-1] == 1
+    qt0_fast = (
+        pertoken_k
+        and task_map is None
+        and kscale is not None
+        and kscale.shape[-1] == 1
+    )
     if impl == "ref" or (pertoken_k and not qt0_fast):
         # QuantType-0 runs the Pallas path only for the reference's actual
         # scheme (one scale per token-head, no task map); grouped-D scales
         # and the task-map mode use the XLA gather path.
+        if cache_layout == "FUSED":
+            from hpc_ops_tpu.ops.attention.paging import unpack_kv_fused
+
+            kcache, vcache = unpack_kv_fused(kcache)
+            cache_layout = "HND"
         if cache_layout == "HND":
             kcache_n = jnp.transpose(kcache, (1, 2, 0, 3))
             vcache_n = jnp.transpose(vcache, (1, 2, 0, 3))
@@ -798,7 +1214,56 @@ def attention_decode(
     sgp = max(round_up(g * sq, 8), 8)
     q4 = _pack_q(qf, b, sq, hkv, g, d, sgp)
 
-    if cache_layout == "NHD":
+    fused = cache_layout == "FUSED"
+    if fused:
+        kv_pages = kcache  # [Hkv, nb, 2*bs, D]
+        page_size = kv_pages.shape[2] // 2
+        dv = kv_pages.shape[-1]
+        if task_map is None:
+            if pages_per_compute_block is None:
+                pages_per_compute_block = max(
+                    1, min(4096 // page_size, block_ids.shape[1])
+                )
+            # short-KV regime: grid-step overhead dominates at <= ~1K KV
+            # tokens per (b, h) — pack several pairs per grid step
+            r_pack = 1
+            if block_ids.shape[1] * page_size <= 1024:
+                for cand in (8, 4, 2):
+                    if (b * hkv) % cand == 0:
+                        r_pack = cand
+                        break
+            if r_pack > 1:
+                o4 = _decode_fused_packed_pallas(
+                    q4,
+                    kv_pages,
+                    jnp.maximum(block_ids.astype(jnp.int32), 0),
+                    kv_lens,
+                    scale_arr,
+                    sq,
+                    pages_per_compute_block,
+                    r_pack,
+                    interpret=interpret_default(),
+                )
+            else:
+                o4 = _decode_fused_pallas(
+                    q4,
+                    kv_pages,
+                    jnp.maximum(block_ids.astype(jnp.int32), 0),
+                    kv_lens,
+                    scale_arr,
+                    sq,
+                    pages_per_compute_block,
+                    interpret=interpret_default(),
+                )
+            out = _unpack_o(o4, b, sq, hkv, g, dv)
+            if is_fp8 and vscale is not None:
+                out = out * vscale.reshape(()).astype(jnp.float32)
+            return out.astype(jnp.bfloat16)
+        # task-map mode reads split pages; unpack (one slice copy)
+        from hpc_ops_tpu.ops.attention.paging import unpack_kv_fused
+
+        k_pages, v_pages = unpack_kv_fused(kv_pages)
+    elif cache_layout == "NHD":
         k_pages = nhd_to_hnd(kcache)
         v_pages = nhd_to_hnd(vcache)
     else:

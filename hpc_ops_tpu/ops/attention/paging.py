@@ -24,6 +24,25 @@ def hnd_to_nhd(cache: jax.Array) -> jax.Array:
     return jnp.transpose(cache, (1, 2, 0, 3))
 
 
+def pack_kv_fused(k_pages: jax.Array, v_pages: jax.Array) -> jax.Array:
+    """[H, nb, bs, D] x2 -> fused [H, nb, 2*bs, D]: rows [0:bs] = K,
+    rows [bs:2bs] = V of the same page.
+
+    The fused layout exists because decode is DMA-*issue*-bound before it is
+    byte-bound on this hardware (~20ns/descriptor): one descriptor per page
+    moves K and V together, halving the issue count per KV token. This is
+    the native cache layout of the serving engine; per-page slabs double to
+    32KB (bf16) / 16KB (int8).
+    """
+    return jnp.concatenate([k_pages, v_pages], axis=2)
+
+
+def unpack_kv_fused(kv_pages: jax.Array):
+    """Fused [H, nb, 2*bs, D] -> ([H, nb, bs, D], [H, nb, bs, D])."""
+    bs = kv_pages.shape[2] // 2
+    return kv_pages[:, :, :bs], kv_pages[:, :, bs:]
+
+
 class MultiPageCopy:
     """One async DMA per KV page: HBM pages -> VMEM slab.
 
@@ -60,4 +79,10 @@ class MultiPageCopy:
             c.wait()
 
 
-__all__ = ["nhd_to_hnd", "hnd_to_nhd", "MultiPageCopy"]
+__all__ = [
+    "nhd_to_hnd",
+    "hnd_to_nhd",
+    "pack_kv_fused",
+    "unpack_kv_fused",
+    "MultiPageCopy",
+]

@@ -99,9 +99,31 @@ def per_token_per_head_fp8_quant(x: jax.Array, upper_max: float = FP8_MAX):
     return fp8_saturate_cast(y, upper_max), scale
 
 
+def quantize_kv_fused_int8(k_pages: jax.Array, v_pages: jax.Array,
+                           kscale: jax.Array | None = None,
+                           vscale: jax.Array | None = None):
+    """Quantize an HND KV cache to the fused int8 serving layout.
+
+    k_pages/v_pages: [Hkv, nb, bs, D] bf16. Returns
+    (kv_fused_int8 [Hkv, nb, 2*bs, D], kscale [1] f32, vscale [1] f32) for
+    :func:`hpc_ops_tpu.ops.attention.decode.attention_decode` with
+    ``cache_layout="FUSED"``. int8 (not fp8) is the TPU-native 8-bit cache
+    code: it stays byte-packed in VMEM and converts to bf16 on the VPU at
+    full rate, so the halved DMA bytes turn into real decode speedup
+    (the reference's fp8 cache, hpc/attention.py:408-462, relies on SM90's
+    native fp8 — on v5e fp8 expands to 32-bit words in VMEM).
+    """
+    from hpc_ops_tpu.ops.attention.paging import pack_kv_fused
+
+    k_i8, ks = scaled_int8_quant(k_pages, kscale)
+    v_i8, vs = scaled_int8_quant(v_pages, vscale)
+    return pack_kv_fused(k_i8, v_i8), ks, vs
+
+
 __all__ = [
     "scaled_fp8_quant",
     "scaled_int8_quant",
+    "quantize_kv_fused_int8",
     "fp8_dequant",
     "blockwise_fp8_quant",
     "blockwise_fp8_dequant",

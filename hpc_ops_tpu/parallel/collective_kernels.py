@@ -79,7 +79,6 @@ def _one_shot_kernel(
     w_ref,  # [1, H] VMEM
     o_ref,  # [N, H] bf16 VMEM
     ores_ref,  # [N, H] bf16 VMEM
-    xv,  # [N, H] VMEM scratch — local copy for the reduction
     comm,  # [ws, N, H] VMEM — symmetric receive buffer
     xsem,
     send_sems,  # DMA [ws]
@@ -91,23 +90,27 @@ def _one_shot_kernel(
 ):
     my = _entry_barrier(axis, ws)
 
-    lc = pltpu.make_async_copy(x_hbm, xv, xsem)
+    lc = pltpu.make_async_copy(x_hbm, comm.at[my], xsem)
     lc.start()
 
+    # Sender writes into the receiver's slot indexed by the SENDER's
+    # absolute chip id, and every chip accumulates slots in absolute order
+    # below — all chips reduce in the same floating-point order, so the
+    # "replicated" outputs are bitwise identical across the mesh.
     copies = []
     for p in range(1, ws):
         peer = jax.lax.rem(my + p, ws)
         rc = pltpu.make_async_remote_copy(
-            x_hbm, comm.at[ws - p], send_sems.at[p], recv_sems.at[p],
+            x_hbm, comm.at[my], send_sems.at[p], recv_sems.at[p],
             device_id=(peer,), device_id_type=pltpu.DeviceIdType.MESH,
         )
         rc.start()
         copies.append(rc)
 
     lc.wait()
-    acc = xv[...].astype(jnp.float32)
     for rc in copies:
         rc.wait()
+    acc = comm[0].astype(jnp.float32)
     for s in range(1, ws):
         acc = acc + comm[s].astype(jnp.float32)
 
@@ -250,7 +253,6 @@ def fuse_allreduce_rmsnorm_pallas(
             ),
             out_shape=out_shapes,
             scratch_shapes=[
-                pltpu.VMEM((n, h), x.dtype),
                 pltpu.VMEM((ws, n, h), x.dtype),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA((ws,)),

@@ -127,6 +127,19 @@ class Engine:
 
     # ------------------------------------------------------------- requests
     def add_request(self, prompt_ids, max_new: int = 16) -> int:
+        # reject up front anything whose KV footprint cannot fit the per-seq
+        # page-table width: over-long requests would otherwise fail deep in
+        # a decode batch with an opaque broadcast error after KV was already
+        # allocated (tables[i] = self._table(rid) below).
+        need = len(prompt_ids) + max_new + self.speculative_k
+        cap = self.max_blocks_per_seq * self.block_size
+        if need > cap:
+            raise ValueError(
+                f"request needs {need} KV slots (prompt {len(prompt_ids)} + "
+                f"max_new {max_new}) but max_blocks_per_seq="
+                f"{self.max_blocks_per_seq} x block_size={self.block_size} "
+                f"caps a sequence at {cap}"
+            )
         rid = self._next_rid
         self._next_rid += 1
         self.requests[rid] = Request(rid, list(map(int, prompt_ids)), max_new=max_new)

@@ -208,3 +208,58 @@ def test_attention_decode_fp8_pertoken_k(s_groups):
         rtol=4e-2,
         name="qt0_pallas_vs_ref",
     )
+
+
+@pytest.mark.parametrize(
+    "kv_lens,mtp",
+    [
+        ([33], 0),  # r_pack=2 packed kernel
+        ([128, 17, 255, 64], 0),  # r_pack=8 packed kernel
+        ([40, 300], 2),  # packed + draft rows
+        ([1100, 40], 0),  # long KV -> unpacked fused kernel
+    ],
+)
+def test_attention_decode_fused_layout_bf16(kv_lens, mtp):
+    """FUSED cache layout (K|V per page in one slab) matches the NHD path."""
+    from hpc_ops_tpu.ops.attention.paging import nhd_to_hnd, pack_kv_fused
+
+    sq = mtp + 1
+    q, kc, vc, block_ids, kv_lens_np = make_decode_case(17, kv_lens, sq=sq)
+    want = attention_decode(
+        q, kc, vc, block_ids, jnp.asarray(kv_lens_np), mtp=mtp, new_kv_included=True
+    )
+    kv_fused = pack_kv_fused(nhd_to_hnd(kc), nhd_to_hnd(vc))
+    out = attention_decode(
+        q, kv_fused, None, block_ids, jnp.asarray(kv_lens_np), mtp=mtp,
+        new_kv_included=True, cache_layout="FUSED",
+    )
+    assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2, name="fused_vs_hnd",
+    )
+
+
+def test_attention_decode_fused_int8():
+    """int8 fused cache: quantize_kv_fused_int8 -> decode matches fp32 oracle
+    within int8 tolerance."""
+    from hpc_ops_tpu.ops.attention.paging import nhd_to_hnd
+    from hpc_ops_tpu.ops.quant import quantize_kv_fused_int8
+
+    kv_lens = [100, 37, 260]
+    q, kc, vc, block_ids, kv_lens_np = make_decode_case(7, kv_lens, sq=1)
+    want = np_decode_ref(
+        np.asarray(q, np.float32),
+        np.asarray(kc, np.float32),
+        np.asarray(vc, np.float32),
+        np.asarray(block_ids),
+        kv_lens_np,
+        1,
+    )
+    kv_i8, ks, vs = quantize_kv_fused_int8(nhd_to_hnd(kc), nhd_to_hnd(vc))
+    out = attention_decode(
+        q, kv_i8, None, block_ids, jnp.asarray(kv_lens_np),
+        new_kv_included=True, cache_layout="FUSED", kscale=ks, vscale=vs,
+    )
+    # int8 KV with per-tensor scales: ~2 decimal digits
+    assert_allclose(np.asarray(out, np.float32), want, atol=8e-2, rtol=8e-2,
+                    name="fused_int8")
