@@ -133,6 +133,59 @@ def time_fn(
     return max(raw - overhead, 0.05 * raw)
 
 
+def time_chain(body: Callable[[Any], Any], init: Any, *,
+               inner: int = 10, trials: int = 5) -> float:
+    """Differential chained timing — the trustworthy mode on this host.
+
+    ``body(carry) -> carry`` is one op invocation whose inputs depend on the
+    previous output (so XLA cannot fold the repeats; see the LICM trap note
+    in axon-tpu-gotchas). Chains ``inner`` and ``2*inner`` iterations inside
+    one jit and returns (t_2N - t_N) / N: the fixed ~30ms dispatch+readback
+    overhead cancels exactly, unlike ``time_fn``'s subtraction, which is
+    noise-dominated below ~50ms true latency.
+    """
+    import numpy as np
+
+    def make(n):
+        def run(init):
+            return jax.lax.fori_loop(0, n, lambda i, c: body(c), init)
+
+        return jax.jit(run)
+
+    runs = {n: make(n) for n in (inner, 2 * inner)}
+    for f in runs.values():
+        _sync(f(init))
+    times = {n: [] for n in runs}
+    for _ in range(trials):
+        for n, f in runs.items():
+            t0 = time.perf_counter()
+            _sync(f(init))
+            times[n].append(time.perf_counter() - t0)
+    return float(
+        (median(times[2 * inner]) - median(times[inner])) / inner
+    )
+
+
+def trace_fn(fn: Callable[..., Any], args: tuple, trace_dir: str,
+             *, iters: int = 3, jit: bool = True) -> str | None:
+    """Capture a jax.profiler trace of ``fn(*args)`` for XProf attribution
+    (the nsys/NVTX analog, reference benchmark/fused_moe/worker.py:33-50).
+
+    Returns the trace directory, or None if profiling is unavailable (some
+    tunneled attachments cannot serve device traces).
+    """
+    f = jax.jit(fn) if jit else fn
+    _sync(f(*args))  # compile outside the trace
+    try:
+        with jax.profiler.trace(trace_dir):
+            for _ in range(iters):
+                _sync(f(*args))
+        return trace_dir
+    except Exception as exc:  # pragma: no cover - host-dependent
+        print(f"[trace_fn] profiling unavailable: {exc}")
+        return None
+
+
 @dataclass
 class Reporter:
     """Collects result rows; writes CSV and JSONL like the reference benches."""

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
-from common import Reporter, peak_bf16_tflops, time_fn
+from common import Reporter, peak_bf16_tflops, time_chain, time_fn
 
 # (groups, avg_rows_per_group, N, K)
 SHAPES = [
@@ -35,9 +35,13 @@ SHAPES = [
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--schemes", nargs="*", default=["pertensor", "blockwise"])
+    ap.add_argument(
+        "--schemes", nargs="*", default=["pertensor", "int8", "blockwise"]
+    )
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--inner", type=int, default=8,
+                    help="chained iterations per timing sample")
     ap.add_argument("--csv", default=None)
     ap.add_argument("--jsonl", default=None)
     args = ap.parse_args()
@@ -45,6 +49,7 @@ def main():
     from hpc_ops_tpu.ops.group_gemm import (
         group_gemm_blockwise_fp8,
         group_gemm_pertensor_fp8,
+        group_gemm_pertensor_int8,
     )
 
     rep = Reporter(csv_path=args.csv, jsonl_path=args.jsonl)
@@ -63,22 +68,51 @@ def main():
         )
         flops = 2 * total * n * k
 
+        x_i8 = jax.random.randint(kx, (total, k), -127, 127, jnp.int8)
+        w_i8 = jax.random.randint(kw, (g_num, n, k), -127, 127, jnp.int8)
+
         for scheme in args.schemes:
             if scheme == "pertensor":
                 ys = jnp.ones((g_num,), jnp.float32)
+                xx, ww = x, w
                 fn = lambda x, w, sl, cu: group_gemm_pertensor_fp8(  # noqa: E731
+                    x, w, sl, cu, ys
+                )
+            elif scheme == "int8":
+                # native s8 x s8 -> s32 MXU path (~1.4x bf16 peak on v5e)
+                ys = jnp.full((g_num,), 1e-4, jnp.float32)
+                xx, ww = x_i8, w_i8
+                fn = lambda x, w, sl, cu: group_gemm_pertensor_int8(  # noqa: E731
                     x, w, sl, cu, ys
                 )
             else:
                 xs = jnp.ones((total, k // 128), jnp.float32)
                 ws = jnp.ones((g_num, n // 128, -(-k // 128)), jnp.float32)
+                xx, ww = x, w
                 fn = lambda x, w, sl, cu: group_gemm_blockwise_fp8(  # noqa: E731
                     x, w, sl, cu, xs, ws, x_scale_layout="natural"
                 )
             try:
-                sec = time_fn(
-                    fn, (x, w, seqlens, cu),
-                    warmup=args.warmup, iters=args.iters,
+                # chained differential timing: feed a data-dependent (but
+                # value-preserving at iteration 1) perturbation of x so XLA
+                # cannot fold the repeats (see time_chain docstring)
+                def body(carry, fn=fn, ww=ww):
+                    xc, sl, cu = carry
+                    out = fn(xc, ww, sl, cu)
+                    dep = (out[0, 0].astype(jnp.float32) > 1e30).astype(
+                        jnp.int32
+                    )
+                    if xc.dtype == jnp.int8:
+                        xn = (xc.astype(jnp.int32) + dep).astype(jnp.int8)
+                    else:
+                        xn = (
+                            xc.astype(jnp.float32) + dep.astype(jnp.float32)
+                        ).astype(xc.dtype)
+                    return (xn, sl, cu)
+
+                sec = time_chain(
+                    body, (xx, seqlens, cu),
+                    inner=args.inner, trials=max(args.iters // 2, 3),
                 )
             except Exception as exc:  # pragma: no cover
                 rep.add(bench="group_gemm", scheme=scheme, groups=g_num,
@@ -99,9 +133,15 @@ def main():
         # dense-XLA bf16 upper-bound baseline: one [total,K]x[K,N] matmul
         xb = x.astype(jnp.bfloat16)
         wb = w[0].astype(jnp.bfloat16).T
-        sec_b = time_fn(
-            lambda a, b: a @ b, (xb, wb),
-            warmup=args.warmup, iters=args.iters,
+
+        def dense_body(carry, wb=wb):
+            a = carry
+            y = a @ wb
+            dep = (y[0, 0].astype(jnp.float32) > 1e30).astype(jnp.bfloat16)
+            return a + dep
+
+        sec_b = time_chain(
+            dense_body, xb, inner=args.inner, trials=max(args.iters // 2, 3)
         )
         rep.add(
             bench="group_gemm", scheme="dense_bf16_xla", groups=g_num,

@@ -363,14 +363,24 @@ def make_sharded_step(mesh, cfg: ModelConfig, is_prefill: bool = False, **fw_kw)
     before placing it.
     """
     wspecs = shard_weights_specs(cfg)
-    # caches: KV heads sharded over tp, page pool sharded over dp (each dp
-    # shard owns its requests' pages; block_ids are shard-local).
-    cache_spec = [{"k": P("tp", "dp"), "v": P("tp", "dp")} for _ in range(cfg.layers)]
+    # Row axes = every mesh axis except "tp": "dp" on a single slice,
+    # ("ddp", "dp") on a hybrid multi-host mesh (make_hybrid_mesh) — request
+    # rows and page pools shard across hosts over DCN, while all
+    # collective-heavy sharding (heads, experts, the fused allreduce+norm)
+    # stays on the ICI "tp" axis. This is BASELINE config 5's layout: TP
+    # within a host, continuous batching across hosts.
+    row_axes = tuple(a for a in mesh.axis_names if a != "tp")
+    rows = row_axes if len(row_axes) > 1 else row_axes[0]
+    # caches: KV heads sharded over tp, page pool sharded over the row axes
+    # (each row shard owns its requests' pages; block_ids are shard-local).
+    cache_spec = [{"k": P("tp", rows), "v": P("tp", rows)} for _ in range(cfg.layers)]
     data_specs = (
-        P("dp"),  # token_ids (rows sharded over dp)
-        P("dp"),  # seq_lens
-        P(),  # q_index (per-shard rows prefix; same shape on every dp shard)
-        P("dp"),  # block_ids (values index the shard-local page pool)
+        P(rows),  # token_ids (rows sharded over the request-owning axes)
+        P(rows),  # seq_lens
+        P(rows),  # q_index: per-shard prefix sums, CONCATENATED over shards
+        #           ([0,1,2] per shard -> [0,1,2, 0,1,2, ...]); per-shard
+        #           values may differ (hosts prefill different lengths)
+        P(rows),  # block_ids (values index the shard-local page pool)
     )
 
     def step(weights, caches, token_ids, seq_lens, q_index, block_ids):
@@ -394,7 +404,7 @@ def make_sharded_step(mesh, cfg: ModelConfig, is_prefill: bool = False, **fw_kw)
         step,
         mesh=mesh,
         in_specs=(wspecs, cache_spec, *data_specs),
-        out_specs=(P("dp"), cache_spec),
+        out_specs=(P(rows), cache_spec),
         check_vma=False,
     )
 

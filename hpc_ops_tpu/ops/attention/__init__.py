@@ -21,6 +21,7 @@ from hpc_ops_tpu.ops.attention.scheduler import (
     TaskMap,
     assign_attention_decode_task,
     print_attention_decode_task,
+    select_decode_mode,
     task_capacity,
 )
 
@@ -39,6 +40,7 @@ __all__ = [
     "mha_varlen_prefill_ref",
     "TaskMap",
     "task_capacity",
+    "select_decode_mode",
     "get_attention_decode_task_workspace",
     "assign_attention_decode_task",
     "print_attention_decode_task",

@@ -16,9 +16,21 @@ costs nothing: each program runs exactly ceil(kv_len/chunk) iterations.
 Scale handling: all *per-tensor* scales are folded outside the kernel
 (q <- q * qscale * kscale / sqrt(D); out <- out * vscale), so the BF16 and
 FP8-per-tensor kernels are one kernel that differs only in the KV dtype
-upcast — FP8 halves the page-DMA bytes, which is the entire win on a
-bandwidth-bound decode. The per-token-per-head K-scale scheme (QuantType 0)
-additionally DMAs scale pages alongside KV pages.
+upcast — an 8-bit cache halves the page-DMA bytes, which is the entire win
+on a bandwidth-bound decode. The per-token-per-head K-scale scheme
+(QuantType 0) additionally DMAs scale pages alongside KV pages.
+
+8-bit cache formats on v5e (no native fp8; fp8-typed arrays DMA ~6-10x
+below byte rate and expand to 32-bit words in VMEM):
+  * fp8 e4m3 caches (reference contract) are bitcast to int8 at the
+    wrapper boundary and decoded bit-exactly in-kernel
+    (``e4m3_bits_to_bf16``) — full byte-rate DMA, reference numerics.
+  * int8 caches (TPU-native fast path, ``quantize_kv_fused_int8``) convert
+    on the VPU directly.
+Either way the serving fast path is the FUSED layout (K|V of a page in one
+DMA slab): decode is DMA-issue-bound (~20ns/descriptor) before it is
+byte-bound, so halving descriptors is what converts halved bytes into
+halved wall time.
 """
 
 from __future__ import annotations
@@ -33,7 +45,28 @@ from jax.experimental.pallas import tpu as pltpu
 from hpc_ops_tpu.config import QuantType
 from hpc_ops_tpu.ops.attention.paging import MultiPageCopy, nhd_to_hnd
 from hpc_ops_tpu.ops.attention.reference import MASK_VALUE, attention_decode_ref
-from hpc_ops_tpu.utils.common import cdiv, interpret_default, round_up
+from hpc_ops_tpu.utils.common import (
+    cdiv,
+    e4m3_bits_to_f32_fast,
+    interpret_default,
+    round_up,
+)
+
+
+def _kv_bits(pages):
+    """fp8 page array -> (int8 bit view, True); passthrough otherwise."""
+    if pages.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        return jax.lax.bitcast_convert_type(pages, jnp.int8), True
+    return pages, False
+
+
+def _upk(x, e4m3: bool):
+    """KV tile -> bf16. e4m3=True: tile holds fp8 BITS in int8 (fp8
+    payloads travel byte-packed — v5e DMAs fp8-typed arrays ~6-10x below
+    byte rate); decode is bit-exact (e4m3_bits_to_bf16)."""
+    if e4m3:
+        return e4m3_bits_to_f32_fast(x).astype(jnp.bfloat16)
+    return x.astype(jnp.bfloat16)
 
 _LANES = 128
 
@@ -65,15 +98,24 @@ def _decode_kernel(
     batch: int,
     num_kv_heads: int,
     num_t: int,
+    nhd: bool = False,  # pages are the flat NHD view [nb, bs, H*D]
+    kv_e4m3: bool = False,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
     ck = pcb * page_size  # kv tokens per compute block
+    d_k = k_buf.shape[-1]
+    d_v = v_buf.shape[-1]
 
     kv_len = kv_lens_ref[b]
     t_max = jnp.maximum((kv_len + ck - 1) // ck, 1)
 
     def start_copy(bi, hi, ti, slot):
+        # only DMA the pages the sequence actually has in this chunk —
+        # full-pcb copies over-fetch up to chunk/kv_len x on skewed batches
+        need = jnp.clip(
+            (kv_lens_ref[bi] + page_size - 1) // page_size - ti * pcb, 1, pcb
+        )
         kc = MultiPageCopy(
             k_pages_ref,
             k_buf,
@@ -83,6 +125,8 @@ def _decode_kernel(
             page_start=bi * max_blocks + ti * pcb,
             num_pages=pcb,
             slot=slot,
+            num_valid=need,
+            nhd_lane_dim=d_k if nhd else None,
         )
         vc = MultiPageCopy(
             v_pages_ref,
@@ -93,12 +137,18 @@ def _decode_kernel(
             page_start=bi * max_blocks + ti * pcb,
             num_pages=pcb,
             slot=slot,
+            num_valid=need,
+            nhd_lane_dim=d_v if nhd else None,
         )
         return kc, vc
 
-    # First program of the whole grid starts its own copy into slot 0.
+    # First program of the whole grid zeroes the buffers (un-DMA'd tail
+    # pages must never hold NaN bits: masked columns contribute p=0 exactly,
+    # but 0 * NaN = NaN in the PV dot) and starts its copy into slot 0.
     @pl.when((b == 0) & (h == 0))
     def _():
+        k_buf[...] = jnp.zeros_like(k_buf)
+        v_buf[...] = jnp.zeros_like(v_buf)
         buf_idx_ref[0] = 0
         kc, vc = start_copy(b, h, 0, 0)
         kc.start()
@@ -143,7 +193,7 @@ def _decode_kernel(
         kc, vc = start_copy(b, h, t, slot)
         kc.wait()
         # bf16 operands keep the MXU at full rate; accumulate in f32.
-        k = k_buf[slot].reshape(ck, k_buf.shape[-1]).astype(jnp.bfloat16)
+        k = _upk(k_buf[slot].reshape(ck, k_buf.shape[-1]), kv_e4m3)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [SGP, ck]
@@ -174,7 +224,7 @@ def _decode_kernel(
         l_scr[...] = l_next
 
         vc.wait()
-        v = v_buf[slot].reshape(ck, v_buf.shape[-1]).astype(jnp.bfloat16)
+        v = _upk(v_buf[slot].reshape(ck, v_buf.shape[-1]), kv_e4m3)
         o_curr = jax.lax.dot(
             p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
         )
@@ -217,6 +267,7 @@ def _decode_fused_kernel(
     batch: int,
     num_kv_heads: int,
     num_t: int,
+    kv_e4m3: bool = False,
 ):
     """Fused-layout decode: K and V of a page live in one [2*bs, D] slab
     (rows [0:bs]=K, [bs:2bs]=V), so each page costs ONE DMA descriptor.
@@ -236,6 +287,9 @@ def _decode_fused_kernel(
     t_max = jnp.maximum((kv_len + ck - 1) // ck, 1)
 
     def start_copy(bi, hi, ti, slot):
+        need = jnp.clip(
+            (kv_lens_ref[bi] + page_size - 1) // page_size - ti * pcb, 1, pcb
+        )
         return MultiPageCopy(
             kv_pages_ref,
             kv_buf,
@@ -245,10 +299,12 @@ def _decode_fused_kernel(
             page_start=bi * max_blocks + ti * pcb,
             num_pages=pcb,
             slot=slot,
+            num_valid=need,
         )
 
     @pl.when((b == 0) & (h == 0))
     def _():
+        kv_buf[...] = jnp.zeros_like(kv_buf)  # no NaN bits in un-DMA'd tails
         buf_idx_ref[0] = 0
         start_copy(b, h, 0, 0).start()
 
@@ -281,7 +337,7 @@ def _decode_fused_kernel(
 
         start_copy(b, h, t, slot).wait()
         kv = kv_buf[slot]  # [pcb, 2*bs, D]
-        k = kv[:, :page_size, :].reshape(ck, kv.shape[-1]).astype(jnp.bfloat16)
+        k = _upk(kv[:, :page_size, :].reshape(ck, kv.shape[-1]), kv_e4m3)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -305,7 +361,7 @@ def _decode_fused_kernel(
         )
         m_scr[...] = m_next
 
-        v = kv[:, page_size:, :].reshape(ck, kv.shape[-1]).astype(jnp.bfloat16)
+        v = _upk(kv[:, page_size:, :].reshape(ck, kv.shape[-1]), kv_e4m3)
         o_curr = jax.lax.dot(
             p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
         )
@@ -336,6 +392,7 @@ def _decode_fused_pallas(
     interpret: bool = False,
 ):
     b, hkv, sgp, d = q4.shape
+    kv_pages, kv_e4m3 = _kv_bits(kv_pages)
     _, nb, bs2, _ = kv_pages.shape
     bs = bs2 // 2
     dv = kv_pages.shape[-1]
@@ -370,6 +427,7 @@ def _decode_fused_pallas(
         batch=b,
         num_kv_heads=hkv,
         num_t=cdiv(max_blocks, pcb),
+        kv_e4m3=kv_e4m3,
     )
     return pl.pallas_call(
         kernel,
@@ -413,6 +471,7 @@ def _decode_fused_packed_kernel(
     max_blocks: int,
     batch: int,
     num_kv_heads: int,
+    kv_e4m3: bool = False,
 ):
     """Short-KV decode: R (batch, head) pairs per grid step.
 
@@ -430,6 +489,9 @@ def _decode_fused_packed_kernel(
     def start_copy(flat, ti, slot):
         bi = flat // num_kv_heads
         hi = jax.lax.rem(flat, num_kv_heads)
+        need = jnp.clip(
+            (kv_lens_ref[bi] + page_size - 1) // page_size - ti * pcb, 1, pcb
+        )
         return MultiPageCopy(
             kv_pages_ref,
             kv_buf,
@@ -439,10 +501,12 @@ def _decode_fused_packed_kernel(
             page_start=bi * max_blocks + ti * pcb,
             num_pages=pcb,
             slot=slot,
+            num_valid=need,
         )
 
     @pl.when(pid == 0)
     def _():
+        kv_buf[...] = jnp.zeros_like(kv_buf)  # no NaN bits in un-DMA'd tails
         buf_idx_ref[0] = 0
         start_copy(0, 0, 0).start()
 
@@ -477,11 +541,7 @@ def _decode_fused_packed_kernel(
 
             start_copy(flat, t, slot).wait()
             kv = kv_buf[slot]
-            k = (
-                kv[:, :page_size, :]
-                .reshape(ck, kv.shape[-1])
-                .astype(jnp.bfloat16)
-            )
+            k = _upk(kv[:, :page_size, :].reshape(ck, kv.shape[-1]), kv_e4m3)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -508,11 +568,7 @@ def _decode_fused_packed_kernel(
             )
             m_scr[...] = m_next
 
-            v = (
-                kv[:, page_size:, :]
-                .reshape(ck, kv.shape[-1])
-                .astype(jnp.bfloat16)
-            )
+            v = _upk(kv[:, page_size:, :].reshape(ck, kv.shape[-1]), kv_e4m3)
             o_curr = jax.lax.dot(
                 p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
             )
@@ -545,6 +601,7 @@ def _decode_fused_packed_pallas(
     interpret: bool = False,
 ):
     b, hkv, sgp, d = q4.shape
+    kv_pages, kv_e4m3 = _kv_bits(kv_pages)
     bs = kv_pages.shape[2] // 2
     dv = kv_pages.shape[-1]
     max_blocks = block_ids.shape[1]
@@ -579,6 +636,7 @@ def _decode_fused_packed_pallas(
         max_blocks=max_blocks,
         batch=b,
         num_kv_heads=hkv,
+        kv_e4m3=kv_e4m3,
     )
     out = pl.pallas_call(
         kernel,
@@ -626,6 +684,7 @@ def _decode_qt0_kernel(
     batch: int,
     num_kv_heads: int,
     num_t: int,
+    kv_e4m3: bool = False,
 ):
     """QuantType-0 decode (reference scheme (b), hpc/attention.py:8-12):
     fp8 K with one scale per (token, kv-head). The scale is applied to the
@@ -645,6 +704,10 @@ def _decode_qt0_kernel(
         args = dict(
             block_tbl_ref=block_tbl_ref, head=hi,
             page_start=bi * max_blocks + ti * pcb, num_pages=pcb, slot=slot,
+            num_valid=jnp.clip(
+                (kv_lens_ref[bi] + page_size - 1) // page_size - ti * pcb,
+                1, pcb,
+            ),
         )
         kc = MultiPageCopy(k_pages_ref, k_buf, sems.at[slot, 0], **args)
         vc = MultiPageCopy(v_pages_ref, v_buf, sems.at[slot, 1], **args)
@@ -652,6 +715,8 @@ def _decode_qt0_kernel(
 
     @pl.when((b == 0) & (h == 0))
     def _():
+        k_buf[...] = jnp.zeros_like(k_buf)
+        v_buf[...] = jnp.zeros_like(v_buf)
         buf_idx_ref[0] = 0
         kc, vc = start_copy(b, h, 0, 0)
         kc.start()
@@ -685,7 +750,7 @@ def _decode_qt0_kernel(
 
         kc, vc = start_copy(b, h, t, slot)
         kc.wait()
-        k = k_buf[slot].reshape(ck, k_buf.shape[-1]).astype(jnp.bfloat16)
+        k = _upk(k_buf[slot].reshape(ck, k_buf.shape[-1]), kv_e4m3)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -711,7 +776,7 @@ def _decode_qt0_kernel(
         m_scr[...] = m_next
 
         vc.wait()
-        v = v_buf[slot].reshape(ck, v_buf.shape[-1]).astype(jnp.bfloat16)
+        v = _upk(v_buf[slot].reshape(ck, v_buf.shape[-1]), kv_e4m3)
         o_curr = jax.lax.dot(
             p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
         )
@@ -744,6 +809,8 @@ def _decode_qt0_pallas(
     interpret: bool = False,
 ):
     b, hkv, sgp, d = q4.shape
+    k_pages, kv_e4m3 = _kv_bits(k_pages)
+    v_pages, _ = _kv_bits(v_pages)
     _, nb, bs, _ = k_pages.shape
     dv = v_pages.shape[-1]
     max_blocks = block_ids.shape[1]
@@ -784,6 +851,7 @@ def _decode_qt0_pallas(
         batch=b,
         num_kv_heads=hkv,
         num_t=num_t,
+        kv_e4m3=kv_e4m3,
     )
     return pl.pallas_call(
         kernel,
@@ -833,6 +901,7 @@ def _decode_tasks_kernel(
     pcb: int,
     page_size: int,
     max_blocks: int,
+    kv_e4m3: bool = False,
 ):
     t = pl.program_id(0)
     ck = pcb * page_size
@@ -855,15 +924,26 @@ def _decode_tasks_kernel(
 
         def start_copy(j, slot):
             page_start = b * max_blocks + (tile0 + j) * pcb
+            need = jnp.clip(
+                (kv_len + page_size - 1) // page_size - (tile0 + j) * pcb,
+                1, pcb,
+            )
             kc = MultiPageCopy(
                 k_pages_ref, k_buf, sems.at[slot, 0], block_tbl_ref,
                 head=h, page_start=page_start, num_pages=pcb, slot=slot,
+                num_valid=need,
             )
             vc = MultiPageCopy(
                 v_pages_ref, v_buf, sems.at[slot, 1], block_tbl_ref,
                 head=h, page_start=page_start, num_pages=pcb, slot=slot,
+                num_valid=need,
             )
             return kc, vc
+
+        @pl.when(t == 0)
+        def _():
+            k_buf[...] = jnp.zeros_like(k_buf)
+            v_buf[...] = jnp.zeros_like(v_buf)
 
         kc0, vc0 = start_copy(0, 0)
         kc0.start()
@@ -884,7 +964,7 @@ def _decode_tasks_kernel(
 
             kc, vc = start_copy(j, slot)
             kc.wait()
-            k = k_buf[slot].reshape(ck, k_buf.shape[-1]).astype(jnp.bfloat16)
+            k = _upk(k_buf[slot].reshape(ck, k_buf.shape[-1]), kv_e4m3)
             q = (q_ref[0, 0].astype(jnp.float32) * scale_ref[0]).astype(
                 jnp.bfloat16
             )
@@ -915,7 +995,7 @@ def _decode_tasks_kernel(
             )
             m_scr[...] = m_next
             vc.wait()
-            v = v_buf[slot].reshape(ck, v_buf.shape[-1]).astype(jnp.bfloat16)
+            v = _upk(v_buf[slot].reshape(ck, v_buf.shape[-1]), kv_e4m3)
             o_curr = jax.lax.dot(
                 p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
             )
@@ -947,6 +1027,8 @@ def _decode_tasks_pallas(
     interpret: bool = False,
 ):
     b, hkv, sgp, d = q4.shape
+    k_pages, kv_e4m3 = _kv_bits(k_pages)
+    v_pages, _ = _kv_bits(v_pages)
     _, nb, bs, _ = k_pages.shape
     dv = v_pages.shape[-1]
     max_blocks = block_ids.shape[1]
@@ -989,6 +1071,7 @@ def _decode_tasks_pallas(
         pcb=pcb,
         page_size=bs,
         max_blocks=max_blocks,
+        kv_e4m3=kv_e4m3,
     )
     o, m, l = pl.pallas_call(
         kernel,
@@ -1031,11 +1114,11 @@ def _segment_combine(o, m, l, seg, num_segs):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sq", "pages_per_compute_block", "interpret"),
+    static_argnames=("sq", "pages_per_compute_block", "interpret", "nhd"),
 )
 def _decode_pallas(
     q4,  # [B, Hkv, SGP, D] bf16
-    k_pages,  # [Hkv, nb, bs, D]
+    k_pages,  # [Hkv, nb, bs, D] — or flat NHD [nb, bs, Hkv*D] with nhd=True
     v_pages,
     block_ids,  # [B, max_blocks] int32
     kv_lens,  # [B] int32
@@ -1043,10 +1126,17 @@ def _decode_pallas(
     sq: int,
     pages_per_compute_block: int,
     interpret: bool = False,
+    nhd: bool = False,
 ):
     b, hkv, sgp, d = q4.shape
-    _, nb, bs, _ = k_pages.shape
-    dv = v_pages.shape[-1]
+    k_pages, kv_e4m3 = _kv_bits(k_pages)
+    v_pages, _ = _kv_bits(v_pages)
+    if nhd:
+        nb, bs = k_pages.shape[0], k_pages.shape[1]
+        dv = v_pages.shape[-1] // hkv
+    else:
+        _, nb, bs, _ = k_pages.shape
+        dv = v_pages.shape[-1]
     max_blocks = block_ids.shape[1]
     pcb = pages_per_compute_block
 
@@ -1082,6 +1172,8 @@ def _decode_pallas(
         batch=b,
         num_kv_heads=hkv,
         num_t=cdiv(max_blocks, pcb),
+        nhd=nhd,
+        kv_e4m3=kv_e4m3,
     )
     out = pl.pallas_call(
         kernel,
@@ -1093,6 +1185,46 @@ def _decode_pallas(
         interpret=interpret,
     )(kv_lens, jnp.pad(block_ids.reshape(-1), (0, pcb)), scale, q4, k_pages, v_pages)
     return out
+
+
+def unpack_tailrow_kscale(kcache_with_tail: jax.Array):
+    """Split a reference tail-row-scale page array into (data, scales).
+
+    Reference serving layout (hpc/attention.py:458-462 and
+    tests/test_attention_decode_qkpertoken_perhead_vperhead_fp8.py:14-37):
+    each NHD page carries ``block_size + block_size*4/D`` rows; the tail
+    rows are the page's per-(token, head) f32 K scales stored as raw bytes
+    (f32 [nb, H, bs] -> bytes -> [nb, scale_rows, H, D] rows appended to
+    the page).
+
+    Returns (kcache [nb, bs, H, D] same dtype, kscale [nb, bs, H, 1] f32).
+    """
+    nb, rows, h, d = kcache_with_tail.shape
+    bs = rows * d // (d + 4)
+    assert bs + bs * 4 // d == rows, (
+        f"rows={rows} is not block_size + block_size*4/{d}"
+    )
+    # Upload tail-layout pools as int8 (byte view): the host->device
+    # transfer of fp8-TYPED arrays canonicalizes e4m3 NaN patterns
+    # (measured: byte 0xff -> 0x7f), and the tail rows are raw f32 scale
+    # bytes — any canonicalization corrupts them. int8 transfers are
+    # bit-exact; fp8-typed input is still accepted for pools that already
+    # live on device.
+    if kcache_with_tail.dtype == jnp.int8:
+        bits = kcache_with_tail
+        kcache_with_tail = jax.lax.bitcast_convert_type(
+            bits, jnp.float8_e4m3fn
+        )
+    else:
+        bits = jax.lax.bitcast_convert_type(kcache_with_tail, jnp.int8)
+    data = jax.lax.bitcast_convert_type(
+        bits[:, :bs], kcache_with_tail.dtype
+    )
+    tail_b = bits[:, bs:]  # [nb, sr, H, D] scale bytes
+    # [nb, sr, H, D] -> [nb, H, sr, D] -> [nb, H, bs, 4] bytes -> f32
+    tail_b = jnp.transpose(tail_b, (0, 2, 1, 3)).reshape(nb, h, bs, 4)
+    scales = jax.lax.bitcast_convert_type(tail_b, jnp.float32)  # [nb, H, bs]
+    return data, jnp.transpose(scales, (0, 2, 1))[..., None]
 
 
 def _pack_q(q, b, sq, hkv, g, d, sgp):
@@ -1161,6 +1293,22 @@ def attention_decode(
         QuantType.QPERTOKEN_PERHEAD_KPERTOKEN_PERHEAD_VPERHEAD,
         QuantType.QPERTOKEN_PERHEAD_KPERTOKEN_PERHEAD_VPERHEAD_QKHADAMARD,
     )
+
+    if (
+        pertoken_k
+        and kscale is not None
+        and getattr(kscale, "ndim", 0) == 4
+        and kscale.dtype == kcache.dtype
+    ):
+        # reference serving layout: per-token K scales live in the tail
+        # rows of the cache pages themselves (kscale is the tail view or
+        # the whole page array) — consume the pages 1:1
+        assert cache_layout == "NHD", "tail-row scales are an NHD contract"
+        kcache, kscale = unpack_tailrow_kscale(kcache)
+        if vcache.dtype == jnp.int8:  # byte-view upload (see unpack docs)
+            vcache = jax.lax.bitcast_convert_type(vcache, jnp.float8_e4m3fn)
+        if vcache.shape[1] != kcache.shape[1]:
+            vcache = vcache[:, : kcache.shape[1]]
 
     qt0_fast = (
         pertoken_k
@@ -1264,6 +1412,37 @@ def attention_decode(
 
         k_pages, v_pages = unpack_kv_fused(kv_pages)
     elif cache_layout == "NHD":
+        if (
+            task_map is None
+            and not pertoken_k
+            and d % 128 == 0
+            and vcache.shape[-1] % 128 == 0
+        ):
+            # stride-native NHD: the kernel DMAs per-(page, head) lane
+            # slices of the flat [nb, bs, H*D] view — O(touched pages), no
+            # cache transpose (the reference reads NHD via strides the same
+            # way, hpc/attention.py:93-105)
+            nb_, bs_ = kcache.shape[0], kcache.shape[1]
+            if pages_per_compute_block is None:
+                pages_per_compute_block = max(
+                    1, min(4096 // bs_, block_ids.shape[1])
+                )
+            o4 = _decode_pallas(
+                q4,
+                kcache.reshape(nb_, bs_, hkv * d),
+                vcache.reshape(nb_, bs_, hkv * vcache.shape[-1]),
+                jnp.maximum(block_ids.astype(jnp.int32), 0),
+                kv_lens,
+                scale_arr,
+                sq,
+                pages_per_compute_block,
+                interpret=interpret_default(),
+                nhd=True,
+            )
+            out = _unpack_o(o4, b, sq, hkv, g, vcache.shape[-1])
+            if is_fp8 and vscale is not None:
+                out = out * vscale.reshape(()).astype(jnp.float32)
+            return out.astype(jnp.bfloat16)
         k_pages = nhd_to_hnd(kcache)
         v_pages = nhd_to_hnd(vcache)
     else:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -54,29 +55,58 @@ class MultiPageCopy:
     slowest single page, not the sum.
     """
 
-    def __init__(self, pages_ref, buf_ref, sem, block_tbl_ref, *, head, page_start, num_pages, slot):
+    def __init__(self, pages_ref, buf_ref, sem, block_tbl_ref, *, head,
+                 page_start, num_pages, slot, num_valid=None,
+                 nhd_lane_dim=None):
         # block_tbl entries must already be valid page ids (callers clamp
         # padding entries to 0 once, outside the kernel) — a per-page clip
         # here would cost ~4 scalar-core ops per page per construction,
         # which measurably slows DMA issue on wide fan-outs.
+        #
+        # num_valid (traced scalar, optional): only pages [0, num_valid) are
+        # copied/waited. Without it a short sequence's last chunk DMAs the
+        # full pcb pages of clamped-to-0 table entries — up to chunk/kv_len x
+        # over-fetch on skewed batches (this was a 2x+ loss on the mixed
+        # decode scenarios).
+        # nhd_lane_dim=D: pages_ref is the flat NHD view [nb, bs, H*D] and
+        # the head is selected as a 128-aligned LANE slice — a legal strided
+        # DMA (last-dim slices at lane-tile multiples), so the reference's
+        # NHD layout costs O(touched pages) with no cache transpose. The
+        # per-row contiguous run shrinks to D*dtype bytes (256B bf16), which
+        # trades a little HBM burst efficiency for zero repacking.
         self._copies = []
+        self._num_valid = num_valid
         for i in range(num_pages):
             phys = block_tbl_ref[page_start + i]
+            if nhd_lane_dim is not None:
+                src = pages_ref.at[
+                    phys, :, pl.ds(head * nhd_lane_dim, nhd_lane_dim)
+                ]
+            else:
+                src = pages_ref.at[head, phys]
             self._copies.append(
-                pltpu.make_async_copy(
-                    pages_ref.at[head, phys],
-                    buf_ref.at[slot, i],
-                    sem,
-                )
+                pltpu.make_async_copy(src, buf_ref.at[slot, i], sem)
             )
 
+    def _each(self, op):
+        if self._num_valid is None:
+            for c in self._copies:
+                op(c)
+            return
+        for i, c in enumerate(self._copies):
+            if i == 0:
+                op(c)  # chunks always hold >= 1 valid page
+                continue
+
+            @pl.when(i < self._num_valid)
+            def _(c=c):
+                op(c)
+
     def start(self):
-        for c in self._copies:
-            c.start()
+        self._each(lambda c: c.start())
 
     def wait(self):
-        for c in self._copies:
-            c.wait()
+        self._each(lambda c: c.wait())
 
 
 __all__ = [

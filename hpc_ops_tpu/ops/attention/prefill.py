@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hpc_ops_tpu.config import QuantType
+from hpc_ops_tpu.ops.attention.decode import _kv_bits, _upk
 from hpc_ops_tpu.ops.attention.paging import MultiPageCopy, nhd_to_hnd
 from hpc_ops_tpu.ops.attention.reference import (
     MASK_VALUE,
@@ -75,6 +76,7 @@ def _prefill_kernel(
     max_blocks: int,
     group: int,
     pertoken_ks: bool,
+    kv_e4m3: bool = False,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)  # kv head
@@ -153,9 +155,9 @@ def _prefill_kernel(
 
             kc, vc = start_kv(j, slot)
             kc.wait()
-            k = k_buf[slot].reshape(ck, k_buf.shape[-1]).astype(jnp.bfloat16)
+            k = _upk(k_buf[slot].reshape(ck, k_buf.shape[-1]), kv_e4m3)
             vc.wait()
-            v = v_buf[slot].reshape(ck, v_buf.shape[-1]).astype(jnp.bfloat16)
+            v = _upk(v_buf[slot].reshape(ck, v_buf.shape[-1]), kv_e4m3)
 
             kpos = j * ck + jax.lax.broadcasted_iota(jnp.int32, (tq, ck), 1)
             qpos = kv_off + tqi * tq + jax.lax.broadcasted_iota(
@@ -252,6 +254,7 @@ def _prefill_sparse_kernel(
     n_tm: int,
     pack: int,
     pertoken_ks: bool,
+    kv_e4m3: bool = False,
 ):
     """Block-sparse paged prefill (reference op #4,
     warp_spec_with_kvcache_blocksparse_fp8_dim128.cu / kHasMask).
@@ -371,8 +374,8 @@ def _prefill_sparse_kernel(
 
             for c in start_pack(i, slot):
                 c.wait()
-            k = k_buf[slot].reshape(ckt, k_buf.shape[-1]).astype(jnp.bfloat16)
-            v = v_buf[slot].reshape(ckt, v_buf.shape[-1]).astype(jnp.bfloat16)
+            k = _upk(k_buf[slot].reshape(ckt, k_buf.shape[-1]), kv_e4m3)
+            v = _upk(v_buf[slot].reshape(ckt, v_buf.shape[-1]), kv_e4m3)
 
             # per-segment column ids / validity / per-head bits from SMEM
             kpos = within
@@ -497,6 +500,8 @@ def _prefill_sparse_pallas(
     interpret: bool = False,
 ):
     hq, total_q_pad, d = q_t.shape
+    k_pages, kv_e4m3 = _kv_bits(k_pages)
+    v_pages, _ = _kv_bits(v_pages)
     hkv, nb, bs, _ = k_pages.shape
     dv = v_pages.shape[-1]
     group = hq // hkv
@@ -553,6 +558,7 @@ def _prefill_sparse_pallas(
         n_tm=n_tm,
         pack=pack,
         pertoken_ks=pertoken_ks,
+        kv_e4m3=kv_e4m3,
     )
     return pl.pallas_call(
         kernel,
@@ -600,6 +606,8 @@ def _prefill_pallas(
     interpret: bool = False,
 ):
     hq, total_q_pad, d = q_t.shape
+    k_pages, kv_e4m3 = _kv_bits(k_pages)
+    v_pages, _ = _kv_bits(v_pages)
     hkv, nb, bs, _ = k_pages.shape
     dv = v_pages.shape[-1]
     group = hq // hkv
@@ -641,6 +649,7 @@ def _prefill_pallas(
         max_blocks=max_blocks,
         group=group,
         pertoken_ks=pertoken_ks,
+        kv_e4m3=kv_e4m3,
     )
     return pl.pallas_call(
         kernel,

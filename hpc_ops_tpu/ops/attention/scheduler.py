@@ -218,15 +218,35 @@ def assign_attention_decode_task(
     new_kv_included: bool = True,
     min_process_len: int = 4096,
     *,
-    capacity: int | None = None,
+    capacity: int | str | None = None,
     tile: int = 512,
     num_tasks_target: int = 256,
     impl: str = "jnp",
 ) -> TaskMap:
-    """Public scheduler entry (reference: hpc/attention.py:585-626)."""
+    """Public scheduler entry (reference: hpc/attention.py:585-626).
+
+    ``capacity``: static task-array length. Sentinel tasks past num_tasks
+    each still cost a grid step in the task kernel, so oversized capacity
+    directly burns time. Host impls ("np"/"native") accept
+    ``capacity="tight"``: size to the actual task count rounded up to 32
+    (one recompile per 32-task bucket — serving batches cross buckets
+    rarely).
+    """
     sq = mtp + 1
     kv_lens = jnp.asarray(num_seq_kvcache, jnp.int32) + (0 if new_kv_included else sq)
     b = kv_lens.shape[0]
+    if capacity == "tight":
+        assert impl != "jnp", "tight capacity needs a host-side scheduler"
+        kv_np = np.asarray(kv_lens)
+        tiles = np.maximum((kv_np + tile - 1) // tile, 1)
+        total = int(tiles.sum()) * num_head_kv
+        tpt = max(-(-total // num_tasks_target), min_process_len // tile, 1)
+        n_exact = int(
+            sum(
+                num_head_kv * -(-int(t) // tpt) for t in tiles
+            )
+        )
+        capacity = -(-n_exact // 32) * 32
     if capacity is None:
         capacity = task_capacity(
             b, 128 * 1024, num_head_kv, tile, min_process_len // tile,
@@ -251,6 +271,38 @@ def assign_attention_decode_task(
         num_segs=b * num_head_kv,
         tile=tile,
     )
+
+
+def select_decode_mode(
+    kv_lens,
+    num_head_kv: int,
+    *,
+    num_cores: int | None = None,
+    skew_threshold: float = 4.0,
+) -> str:
+    """Choose "grid" or "taskmap" from the kv_lens histogram.
+
+    TPU context (vs the reference's CTA bin-packing, assign_task.cu): a
+    TPU core executes its grid SEQUENTIALLY, so the inline-chunk-loop grid
+    is already work-exact — CTA load imbalance, the reason the reference's
+    dynamic scheduler exists, does not occur within one core. The task map
+    pays off only when the chip splits the grid across cores (v5p/v4
+    megacore: 2 TensorCores) AND the length mix is skewed enough that a
+    core-boundary split of the (b, h) grid strands work. Heuristic: taskmap
+    iff multiple cores and max_len > skew_threshold x mean_len.
+    """
+    if num_cores is None:
+        try:
+            d = jax.devices()[0]
+            num_cores = max(getattr(d, "num_cores", 1) or 1, 1)
+        except Exception:
+            num_cores = 1
+    lens = np.asarray(kv_lens, np.int64)
+    if num_cores <= 1 or lens.size == 0:
+        return "grid"
+    if lens.max() > skew_threshold * max(lens.mean(), 1.0):
+        return "taskmap"
+    return "grid"
 
 
 def get_attention_decode_task_workspace(
@@ -309,6 +361,7 @@ __all__ = [
     "assign_decode_tasks_jnp",
     "assign_decode_tasks_native",
     "assign_attention_decode_task",
+    "select_decode_mode",
     "get_attention_decode_task_workspace",
     "print_attention_decode_task",
 ]

@@ -26,7 +26,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from hpc_ops_tpu.utils.common import cdiv, interpret_default, round_up
+from hpc_ops_tpu.utils.common import (
+    cdiv,
+    e4m3_bits_to_f32_fast,
+    interpret_default,
+    round_up,
+)
+
+
+def _e4m3_bf16(x):
+    return e4m3_bits_to_f32_fast(x).astype(jnp.bfloat16)
+
+
+def _as_i8_bits(x):
+    """fp8 array -> its bits in int8 (zero-copy reinterpret).
+
+    v5e DMAs fp8-typed arrays ~6-10x below byte rate (no native fp8; VMEM
+    expands them to 32-bit words), so fp8 payloads travel as int8 and are
+    decoded with integer ops at the compute site (e4m3_bits_to_bf16 —
+    bit-exact). Returns (array, fp8_bits flag).
+    """
+    if x.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        return jax.lax.bitcast_convert_type(x, jnp.int8), True
+    return x, False
 
 
 # --------------------------------------------------------------------- refs
@@ -124,7 +146,8 @@ def _align_rows(x, seqlens, cu_seqlens, g_starts, tm: int, total_pad: int):
 
 
 def _gg_pertensor_kernel(
-    grp_ref, row_ref, nvt_ref, x_ref, w_ref, scale_ref, o_ref, acc_ref
+    grp_ref, row_ref, nvt_ref, x_ref, w_ref, scale_ref, o_ref, acc_ref,
+    *, x_bits: bool = False, w_bits: bool = False,
 ):
     t = pl.program_id(0)  # read outside pl.when (interpret-mode requirement)
     jk = pl.program_id(2)
@@ -135,7 +158,16 @@ def _gg_pertensor_kernel(
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        if x_ref.dtype == jnp.int8 and w_ref.dtype == jnp.int8:
+        if x_bits or w_bits:
+            # fp8 payload carried as int8 bits (full-rate DMA); exact
+            # integer decode to bf16 feeds the MXU
+            x = _e4m3_bf16(x_ref[...]) if x_bits else x_ref[...].astype(jnp.bfloat16)
+            w = _e4m3_bf16(w_ref[0]) if w_bits else w_ref[0].astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                x, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        elif x_ref.dtype == jnp.int8 and w_ref.dtype == jnp.int8:
             # v5e has a native int8 MXU path (measured 265 TFLOP/s vs 186
             # bf16); fp8 inputs must upconvert (no native fp8 on this
             # generation)
@@ -159,7 +191,8 @@ def _gg_pertensor_kernel(
 
 
 def _gg_blockwise_kernel(
-    grp_ref, row_ref, nvt_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref, acc_ref
+    grp_ref, row_ref, nvt_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref, acc_ref,
+    *, x_bits: bool = False, w_bits: bool = False,
 ):
     t = pl.program_id(0)
     jk = pl.program_id(2)
@@ -170,8 +203,8 @@ def _gg_blockwise_kernel(
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        x = x_ref[...].astype(jnp.bfloat16)
-        w = w_ref[0].astype(jnp.bfloat16)
+        x = _e4m3_bf16(x_ref[...]) if x_bits else x_ref[...].astype(jnp.bfloat16)
+        w = _e4m3_bf16(w_ref[0]) if w_bits else w_ref[0].astype(jnp.bfloat16)
         part = jax.lax.dot_general(
             x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -200,6 +233,8 @@ def _gg_pertensor_pallas(
     x_al, weight, y_scale, grp, row_blk, tm, tn, tk, interpret=False,
     num_valid_tiles=None,
 ):
+    x_al, xb = _as_i8_bits(x_al)
+    weight, wb = _as_i8_bits(weight)
     total_pad_t, k = x_al.shape  # includes trash tile
     g, n, _ = weight.shape
     np_, kp = round_up(n, tn), round_up(k, tk)
@@ -217,7 +252,7 @@ def _gg_pertensor_pallas(
         return jnp.where(t < nvt_r[0], val, alt)
 
     out = pl.pallas_call(
-        _gg_pertensor_kernel,
+        functools.partial(_gg_pertensor_kernel, x_bits=xb, w_bits=wb),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(num_tiles, np_ // tn, kp // tk),
@@ -258,6 +293,8 @@ def _gg_blockwise_pallas(
     x_al, weight, sx_al, sw_exp, grp, row_blk, tm, tn, interpret=False,
     num_valid_tiles=None,
 ):
+    x_al, xb = _as_i8_bits(x_al)
+    weight, wb = _as_i8_bits(weight)
     tk = 128  # scale-group width
     total_pad_t, k = x_al.shape
     g, n, _ = weight.shape
@@ -275,7 +312,7 @@ def _gg_blockwise_pallas(
         return jnp.where(t < nvt_r[0], val, alt)
 
     out = pl.pallas_call(
-        _gg_blockwise_kernel,
+        functools.partial(_gg_blockwise_kernel, x_bits=xb, w_bits=wb),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(num_tiles, np_ // tn, k // tk),
@@ -329,12 +366,14 @@ def _gg_scatter_kernel(
     w_ref,  # [1, tn, tk] VMEM block
     scale_ref,  # [G] SMEM
     o_ref,  # [tm, tn] VMEM block
-    xbuf,  # [tm, Kb, 128] VMEM scratch (full K per row, gathered once)
+    xbuf,  # [2, tm, Kb, 128] VMEM scratch (double-buffered row gather)
     sem,
     acc_ref,
     *,
     tm: int,
     kbt: int,  # K-tile in lane-groups of 128 (tk = kbt * 128)
+    x_bits: bool = False,
+    w_bits: bool = False,
 ):
     """Scatter grouped GEMM (reference op #9,
     src/group_gemm/cp_async/entry.cc group_gemm_fp8_scatter): token rows are
@@ -351,21 +390,43 @@ def _gg_scatter_kernel(
     t = pl.program_id(0)
     jn = pl.program_id(1)
     jk = pl.program_id(2)
+    nj = pl.num_programs(1)
+    nvt = nvt_ref[0]
     # tiles past the dynamic valid count hold no real rows (EP drops
     # off-rank tokens): skip their gathers and matmuls entirely — with
     # small expert-parallel shares they are the majority of the grid
-    active = t < nvt_ref[0]
+    active = t < nvt
 
-    @pl.when(active & (jn == 0) & (jk == 0))
-    def _():
+    def start_gather(ti, slot):
         copies = []
         for r in range(tm):
-            idx = jnp.maximum(row_idx_ref[t * tm + r], 0)
-            c = pltpu.make_async_copy(x_hbm_ref.at[idx], xbuf.at[r], sem)
+            idx = jnp.maximum(row_idx_ref[ti * tm + r], 0)
+            c = pltpu.make_async_copy(
+                x_hbm_ref.at[idx], xbuf.at[slot, r], sem.at[slot]
+            )
             c.start()
             copies.append(c)
-        for c in copies:
+        return copies
+
+    # the row gather is DOUBLE-BUFFERED across m-tiles: tile t+1's rows
+    # stream in while tile t computes (a serial gather at tile start was
+    # ~2x dead time on decode-shaped runs); tile 0 gathers synchronously
+    @pl.when(active & (t == 0) & (jn == 0) & (jk == 0))
+    def _():
+        for c in start_gather(0, 0):
             c.wait()
+
+    @pl.when((t + 1 < nvt) & (jn == nj - 1) & (jk == 0))
+    def _():
+        start_gather(t + 1, (t + 1) % 2)
+
+    @pl.when(active & (t > 0) & (jn == 0) & (jk == 0))
+    def _():
+        # wait for the prefetch issued by tile t-1
+        for r in range(tm):
+            pltpu.make_async_copy(
+                x_hbm_ref.at[0], xbuf.at[t % 2, r], sem.at[t % 2]
+            ).wait()
 
     @pl.when(active)
     def _():
@@ -373,12 +434,19 @@ def _gg_scatter_kernel(
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        tm_, kb, _ = xbuf.shape
+        _, tm_, kb, _ = xbuf.shape
         # kbt is a multiple of 8 so the dynamic sublane offset is provably
         # tile-aligned for the vector load
         off = pl.multiple_of(jk * kbt, kbt)
-        xk = xbuf[:, pl.ds(off, kbt), :].reshape(tm_, kbt * 128)
-        if xbuf.dtype == jnp.int8 and w_ref.dtype == jnp.int8:
+        xk = xbuf[t % 2, :, pl.ds(off, kbt), :].reshape(tm_, kbt * 128)
+        if x_bits or w_bits:
+            acc_ref[...] += jax.lax.dot_general(
+                _e4m3_bf16(xk) if x_bits else xk.astype(jnp.bfloat16),
+                _e4m3_bf16(w_ref[0]) if w_bits else w_ref[0].astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        elif xbuf.dtype == jnp.int8 and w_ref.dtype == jnp.int8:
             # native int8 MXU path (no upconvert)
             acc_ref[...] += jax.lax.dot_general(
                 xk, w_ref[0], (((1,), (1,)), ((), ())),
@@ -404,6 +472,8 @@ def _gg_scatter_pallas(
     num_valid_tiles=None,
 ):
     assert tk % 1024 == 0, "tk must keep the k-tile sublane offset 8-aligned"
+    x, xb = _as_i8_bits(x)
+    weight, wb = _as_i8_bits(weight)
     total, k = x.shape
     g, n, _ = weight.shape
     # row slabs are DMA'd as [Kb, 128] views; Kb must respect the dtype's
@@ -434,7 +504,9 @@ def _gg_scatter_pallas(
         )
 
     out = pl.pallas_call(
-        functools.partial(_gg_scatter_kernel, tm=tm, kbt=kbt),
+        functools.partial(
+            _gg_scatter_kernel, tm=tm, kbt=kbt, x_bits=xb, w_bits=wb
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(num_tiles, np_ // tn, kp // tk),
@@ -447,8 +519,8 @@ def _gg_scatter_pallas(
                 (tm, tn), lambda t, jn, jk, row_r, grp_r, nvt_r: (t, jn)
             ),
             scratch_shapes=[
-                pltpu.VMEM((tm, kb, 128), x.dtype),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, tm, kb, 128), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((tm, tn), jnp.float32),
             ],
         ),
@@ -511,7 +583,11 @@ def _pick_tm(num_seq_per_group_avg: int) -> int:
         return 32
     if num_seq_per_group_avg <= 64:
         return 64
-    return 128
+    if num_seq_per_group_avg <= 128:
+        return 128
+    # large groups: weights re-stream once per m-tile, so doubling the
+    # m-tile halves the dominant W traffic (decode-shape tiles stay small)
+    return 256
 
 
 # --------------------------------------------------------------- public API

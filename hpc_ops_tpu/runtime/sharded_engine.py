@@ -1,0 +1,261 @@
+"""Multi-host / multi-chip continuous-batching engine.
+
+BASELINE config 5: a model TP-sharded within each host over ICI, with
+request rows (and their KV page pools) sharded across hosts/slices over the
+mesh's row axes ("ddp" DCN x "dp" ICI, from ``make_hybrid_mesh``), and
+continuous batching across all row shards. The reference has no multi-node
+story (its communicator is single-node NVLink, SURVEY.md §2.2); this is
+TPU-native headroom: one jitted shard_map step serves every host, XLA
+routes the per-layer fused allreduce+norm over ICI only, and nothing
+crosses DCN during a step except what the row sharding already placed
+locally.
+
+Scheduling model: each row shard owns ``max_batch`` decode slots and a
+shard-local page pool (a :class:`PagedBlockAllocator` per shard). Incoming
+requests are assigned to the least-loaded shard. Every engine step runs ONE
+global program: either a decode step over all shards' slots, or a prefill
+step (one request per shard, same length bucket — shards without pending
+work run a dummy row). Token rows move host<->device as tiny int32 arrays;
+weights and caches never leave the mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from hpc_ops_tpu.models.llama import (
+    ModelConfig,
+    init_cache,
+    make_sharded_step,
+    shard_weights_for_tp,
+    shard_weights_specs,
+)
+from hpc_ops_tpu.runtime import PagedBlockAllocator
+from hpc_ops_tpu.runtime.engine import Request, _bucket
+
+__all__ = ["ShardedEngine"]
+
+
+class ShardedEngine:
+    """Continuous batching over a (…row axes…, "tp") mesh."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        weights,
+        mesh,
+        *,
+        num_blocks: int = 128,  # per row shard
+        block_size: int = 16,
+        max_batch: int = 4,  # decode slots per row shard
+        max_blocks_per_seq: int | None = None,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.tp = mesh.shape["tp"]
+        self.row_axes = tuple(a for a in mesh.axis_names if a != "tp")
+        self.num_shards = int(np.prod([mesh.shape[a] for a in self.row_axes]))
+        self.block_size = block_size
+        self.max_batch = max_batch
+        self.num_blocks = num_blocks
+        self.max_blocks_per_seq = max_blocks_per_seq or max(num_blocks // 4, 4)
+
+        rows = self.row_axes if len(self.row_axes) > 1 else self.row_axes[0]
+        self._rows_spec = P(rows)
+        wspecs = shard_weights_specs(cfg)
+        w_repacked = shard_weights_for_tp(weights, cfg, self.tp)
+        # map over the SPEC tree (P is a tuple subclass, so it must be the
+        # is_leaf-controlled first tree) to commit weights onto the mesh once
+        self.weights = jax.tree.map(
+            lambda s, x: jax.device_put(x, NamedSharding(mesh, s)),
+            wspecs,
+            w_repacked,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        # caches: global page pool = per-shard pool x num_shards along the
+        # blocks dim; kv heads sharded over tp
+        caches = init_cache(
+            cfg, num_blocks=num_blocks * self.num_shards, block_size=block_size
+        )
+        cache_spec = {"k": P("tp", rows), "v": P("tp", rows)}
+        self.caches = [
+            {k: jax.device_put(v, NamedSharding(mesh, cache_spec[k]))
+             for k, v in layer.items()}
+            for layer in caches
+        ]
+
+        # one allocator + slot table per row shard; block ids are
+        # SHARD-LOCAL (each shard's pool is its slice of the blocks dim)
+        self.allocs = [
+            PagedBlockAllocator(num_blocks, block_size)
+            for _ in range(self.num_shards)
+        ]
+        self._dummy_blocks = []
+        for a in self.allocs:
+            a.extend(-1, 1)
+            self._dummy_blocks.append(int(a.table(-1)[0]))
+
+        self.requests: dict[int, Request] = {}
+        self._owner: dict[int, int] = {}
+        self._pending: list[int] = []
+        self._active: list[list[int]] = [[] for _ in range(self.num_shards)]
+        self._next_rid = 0
+
+        self._decode_step = jax.jit(
+            make_sharded_step(mesh, cfg, is_prefill=False, max_seqlens_q=1)
+        )
+        self._prefill_steps: dict[int, object] = {}
+
+    # ------------------------------------------------------------- requests
+    def add_request(self, prompt_ids, max_new: int = 16) -> int:
+        need = len(prompt_ids) + max_new
+        cap = self.max_blocks_per_seq * self.block_size
+        if need > cap:
+            raise ValueError(
+                f"request needs {need} KV slots but the per-seq page table "
+                f"caps a sequence at {cap}"
+            )
+        rid = self._next_rid
+        self._next_rid += 1
+        self.requests[rid] = Request(rid, list(map(int, prompt_ids)), max_new=max_new)
+        self._pending.append(rid)
+        return rid
+
+    def _least_loaded_shard(self) -> int:
+        return int(np.argmin([len(a) for a in self._active]))
+
+    # ----------------------------------------------------------- data movement
+    def _put_rows(self, arr: np.ndarray):
+        """Host array with leading dim num_shards*per_shard -> row-sharded."""
+        return jax.device_put(
+            jnp.asarray(arr), NamedSharding(self.mesh, self._rows_spec)
+        )
+
+    def _table(self, shard: int, rid: int) -> np.ndarray:
+        return self.allocs[shard].table(rid, pad_to=self.max_blocks_per_seq)
+
+    # ----------------------------------------------------------------- steps
+    def _prefill_fn(self, bucket: int):
+        if bucket not in self._prefill_steps:
+            self._prefill_steps[bucket] = jax.jit(
+                make_sharded_step(
+                    self.mesh, self.cfg, is_prefill=True, max_seqlens_q=bucket
+                )
+            )
+        return self._prefill_steps[bucket]
+
+    def _prefill_round(self) -> None:
+        """Prefill up to one pending request per shard in one global step.
+
+        All participating requests share one length bucket (the max of the
+        round) — q_index must be identical across shards (it is replicated).
+        """
+        take: list[int | None] = [None] * self.num_shards
+        for s in range(self.num_shards):
+            if not self._pending:
+                break
+            take[s] = self._pending.pop(0)
+        bucket = _bucket(
+            max(len(self.requests[r].prompt) for r in take if r is not None)
+        )
+        tokens = np.zeros((self.num_shards, bucket), np.int32)
+        seq_lens = np.zeros((self.num_shards, 1), np.int32)
+        q_index = np.zeros((self.num_shards, 2), np.int32)
+        tables = np.zeros((self.num_shards, 1, self.max_blocks_per_seq), np.int32)
+        for s, rid in enumerate(take):
+            tables[s, 0, :] = self._dummy_blocks[s]
+            if rid is None:
+                seq_lens[s, 0] = 1  # dummy single-token row on this shard
+                q_index[s] = (0, 1)
+                continue
+            req = self.requests[rid]
+            n = len(req.prompt)
+            self._owner[rid] = s
+            self.allocs[s].extend(rid, n)
+            tokens[s, :n] = req.prompt
+            seq_lens[s, 0] = n
+            q_index[s] = (0, n)
+            tables[s, 0, :] = self._table(s, rid)
+        logits, self.caches = self._prefill_fn(bucket)(
+            self.weights,
+            self.caches,
+            self._put_rows(tokens.reshape(-1)),
+            self._put_rows(seq_lens.reshape(-1)),
+            self._put_rows(q_index.reshape(-1)),
+            self._put_rows(tables.reshape(self.num_shards, -1)),
+        )
+        # prefill's last-row logits come back [num_shards, vocab]
+        toks = np.asarray(jnp.argmax(logits, axis=-1)).reshape(-1)
+        for s, rid in enumerate(take):
+            if rid is None:
+                continue
+            req = self.requests[rid]
+            req.out.append(int(toks[s]))
+            self._active[s].append(rid)
+            self._finish_if_done(req)
+
+    def _finish_if_done(self, req: Request) -> None:
+        if len(req.out) >= req.max_new:
+            req.done = True
+            s = self._owner.get(req.rid)
+            if s is not None and req.rid in self._active[s]:
+                self._active[s].remove(req.rid)
+            if s is not None:
+                self.allocs[s].free(req.rid)
+
+    def _decode_round(self) -> None:
+        b = self.max_batch
+        tokens = np.zeros((self.num_shards, b), np.int32)
+        seq_lens = np.ones((self.num_shards, b), np.int32)
+        tables = np.zeros(
+            (self.num_shards, b, self.max_blocks_per_seq), np.int32
+        )
+        served: list[list[int]] = []
+        for s in range(self.num_shards):
+            tables[s, :, :] = self._dummy_blocks[s]
+            rids = self._active[s][:b]
+            served.append(rids)
+            for i, rid in enumerate(rids):
+                req = self.requests[rid]
+                new_len = len(req.tokens)
+                self.allocs[s].extend(rid, new_len)
+                tokens[s, i] = req.tokens[-1]
+                seq_lens[s, i] = new_len
+                tables[s, i] = self._table(s, rid)
+        q_index = np.tile(np.arange(b + 1, dtype=np.int32), self.num_shards)
+        logits, self.caches = self._decode_step(
+            self.weights,
+            self.caches,
+            self._put_rows(tokens.reshape(-1)),
+            self._put_rows(seq_lens.reshape(-1)),
+            self._put_rows(q_index),
+            self._put_rows(tables.reshape(self.num_shards * b, -1)),
+        )
+        toks = np.asarray(jnp.argmax(logits, axis=-1)).reshape(self.num_shards, b)
+        for s, rids in enumerate(served):
+            for i, rid in enumerate(rids):
+                req = self.requests[rid]
+                req.out.append(int(toks[s, i]))
+                self._finish_if_done(req)
+
+    def step(self) -> bool:
+        if self._pending:
+            self._prefill_round()
+            return True
+        if any(self._active):
+            self._decode_round()
+            return True
+        return False
+
+    def run(self, prompts, max_new: int = 8) -> list:
+        rids = [self.add_request(p, max_new=max_new) for p in prompts]
+        while self.step():
+            pass
+        return [self.requests[r].out for r in rids]

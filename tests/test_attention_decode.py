@@ -263,3 +263,80 @@ def test_attention_decode_fused_int8():
     # int8 KV with per-tensor scales: ~2 decimal digits
     assert_allclose(np.asarray(out, np.float32), want, atol=8e-2, rtol=8e-2,
                     name="fused_int8")
+
+
+def test_attention_decode_fp8_tailrow_kscale():
+    """Reference serving-layout parity: per-token K scales packed into the
+    tail rows of the cache pages (hpc/attention.py:458-462; packing per
+    tests/test_attention_decode_qkpertoken_perhead_vperhead_fp8.py:14-37)
+    must decode identically to the separate-scale-array path."""
+    rng = np.random.RandomState(23)
+    b, hkv, g, d, bs = 3, 2, 4, 128, 32
+    hq = hkv * g
+    sr = bs * 4 // d  # scale rows per page
+    kv_lens_np = np.array([40, 16, 64], np.int64)
+    max_blocks = int(np.max((kv_lens_np + bs - 1) // bs))
+    nb = b * max_blocks + 2
+
+    q = jnp.asarray(rng.randn(b, hq, d), jnp.bfloat16)
+    kf = rng.randn(nb, bs, hkv, d).astype(np.float32)
+    vf = rng.randn(nb, bs, hkv, d).astype(np.float32)
+    kscale = (np.abs(kf).max(axis=-1) / 448.0 + 1e-6).astype(np.float32)
+    vscale = (np.abs(vf).max(axis=(0, 1, 3)) / 448.0 + 1e-6).astype(np.float32)
+    kc8 = (kf / kscale[..., None]).astype(np.float32)
+    vc8 = vf / vscale[None, None, :, None]
+
+    # pack: scale [nb, bs, H] -> [nb, H, bs] f32 -> bytes -> [nb, sr, H, D]
+    tail = (
+        np.ascontiguousarray(kscale.transpose(0, 2, 1))
+        .view(np.uint8)
+        .reshape(nb, hkv, sr, d)
+        .transpose(0, 2, 1, 3)
+    )
+    k_pages = np.zeros((nb, bs + sr, hkv, d), np.uint8)
+    k_pages[:, :bs] = np.asarray(
+        jnp.asarray(kc8, jnp.float8_e4m3fn)
+    ).view(np.uint8)
+    k_pages[:, bs:] = tail
+    # upload as int8 BYTES: fp8-typed transfers canonicalize NaN bit
+    # patterns (0xff -> 0x7f), corrupting the raw f32 scale bytes in the
+    # tail rows (see unpack_tailrow_kscale docstring)
+    k_pages8 = jnp.asarray(k_pages.view(np.int8))
+    v_pages8 = jnp.asarray(
+        np.asarray(
+            jnp.asarray(
+                np.concatenate(
+                    [vc8, np.zeros((nb, sr, hkv, d), np.float32)], axis=1
+                ),
+                jnp.float8_e4m3fn,
+            )
+        ).view(np.int8)
+    )
+
+    perm = rng.permutation(nb)
+    block_ids = np.stack(
+        [perm[i * max_blocks : (i + 1) * max_blocks] for i in range(b)]
+    ).astype(np.int32)
+
+    kw = dict(
+        new_kv_included=True,
+        qscale=None,
+        vscale=jnp.asarray(vscale),
+        quant_type=QuantType.QPERTOKEN_PERHEAD_KPERTOKEN_PERHEAD_VPERHEAD,
+    )
+    out_tail = attention_decode(
+        q, k_pages8, v_pages8, jnp.asarray(block_ids),
+        jnp.asarray(kv_lens_np, jnp.int32),
+        kscale=k_pages8[:, bs:], **kw,
+    )
+    out_sep = attention_decode(
+        q, jnp.asarray(kc8, jnp.float8_e4m3fn)[: nb],
+        jnp.asarray(vc8, jnp.float8_e4m3fn), jnp.asarray(block_ids),
+        jnp.asarray(kv_lens_np, jnp.int32),
+        kscale=jnp.asarray(kscale[..., None]), **kw,
+    )
+    assert_allclose(
+        np.asarray(out_tail, np.float32),
+        np.asarray(out_sep, np.float32),
+        atol=2e-2, rtol=2e-2, name="tailrow_vs_separate",
+    )

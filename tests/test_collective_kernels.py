@@ -55,29 +55,35 @@ _SCRIPT = textwrap.dedent(
 )
 
 
-def _run_case(ws, n, h, mode, tries=3, timeout=180):
+_RESULTS: dict = {}  # (ws, mode) -> "pass" | "flake"
+
+
+def _run_case(ws, n, h, mode, tries=4, timeout=240):
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = _SCRIPT.format(ws=ws, n=n, h=h, mode=mode, repo=repo)
     last = None
-    for _ in range(tries):
+    for attempt in range(tries):
         try:
             r = subprocess.run(
                 [sys.executable, "-c", code],
                 capture_output=True,
                 text=True,
-                timeout=timeout,
+                timeout=timeout + 60 * attempt,  # rising budget per retry
             )
         except subprocess.TimeoutExpired:
             last = "deadlock (interpreter thread-scheduling flake)"
             continue
         if r.returncode == 0 and "PASS" in r.stdout:
+            _RESULTS[(ws, mode)] = "pass"
             return
+        # a wrong result / crash is NEVER retried away — fail loudly
         raise AssertionError(
             f"collective kernel failed (rc={r.returncode}):\n"
             f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
         )
+    _RESULTS[(ws, mode)] = "flake"
     pytest.skip(f"interpreter flake after {tries} tries: {last}")
 
 
@@ -88,3 +94,22 @@ def test_fuse_allreduce_rmsnorm_pallas_ws4(mode):
 
 def test_fuse_allreduce_rmsnorm_pallas_ws8():
     _run_case(8, 64, 256, "two_shot")
+
+
+def test_zz_collective_coverage():
+    """Meta-check (runs last): simulator flakes may skip individual
+    configs, but a run where EVERY config skipped cannot distinguish a
+    scheduling flake from a real semaphore deadlock in the kernels — fail
+    in that case instead of silently passing a suite of skips."""
+    assert _RESULTS, "no collective configs executed"
+    passed = [k for k, v in _RESULTS.items() if v == "pass"]
+    assert passed, (
+        f"all {len(_RESULTS)} collective-kernel configs timed out — "
+        f"treat as a real deadlock, not a flake: {_RESULTS}"
+    )
+    # both schedules must be proven at least once across the matrix
+    modes_passed = {m for (_, m) in passed}
+    assert modes_passed == {"one_shot", "two_shot"}, (
+        f"schedules verified: {modes_passed} — the missing one only "
+        f"skipped; rerun or debug before trusting it"
+    )

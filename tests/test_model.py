@@ -132,7 +132,7 @@ def test_sharded_step_tp_dp(moe):
         caches = init_cache(cfg, num_blocks=nb_local * dp, block_size=bs)
         token_ids = jnp.asarray(np.arange(b_total) + 1, jnp.int32)
         seq_lens = jnp.ones((b_total,), jnp.int32)
-        q_index = jnp.asarray([0, 1, 2], jnp.int32)  # per-dp-shard (2 reqs)
+        q_index = jnp.asarray(np.tile([0, 1, 2], dp), jnp.int32)  # per-shard, concatenated
         block_ids_local = np.array([[0, 1], [2, 3]], np.int32)
         block_ids = jnp.asarray(np.tile(block_ids_local, (dp, 1)))
 

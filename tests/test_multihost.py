@@ -1,0 +1,81 @@
+"""Multi-host serving: ShardedEngine over a hybrid (ddp x dp x tp) mesh.
+
+BASELINE config 5 (TP across hosts + cross-host continuous batching),
+validated on the virtual CPU mesh: 2 "hosts" (ddp, the DCN axis) x 4
+devices (tp, the ICI axis). Greedy generation must be identical to the
+single-device Engine on the same model — continuous batching across hosts
+is a scheduling concern, not a numerics one.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from hpc_ops_tpu.utils.common import set_interpret_override
+
+
+def _cpu_devices(n):
+    cpus = jax.devices("cpu")
+    if len(cpus) < n:
+        pytest.skip(f"need {n} virtual CPU devices")
+    return cpus[:n]
+
+
+def test_sharded_engine_hybrid_mesh_matches_single_device():
+    from hpc_ops_tpu.models.llama import init_weights, tiny_config
+    from hpc_ops_tpu.parallel.mesh import make_hybrid_mesh
+    from hpc_ops_tpu.runtime.engine import Engine
+    from hpc_ops_tpu.runtime.sharded_engine import ShardedEngine
+
+    devices = _cpu_devices(8)
+    cfg = tiny_config()  # dense; kv_heads=4 shards over tp=4
+    with jax.default_device(devices[0]):
+        weights = init_weights(jax.random.PRNGKey(3), cfg)
+
+        prompts = [
+            [1, 2, 3, 4, 5],
+            [7, 8, 9],
+            [11, 12, 13, 14, 15, 16, 17],
+            [21, 22],
+            [31],
+        ]
+
+        set_interpret_override(True)
+        try:
+            single = Engine(
+                cfg, weights, num_blocks=64, block_size=16, max_batch=4,
+                max_blocks_per_seq=4,
+            )
+            want = single.run([list(p) for p in prompts], max_new=6)
+
+            mesh = make_hybrid_mesh(
+                dcn_dp=2, tp=4, dp=1, devices=devices
+            )
+            eng = ShardedEngine(
+                cfg, weights, mesh, num_blocks=64, block_size=16,
+                max_batch=4, max_blocks_per_seq=4,
+            )
+            got = eng.run([list(p) for p in prompts], max_new=6)
+        finally:
+            set_interpret_override(None)
+
+    assert got == want, f"sharded {got} != single {want}"
+
+
+def test_sharded_engine_rejects_oversized_request():
+    from hpc_ops_tpu.models.llama import init_weights, tiny_config
+    from hpc_ops_tpu.parallel.mesh import make_hybrid_mesh
+    from hpc_ops_tpu.runtime.sharded_engine import ShardedEngine
+
+    devices = _cpu_devices(8)
+    cfg = tiny_config()
+    with jax.default_device(devices[0]):
+        weights = init_weights(jax.random.PRNGKey(0), cfg)
+        mesh = make_hybrid_mesh(dcn_dp=2, tp=4, dp=1, devices=devices)
+        eng = ShardedEngine(
+            cfg, weights, mesh, num_blocks=64, block_size=16, max_batch=2,
+            max_blocks_per_seq=2,
+        )
+        with pytest.raises(ValueError, match="KV slots"):
+            eng.add_request(list(range(100)), max_new=8)
