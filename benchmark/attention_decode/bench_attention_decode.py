@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
-from common import Reporter, peak_hbm_gbps, time_fn
+from common import Reporter, peak_hbm_gbps, time_chain
 
 BLOCK_SIZE = 64
 HEAD_DIM = 128
@@ -67,6 +67,14 @@ def build_inputs(kv_lens, hkv, g, dtype, rng):
     if dtype == "fp8":
         k_pages = (k * 16).astype(jnp.float8_e4m3fn)
         v_pages = (v * 16).astype(jnp.float8_e4m3fn)
+    elif dtype == "int8":
+        # fused int8 serving layout (the framework's quantized fast path)
+        from hpc_ops_tpu.ops.quant import quantize_kv_fused_int8
+
+        kf = k.astype(jnp.bfloat16)
+        vf = v.astype(jnp.bfloat16)
+        k_pages, ks, vs = quantize_kv_fused_int8(kf, vf)
+        v_pages = (ks, vs)  # carried to the caller via the v slot
     else:
         k_pages = k.astype(jnp.bfloat16)
         v_pages = v.astype(jnp.bfloat16)
@@ -92,11 +100,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cases", nargs="*", default=list(SCENARIOS))
     ap.add_argument("--methods", nargs="*", default=["grid", "taskmap"])
-    ap.add_argument("--dtypes", nargs="*", default=["bf16", "fp8"])
-    ap.add_argument("--kv-heads", type=int, default=1)
-    ap.add_argument("--gqa", type=int, default=8)
+    ap.add_argument("--dtypes", nargs="*", default=["bf16", "fp8", "int8"])
+    ap.add_argument("--kv-heads", type=int, default=8)
+    ap.add_argument("--gqa", type=int, default=4)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--inner", type=int, default=10)
     ap.add_argument("--task-tile", type=int, default=2048)
     ap.add_argument("--csv", default=None)
     ap.add_argument("--jsonl", default=None)
@@ -115,40 +124,59 @@ def main():
             q, kp, vp, block_ids, seq_lens, kv_bytes = build_inputs(
                 kv_lens, args.kv_heads, args.gqa, dtype, rng
             )
-            kw = dict(new_kv_included=True, cache_layout="HND")
-            if dtype == "fp8":
-                kw.update(
-                    qscale=None,
-                    kscale=jnp.float32(1 / 16.0),
-                    vscale=jnp.float32(1 / 16.0),
+            if dtype == "int8":
+                kp, (ks, vs) = kp, vp
+                kw = dict(
+                    new_kv_included=True, cache_layout="FUSED",
+                    kscale=ks, vscale=vs,
                 )
-            for method in args.methods:
-                if method == "taskmap":
-                    from hpc_ops_tpu.ops.attention.scheduler import task_capacity
-
-                    cap = task_capacity(
-                        len(kv_lens), int(kv_lens.max()), args.kv_heads,
-                        args.task_tile, 1,
+                vp = None
+            else:
+                kw = dict(new_kv_included=True, cache_layout="HND")
+                if dtype == "fp8":
+                    kw.update(
+                        qscale=None,
+                        kscale=jnp.float32(1 / 16.0),
+                        vscale=jnp.float32(1 / 16.0),
                     )
+            for method in args.methods:
+                if method == "taskmap" and dtype == "int8":
+                    # the task kernel consumes split pages; unpacking the
+                    # fused layout per call would time the copy, not the op
+                    continue
+                if method == "taskmap":
                     tm = assign_attention_decode_task(
                         np.asarray(seq_lens),
                         num_head_kv=args.kv_heads,
                         tile=args.task_tile,
-                        capacity=cap,
+                        capacity="tight",  # sentinel tasks burn grid steps
+                        impl="np",
                     )
-                    fn = lambda q, kp, vp, bi, sl: attention_decode(  # noqa: E731
-                        q, kp, vp, bi, sl,
-                        task_map=tm, task_tile=args.task_tile, **kw,
-                    )
+                    kw_m = dict(task_map=tm, task_tile=args.task_tile, **kw)
                 else:
-                    fn = lambda q, kp, vp, bi, sl: attention_decode(  # noqa: E731
-                        q, kp, vp, bi, sl, **kw
+                    kw_m = kw
+
+                def body(carry, kw_m=kw_m, kp=kp, vp=vp):
+                    q_c, bi, sl = carry
+                    out = attention_decode(q_c, kp, vp, bi, sl, **kw_m)
+                    return (
+                        out.astype(q_c.dtype).reshape(q_c.shape), bi, sl
                     )
-                sec = time_fn(
-                    fn, (q, kp, vp, block_ids, seq_lens),
-                    warmup=args.warmup, iters=args.iters,
-                )
+
+                try:
+                    sec = time_chain(
+                        body, (q, block_ids, seq_lens),
+                        inner=args.inner, trials=max(args.iters // 2, 3),
+                    )
+                except Exception as exc:
+                    rep.add(bench="attention_decode", case=case, dtype=dtype,
+                            method=method, error=str(exc)[:160])
+                    continue
                 gbps = kv_bytes / sec / 1e9
+                eff = (
+                    kv_bytes * (2 if dtype in ("fp8", "int8") else 1)
+                    / sec / 1e9
+                )
                 rep.add(
                     bench="attention_decode",
                     case=case,
@@ -159,6 +187,7 @@ def main():
                     gqa=args.gqa,
                     latency_us=round(sec * 1e6, 1),
                     hbm_gbps=round(gbps, 1),
+                    effective_gbps=round(eff, 1),
                     frac_of_peak=round(gbps / peak, 4),
                 )
     rep.flush()

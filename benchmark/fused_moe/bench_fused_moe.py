@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
-from common import Reporter, peak_bf16_tflops, peak_hbm_gbps, time_fn
+from common import Reporter, peak_bf16_tflops, peak_hbm_gbps, time_chain
 
 # name -> (hidden, intermediate, num_experts, topk) full-model shapes
 MODELS = {
@@ -44,8 +44,10 @@ def main():
     ap.add_argument("--ep", type=int, default=8, help="expert-parallel factor")
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel factor")
     ap.add_argument("--blockwise", action="store_true")
+    ap.add_argument("--dtype", default="fp8", choices=["fp8", "int8"])
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--inner", type=int, default=8)
     ap.add_argument("--csv", default=None)
     ap.add_argument("--jsonl", default=None)
     args = ap.parse_args()
@@ -63,10 +65,18 @@ def main():
         i_local = max(inter // args.tp, 128)
         kw1, kw2 = jax.random.split(jax.random.PRNGKey(1))
         # generate on-device: host->device copies can be very slow
-        w_gu = (jax.random.normal(kw1, (e_local, 2 * i_local, h)) / 8).astype(fp8)
-        w_dn = (jax.random.normal(kw2, (e_local, h, i_local)) / 8).astype(fp8)
+        qdt = jnp.int8 if args.dtype == "int8" else fp8
+        if args.dtype == "int8":
+            w_gu = jax.random.randint(kw1, (e_local, 2 * i_local, h), -127, 127, jnp.int8)
+            w_dn = jax.random.randint(kw2, (e_local, h, i_local), -127, 127, jnp.int8)
+        else:
+            w_gu = (jax.random.normal(kw1, (e_local, 2 * i_local, h)) / 8).astype(fp8)
+            w_dn = (jax.random.normal(kw2, (e_local, h, i_local)) / 8).astype(fp8)
         for s in args.tokens:
-            x = (jax.random.normal(jax.random.PRNGKey(s), (s, h)) / 8).astype(fp8)
+            if args.dtype == "int8":
+                x = jax.random.randint(jax.random.PRNGKey(s), (s, h), -127, 127, jnp.int8)
+            else:
+                x = (jax.random.normal(jax.random.PRNGKey(s), (s, h)) / 8).astype(fp8)
             topk_ids = jnp.asarray(
                 np.stack(
                     [rng.choice(e_total, topk, replace=False) for _ in range(s)]
@@ -89,7 +99,7 @@ def main():
                 )
                 fargs = (x, xs, w_gu, w_dn, topk_ids, topk_scale)
             else:
-                gu_scale = jnp.ones((e_local,), jnp.float32)
+                gu_scale = jnp.full((e_local,), 1e-3 if args.dtype == "int8" else 1.0, jnp.float32)
                 dn_scale = jnp.ones((e_local,), jnp.float32)
                 am_scale = jnp.ones((1,), jnp.float32)
                 fn = lambda x, w_gu, w_dn, ti, ts: fuse_moe_pertensor_fp8(  # noqa: E731
@@ -97,7 +107,28 @@ def main():
                     ti, ts, rank_ep=0, num_expert_total=e_total,
                 )
                 fargs = (x, w_gu, w_dn, topk_ids, topk_scale)
-            sec = time_fn(fn, fargs, warmup=args.warmup, iters=args.iters)
+            # chained differential timing: perturb x with a data-dependent
+            # zero so XLA cannot fold the repeats
+            def body(carry, fn=fn):
+                xc, rest = carry[0], carry[1:]
+                out = fn(xc, *rest)
+                dep = (out[0, 0].astype(jnp.float32) > 1e30).astype(jnp.int32)
+                if xc.dtype in (jnp.float8_e4m3fn, jnp.int8):
+                    xn = jax.lax.bitcast_convert_type(
+                        jax.lax.bitcast_convert_type(xc, jnp.int8)
+                        + dep.astype(jnp.int8),
+                        xc.dtype,
+                    ) if xc.dtype != jnp.int8 else (
+                        xc.astype(jnp.int32) + dep
+                    ).astype(jnp.int8)
+                else:
+                    xn = (xc.astype(jnp.float32) + dep).astype(xc.dtype)
+                return (xn, *rest)
+
+            sec = time_chain(
+                body, fargs, inner=args.inner,
+                trials=max(args.iters // 2, 3),
+            )
             # expected local expert work: tokens landing on this rank's experts
             frac_local = e_local / e_total
             eff_tokens = s * topk * frac_local
@@ -110,7 +141,7 @@ def main():
                 ep=args.ep,
                 tp=args.tp,
                 experts_local=e_local,
-                scheme="blockwise" if args.blockwise else "pertensor",
+                scheme="blockwise" if args.blockwise else f"pertensor_{args.dtype}",
                 latency_us=round(sec * 1e6, 1),
                 tflops=round(flops / sec / 1e12, 2),
                 weight_gbps=round(w_bytes / sec / 1e9, 1),

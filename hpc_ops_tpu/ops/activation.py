@@ -83,54 +83,94 @@ def masked_act_mul_and_blockwise_quant_ref(gate_up, num_per_expert):
 # ---------------------------------------------------------------- pallas path
 
 
-def _act_quant_kernel(scale_ref, gate_ref, up_ref, out_ref, *, use_bf16_mul):
-    gate = gate_ref[...].astype(jnp.float32)
-    s = scale_ref[0]
-    act = _silu(gate)
-    if use_bf16_mul:
-        prod = (act.astype(jnp.bfloat16) * up_ref[...].astype(jnp.bfloat16)).astype(
-            jnp.float32
-        )
-    else:
-        prod = act * up_ref[...].astype(jnp.float32)
-    if out_ref.dtype == jnp.int8:
-        # int8 variant for the native s8 MXU path (see group_gemm)
-        out_ref[...] = jnp.clip(jnp.round(prod * s), -127, 127).astype(jnp.int8)
-    else:
-        out_ref[...] = jnp.clip(prod * s, -FP8_MAX, FP8_MAX).astype(FP8_DTYPE)
+def _act_quant_kernel(
+    nv_ref, scale_ref, gate_ref, up_ref, out_ref, *, use_bf16_mul, tile_n
+):
+    i = pl.program_id(0)
+
+    # tiles past the dynamic valid-row count hold only alignment padding
+    # (MoE: dropped off-rank slots); skip their math and writes entirely
+    @pl.when(i * tile_n < nv_ref[0])
+    def _():
+        gate = gate_ref[...].astype(jnp.float32)
+        s = scale_ref[0]
+        act = _silu(gate)
+        if use_bf16_mul:
+            prod = (
+                act.astype(jnp.bfloat16) * up_ref[...].astype(jnp.bfloat16)
+            ).astype(jnp.float32)
+        else:
+            prod = act * up_ref[...].astype(jnp.float32)
+        if out_ref.dtype == jnp.int8:
+            # int8 variant for the native s8 MXU path (see group_gemm)
+            out_ref[...] = jnp.clip(
+                jnp.round(prod * s), -127, 127
+            ).astype(jnp.int8)
+        else:
+            out_ref[...] = jnp.clip(prod * s, -FP8_MAX, FP8_MAX).astype(
+                FP8_DTYPE
+            )
 
 
 @functools.partial(
     jax.jit, static_argnames=("use_bf16_mul", "out_dtype", "interpret")
 )
 def _act_mul_and_quant_pallas(
-    gate_up, scale, use_bf16_mul=True, out_dtype=FP8_DTYPE, interpret=False
+    gate_up, scale, use_bf16_mul=True, out_dtype=FP8_DTYPE, interpret=False,
+    num_valid=None,
 ):
     n, two_c = gate_up.shape
     c = two_c // 2
     tile_n = min(256, max(32, n))
     grid = (cdiv(n, tile_n),)
+    if num_valid is None:
+        num_valid = jnp.full((1,), n, jnp.int32)
+    else:
+        num_valid = num_valid.reshape(1).astype(jnp.int32)
+
+    def pin(i, nv):
+        return jnp.where(i * tile_n < nv[0], i, 0)
+
     # gate_up is passed twice: block-column 0 selects the gate half, 1 the up
     # half (block shape (tile_n, c) => column-block units of width c).
     return pl.pallas_call(
-        functools.partial(_act_quant_kernel, use_bf16_mul=use_bf16_mul),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile_n, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, c), lambda i: (i, 1), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_n, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        functools.partial(
+            _act_quant_kernel, use_bf16_mul=use_bf16_mul, tile_n=tile_n
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (tile_n, c), lambda i, nv: (pin(i, nv), 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (tile_n, c), lambda i, nv: (pin(i, nv), 1),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (tile_n, c), lambda i, nv: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
         out_shape=jax.ShapeDtypeStruct((n, c), out_dtype),
         interpret=interpret,
-    )(scale.reshape(1).astype(jnp.float32), gate_up, gate_up)
+    )(
+        num_valid,
+        scale.reshape(1).astype(jnp.float32),
+        gate_up,
+        gate_up,
+    )
 
 
 # ---------------------------------------------------------------- public API
 
 
 def act_mul_and_quant(
-    gate_up, scale, use_bf16_mul=True, *, out_dtype=FP8_DTYPE, impl="auto"
+    gate_up, scale, use_bf16_mul=True, *, out_dtype=FP8_DTYPE, impl="auto",
+    num_valid=None,
 ):
     """silu(gate) * up * scale -> fp8_e4m3 (or int8 with out_dtype=jnp.int8,
     the TPU-native quantized-GEMM input format).
@@ -152,7 +192,7 @@ def act_mul_and_quant(
         return act_mul_and_quant_ref(gate_up, scale, use_bf16_mul)
     return _act_mul_and_quant_pallas(
         gate_up, scale, use_bf16_mul, out_dtype=out_dtype,
-        interpret=interpret_default(),
+        interpret=interpret_default(), num_valid=num_valid,
     )
 
 

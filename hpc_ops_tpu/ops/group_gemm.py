@@ -477,8 +477,14 @@ def _gg_scatter_pallas(
     total, k = x.shape
     g, n, _ = weight.shape
     # row slabs are DMA'd as [Kb, 128] views; Kb must respect the dtype's
-    # sublane packing (4 sublanes/tile-row for 8-bit types) -> K % 512
-    kp = round_up(k, max(tk, 512))
+    # sublane packing (4 sublanes/tile-row for 8-bit types) -> K % 512.
+    # K that fits one k-step runs un-tiled (pl.ds(0, kb) is always legal),
+    # so e.g. K=1536 pads only to 1536 instead of 2048.
+    kp = round_up(k, 512)
+    if kp <= max(tk, 1024):
+        tk = kp
+    else:
+        kp = round_up(k, tk)
     np_ = round_up(n, tn)
     if kp != k:
         x = jnp.pad(x, ((0, 0), (0, kp - k)))

@@ -214,7 +214,9 @@ def fuse_moe_pertensor_fp8(
     e_local = gate_up_weight.shape[0]
     if num_seq_per_group_avg is None:
         s_, k_ = topk_ids.shape
-        num_seq_per_group_avg = max(s_ * k_ // max(e_local, 1), 1)
+        # expected rows per LOCAL expert: off-rank tokens are dropped, so
+        # divide by the GLOBAL expert count (s*k*(e_local/e_total)/e_local)
+        num_seq_per_group_avg = max(s_ * k_ // max(num_expert_total, 1), 1)
     tm = _pick_tm(num_seq_per_group_avg)
 
     if impl in ("auto", "scatter"):
@@ -235,6 +237,7 @@ def fuse_moe_pertensor_fp8(
         down_in = act_mul_and_quant(
             gate_up, act_and_mul_scale, use_bf16_mul,
             out_dtype=jnp.int8 if down_weight.dtype == jnp.int8 else FP8_DTYPE,
+            num_valid=nvt * tm,  # skip alignment-padding rows
         )
         ident = jnp.arange(row_idx.shape[0], dtype=jnp.int32)
         down = _gg_scatter_pallas(
