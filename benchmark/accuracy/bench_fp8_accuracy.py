@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from common import Reporter
 
 
-def run_config(args, layers, rep):
+def run_config(args, layers, rep, residual_alpha=1.0):
     from hpc_ops_tpu.models.llama import (
         ModelConfig,
         forward_step,
@@ -60,6 +60,7 @@ def run_config(args, layers, rep):
             intermediate=2 * args.hidden,
             max_position=4 * max_len,
             fp8_kv=fp8,
+            residual_alpha=residual_alpha,
         )
         weights = init_weights(jax.random.PRNGKey(0), cfg)
         caches = init_cache(cfg, num_blocks=b * nb_per, block_size=bs)
@@ -117,6 +118,8 @@ def run_config(args, layers, rep):
     rep.add(
         bench="fp8_accuracy",
         layers=layers,
+        residual_alpha=round(residual_alpha, 4),
+        regime="realistic_muP" if residual_alpha != 1.0 else "chaotic_random",
         hidden=args.hidden,
         decode_steps=args.decode_steps,
         prefill_rel_err_vs_spread=round(rel_prefill, 5),
@@ -141,6 +144,13 @@ def main():
     rep = Reporter(csv_path=args.csv, jsonl_path=args.jsonl)
     for layers in args.layers:
         run_config(args, layers, rep)
+        if layers > 1:
+            # trained nets keep the residual stream dominant; muP-style
+            # 1/sqrt(2L) branch gain reproduces that signal propagation —
+            # the "realistic" multi-layer fp8 delta (raw random weights
+            # chaotically amplify per-op rounding and are an upper bound)
+            run_config(args, layers, rep,
+                       residual_alpha=1.0 / (2.0 * layers) ** 0.5)
     rep.flush()
 
 

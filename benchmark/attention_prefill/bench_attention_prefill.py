@@ -100,6 +100,62 @@ def main():
             frac_peak=round(flops / sec / 1e12 / peak_bf16_tflops(), 4),
         )
 
+        # external baseline: JAX's production splash-attention kernel on
+        # the same shapes (non-paged packed MHA, causal) — the strongest
+        # available stock TPU prefill kernel (reference benches against
+        # FlashInfer/FA3 the same way, README.md:171)
+        if len(set(lens.tolist())) == 1:
+            try:
+                from jax.experimental.pallas.ops.tpu.splash_attention import (
+                    splash_attention_kernel as sak,
+                    splash_attention_mask as sam,
+                )
+
+                L = int(lens[0])
+                qs = jnp.transpose(
+                    q.reshape(b, L, hq, HEAD_DIM), (0, 2, 1, 3)
+                )
+                ks_ = jnp.transpose(
+                    kc.reshape(b, L, hkv, HEAD_DIM), (0, 2, 1, 3)
+                )
+                vs_ = jnp.transpose(
+                    vc.reshape(b, L, hkv, HEAD_DIM), (0, 2, 1, 3)
+                )
+                mask = sam.MultiHeadMask(
+                    [sam.CausalMask((L, L)) for _ in range(hq)]
+                )
+                kernel = sak.make_splash_mqa_single_device(
+                    mask=sam.MultiHeadMask(
+                        [sam.CausalMask((L, L)) for _ in range(hkv)]
+                    )
+                )
+
+                def splash_fn(qs, ks_, vs_):
+                    qg = qs.reshape(b, hkv, g, L, HEAD_DIM)
+                    outs = []
+                    for bi_ in range(b):
+                        outs.append(
+                            jax.vmap(kernel)(
+                                qg[bi_] * (HEAD_DIM ** -0.5), ks_[bi_], vs_[bi_]
+                            )
+                        )
+                    return jnp.stack(outs)
+
+                sec_b = time_fn(
+                    splash_fn, (qs, ks_, vs_),
+                    warmup=args.warmup, iters=args.iters,
+                )
+                rep.add(
+                    bench="attention_prefill", case=case, dtype="bf16",
+                    mode="baseline_splash", batch=b, total_q=total_q,
+                    latency_us=round(sec_b * 1e6, 1),
+                    tflops=round(flops / sec_b / 1e12, 2),
+                    ours_vs_splash=round(sec_b / sec, 3),
+                )
+            except Exception as exc:
+                rep.add(bench="attention_prefill", case=case,
+                        mode="baseline_splash", error=str(exc)[:160])
+
         # block-sparse fp8: causal diagonal + random keep
         kc8 = kc.astype(jnp.float8_e4m3fn)
         vc8 = vc.astype(jnp.float8_e4m3fn)

@@ -56,6 +56,11 @@ class ModelConfig(NamedTuple):
     fp8_kv: bool = False
     moe: Optional[MoEConfig] = None
     max_position: int = 8192
+    # residual-branch gain. 1.0 = raw random-init behavior; trained nets
+    # keep the residual stream dominant — 1/sqrt(2*layers) (muP-style
+    # depth scaling) reproduces that signal propagation and is the
+    # "realistic" configuration of the fp8-accuracy bench.
+    residual_alpha: float = 1.0
 
     @property
     def qkv_out(self) -> int:
@@ -275,6 +280,8 @@ def forward_step(
             )
 
         attn_partial = attn.reshape(rows, -1) @ layer["wo"]  # partial over tp
+        if cfg.residual_alpha != 1.0:
+            attn_partial = attn_partial * cfg.residual_alpha
 
         # fused allreduce + residual + mlp-norm
         if axis_name is not None:
@@ -294,6 +301,8 @@ def forward_step(
             mlp_partial = _mlp_dense(h_normed, layer)
         else:
             mlp_partial = _mlp_moe(h_normed, layer, cfg, rank_ep)
+        if cfg.residual_alpha != 1.0:
+            mlp_partial = mlp_partial * cfg.residual_alpha
 
         next_norm = (
             weights["layers"][li + 1]["attn_norm"]

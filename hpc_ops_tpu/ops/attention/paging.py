@@ -93,14 +93,24 @@ class MultiPageCopy:
             for c in self._copies:
                 op(c)
             return
-        for i, c in enumerate(self._copies):
-            if i == 0:
-                op(c)  # chunks always hold >= 1 valid page
+        # predication is GROUP-granular (<= 8 predicated regions): per-page
+        # pl.when at pcb=64 exploded Mosaic trace/compile time (~35 min for
+        # one kernel). A tail chunk over-fetches at most group_size-1 pages
+        # (<= pcb/8), which is noise next to the full-chunk over-fetch this
+        # exists to prevent.
+        n = len(self._copies)
+        gsz = max(1, -(-n // 8))
+        for g0 in range(0, n, gsz):
+            grp = self._copies[g0 : g0 + gsz]
+            if g0 == 0:
+                for c in grp:  # chunks always hold >= 1 valid page
+                    op(c)
                 continue
 
-            @pl.when(i < self._num_valid)
-            def _(c=c):
-                op(c)
+            @pl.when(g0 < self._num_valid)
+            def _(grp=grp):
+                for c in grp:
+                    op(c)
 
     def start(self):
         self._each(lambda c: c.start())
