@@ -86,12 +86,12 @@ def build_inputs(kv_lens, hkv, g, dtype, rng):
         start += nbp
     block_ids = jnp.asarray(tbl)
     seq_lens = jnp.asarray(kv_lens, jnp.int32)
-    kv_bytes = (
+    kv_bytes = (  # PHYSICAL bytes (itemsize 1 for 8-bit caches)
         2
         * int(kv_lens.sum())
         * hkv
         * HEAD_DIM
-        * (1 if dtype == "fp8" else 2)
+        * (1 if dtype in ("fp8", "int8") else 2)
     )
     return q, k_pages, v_pages, block_ids, seq_lens, kv_bytes
 
@@ -156,16 +156,33 @@ def main():
                 else:
                     kw_m = kw
 
-                def body(carry, kw_m=kw_m, kp=kp, vp=vp):
-                    q_c, bi, sl = carry
-                    out = attention_decode(q_c, kp, vp, bi, sl, **kw_m)
-                    return (
-                        out.astype(q_c.dtype).reshape(q_c.shape), bi, sl
-                    )
+                # caches travel in the chain carry: closed-over arrays
+                # become jit constants and blow the remote-compile request
+                # size (HTTP 413) on big scenarios
+                if vp is None:
+                    def body(carry, kw_m=kw_m):
+                        q_c, kp_c, bi, sl = carry
+                        out = attention_decode(q_c, kp_c, None, bi, sl, **kw_m)
+                        return (
+                            out.astype(q_c.dtype).reshape(q_c.shape),
+                            kp_c, bi, sl,
+                        )
+
+                    init = (q, kp, block_ids, seq_lens)
+                else:
+                    def body(carry, kw_m=kw_m):
+                        q_c, kp_c, vp_c, bi, sl = carry
+                        out = attention_decode(q_c, kp_c, vp_c, bi, sl, **kw_m)
+                        return (
+                            out.astype(q_c.dtype).reshape(q_c.shape),
+                            kp_c, vp_c, bi, sl,
+                        )
+
+                    init = (q, kp, vp, block_ids, seq_lens)
 
                 try:
                     sec = time_chain(
-                        body, (q, block_ids, seq_lens),
+                        body, init,
                         inner=args.inner, trials=max(args.iters // 2, 3),
                     )
                 except Exception as exc:
