@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--csv", default=None)
     ap.add_argument("--jsonl", default=None)
+    ap.add_argument(
+        "--impls", nargs="*", default=["xla", "pallas"],
+        help="rope_norm_store_kv impl= values to sweep",
+    )
     args = ap.parse_args()
 
     from hpc_ops_tpu.ops.rope import make_cos_sin_cache, rope_norm_store_kv
@@ -64,46 +68,48 @@ def main():
         import time as _t
         inner = 10
 
-        def mk(n):
+        def mk(n, impl):
             @jax.jit
             def run(kc, vc, qkv, cs, seq, qi, tbl):
                 def body(_, carry):
                     kc_, vc_ = carry
                     _q, kc2, vc2 = rope_norm_store_kv(
                         kc_, vc_, qkv, cs, seq, qi, tbl, False,
-                        zero_tails=False,
+                        zero_tails=False, impl=impl,
                     )
                     return (kc2, vc2)
                 return jax.lax.fori_loop(0, n, body, (kc, vc))[0]
             return run
 
-        runs = {n: mk(n) for n in (inner, 2 * inner)}
-        a = (kc, vc, qkv, cos_sin, seq, q_index, tbl)
-        for r in runs.values():
-            np.asarray(r(*a)[:1, :1, :1, :4])
-        samples = {n: [] for n in runs}
-        for _ in range(args.iters):
-            for n, r in runs.items():
-                t0 = _t.perf_counter()
+        for impl in args.impls:
+            runs = {n: mk(n, impl) for n in (inner, 2 * inner)}
+            a = (kc, vc, qkv, cos_sin, seq, q_index, tbl)
+            for r in runs.values():
                 np.asarray(r(*a)[:1, :1, :1, :4])
-                samples[n].append(_t.perf_counter() - t0)
-        import statistics
-        sec = max(
-            (statistics.median(samples[2 * inner])
-             - statistics.median(samples[inner])) / inner,
-            1e-9,
-        )
-        bytes_moved = (
-            rows * (hq + 2 * hkv) * D * 2  # qkv read
-            + rows * hq * D * 2  # q write
-            + rows * 2 * hkv * D * 2  # kv page writes
-        )
-        rep.add(
-            bench="rope_norm_store_kv", mode="decode", batch=b,
-            latency_us=round(sec * 1e6, 1),
-            gbps=round(bytes_moved / sec / 1e9, 2),
-            frac_peak=round(bytes_moved / sec / 1e9 / peak_hbm_gbps(), 4),
-        )
+            samples = {n: [] for n in runs}
+            for _ in range(args.iters):
+                for n, r in runs.items():
+                    t0 = _t.perf_counter()
+                    np.asarray(r(*a)[:1, :1, :1, :4])
+                    samples[n].append(_t.perf_counter() - t0)
+            import statistics
+            sec = max(
+                (statistics.median(samples[2 * inner])
+                 - statistics.median(samples[inner])) / inner,
+                1e-9,
+            )
+            bytes_moved = (
+                rows * (hq + 2 * hkv) * D * 2  # qkv read
+                + rows * hq * D * 2  # q write
+                + rows * 2 * hkv * D * 2  # kv page writes
+            )
+            rep.add(
+                bench="rope_norm_store_kv", mode="decode", batch=b,
+                impl=impl,
+                latency_us=round(sec * 1e6, 1),
+                gbps=round(bytes_moved / sec / 1e9, 2),
+                frac_peak=round(bytes_moved / sec / 1e9 / peak_hbm_gbps(), 4),
+            )
     rep.flush()
 
 

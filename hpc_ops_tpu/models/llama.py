@@ -249,6 +249,10 @@ def forward_step(
                 is_prefill,
                 cache_layout="HND",
                 zero_tails=False,  # attention masks by kv_len; skip the pass
+                # decode batches have one real (or dummy-page-parked) token
+                # per row, satisfying the fused kernel's all-rows-valid
+                # contract; engine prefill pads rows -> XLA path.
+                impl="xla" if is_prefill else "pallas",
             )
             q_scale = None
         new_caches.append({"k": k_new, "v": v_new})

@@ -29,9 +29,28 @@ from hpc_ops_tpu.ops.kv_cache import (
     store_kv,
     zero_block_tails,
 )
-from hpc_ops_tpu.utils.common import fp8_saturate_cast, round_up
+from hpc_ops_tpu.utils.common import fp8_saturate_cast, interpret_default, round_up
 
 _NORM_EPS = 1e-6
+
+
+def can_use_rope_kernel(
+    rows: int, cache_dtype, qkv_dtype, cache_layout: str, store_to_cache: bool
+) -> bool:
+    """True when the Pallas fused store kernel (ops/rope_kernel.py) applies:
+    bf16 cache, NHD or HND layout, and a tileable row count. Callers opting
+    in with ``impl="pallas"`` additionally promise that EVERY qkv row is a
+    real token (the reference's own contract — hpc/rope.py sizes qkv to
+    exactly total_tokens); padded/invalid rows must stay on the XLA path."""
+    from hpc_ops_tpu.ops.rope_kernel import pick_row_tile
+
+    return (
+        store_to_cache
+        and cache_layout in ("NHD", "HND")
+        and cache_dtype == jnp.bfloat16
+        and qkv_dtype == jnp.bfloat16
+        and pick_row_tile(rows) is not None
+    )
 
 
 def make_cos_sin_cache(max_position: int, head_dim: int, base: float = 10000.0):
@@ -142,10 +161,18 @@ def rope_norm_store_kv(
     store_to_cache: bool = True,
     cache_layout: str = "NHD",
     zero_tails: bool = True,
+    impl: str = "auto",
+    interpret: bool | None = None,
 ):
     """RoPE + optional QK RMSNorm + paged-KV store (BF16).
 
     Args mirror hpc/rope.py:7-98; caches are returned (functional in-place).
+
+    impl: "auto"/"xla" use the XLA gather/scatter formulation (tolerates
+    padded rows). "pallas" opts into the fused Pallas store kernel
+    (ops/rope_kernel.py) — the serving fast path; the caller promises every
+    qkv row is a real token (the reference's own sizing contract). Falls
+    back to XLA when ``can_use_rope_kernel`` is False.
 
     Returns:
       (q_rotated [rows, Hq, Dqk] bf16, new_key_cache, new_value_cache)
@@ -158,6 +185,27 @@ def rope_norm_store_kv(
     else:
         num_kv_heads, qk_dim = key_cache.shape[2], key_cache.shape[3]
     v_dim = value_cache.shape[3]
+    if impl == "pallas" and can_use_rope_kernel(
+        qkv.shape[0], key_cache.dtype, qkv.dtype, cache_layout, store_to_cache
+    ):
+        return _rope_store_pallas(
+            key_cache,
+            value_cache,
+            qkv,
+            cos_sin,
+            num_seqlen_per_req,
+            q_index,
+            kvcache_indices,
+            q_norm_weight,
+            k_norm_weight,
+            qk_norm_policy,
+            num_kv_heads,
+            qk_dim,
+            v_dim,
+            cache_layout,
+            zero_tails,
+            interpret_default() if interpret is None else interpret,
+        )
     q, k, v, m = _rope_norm_core(
         qkv,
         cos_sin,
@@ -191,6 +239,73 @@ def rope_norm_store_kv(
             cache, num_seqlen_per_req, kvcache_indices, layout=cache_layout
         )
     return q_out, cache.k, cache.v
+
+
+def _rope_store_pallas(
+    key_cache,
+    value_cache,
+    qkv,
+    cos_sin,
+    num_seqlen_per_req,
+    q_index,
+    kvcache_indices,
+    q_norm_weight,
+    k_norm_weight,
+    qk_norm_policy,
+    num_kv_heads,
+    qk_dim,
+    v_dim,
+    cache_layout,
+    zero_tails,
+    interpret,
+):
+    """Fused-kernel store path. Every qkv row must be a real token."""
+    from hpc_ops_tpu.ops.rope_kernel import rope_store_rows
+
+    rows, hidden = qkv.shape
+    num_q_heads = (hidden - num_kv_heads * (qk_dim + v_dim)) // qk_dim
+    m = _row_mapping(rows, num_seqlen_per_req, q_index)
+    cs_rows = cos_sin[jnp.maximum(m.positions, 0)].astype(jnp.float32)
+
+    if cache_layout == "HND":
+        h, nb, bs, _ = key_cache.shape
+        kflat = key_cache.reshape(h, nb * bs, qk_dim)
+        vflat = value_cache.reshape(h, nb * bs, v_dim)
+        head_major = True
+    else:  # NHD
+        nb, bs, h, _ = key_cache.shape
+        kflat = key_cache.reshape(nb * bs, h * qk_dim)
+        vflat = value_cache.reshape(nb * bs, h * v_dim)
+        head_major = False
+    slots = flat_slot_ids(m.positions, m.req_ids, kvcache_indices, bs, m.valid)
+    # contract: rows are all real tokens, so slots are in range; the clip
+    # only bounds the blast radius of a malformed call (OOB DMA -> last slot)
+    slots = jnp.clip(slots, 0, nb * bs - 1)
+
+    q_out, kflat, vflat = rope_store_rows(
+        qkv,
+        cs_rows,
+        q_norm_weight,
+        k_norm_weight,
+        slots,
+        slots,
+        (kflat, vflat),
+        hq=num_q_heads,
+        hkv=num_kv_heads,
+        d=qk_dim,
+        dv=v_dim,
+        qk_norm_policy=qk_norm_policy,
+        head_major=head_major,
+        interpret=interpret,
+    )
+    cache = PagedKVCache(
+        kflat.reshape(key_cache.shape), vflat.reshape(value_cache.shape)
+    )
+    if zero_tails:
+        cache = zero_block_tails(
+            cache, num_seqlen_per_req, kvcache_indices, layout=cache_layout
+        )
+    return q_out.reshape(rows, num_q_heads, qk_dim), cache.k, cache.v
 
 
 def rope_norm_store_kv_fp8(

@@ -231,3 +231,67 @@ def test_rope_norm_store_kv_fp8(quant_policy, is_prefill):
                 v_new[cb, pb], c["np_v"][tok], atol=0.2, rtol=0.1, name="vcache_fp8"
             )
             tok += 1
+
+
+@pytest.mark.parametrize("policy", [0, 1, 2])
+@pytest.mark.parametrize("layout", ["NHD", "HND"])
+@pytest.mark.parametrize(
+    "req_lens,q_lens",
+    [
+        ([34, 8, 17, 21, 40, 12, 9, 30], [1] * 8),  # decode, rows=8
+        ([33, 7, 16, 8], [33, 7, 16, 8]),  # prefill, rows=64
+        ([40, 20], [4, 4]),  # mtp decode (draft tokens), rows=8
+    ],
+)
+def test_rope_store_pallas_matches_xla(policy, layout, req_lens, q_lens):
+    """Fused Pallas store kernel (ops/rope_kernel.py) vs the XLA path.
+
+    Kernel contract: every qkv row is a real token and the row count tiles
+    (see can_use_rope_kernel); cases here are sized accordingly.
+    """
+    c = make_case(17, req_lens, q_lens)
+    hq, hkv, dqk, dv, blk = c["hq"], c["hkv"], c["dqk"], c["dv"], c["blk"]
+    rng = np.random.RandomState(3)
+    qw = jnp.asarray(rng.rand(dqk).astype(np.float32) + 0.5)
+    kw = jnp.asarray(rng.rand(dqk).astype(np.float32) + 0.5)
+
+    if layout == "HND":
+        kshape = (hkv, c["total_blocks"], blk, dqk)
+        vshape = (hkv, c["total_blocks"], blk, dv)
+    else:
+        kshape = (c["total_blocks"], blk, hkv, dqk)
+        vshape = (c["total_blocks"], blk, hkv, dv)
+    kcache = jnp.asarray(rng.randn(*kshape), jnp.bfloat16)
+    vcache = jnp.asarray(rng.randn(*vshape), jnp.bfloat16)
+
+    outs = {}
+    for impl in ("xla", "pallas"):
+        outs[impl] = rope_norm_store_kv(
+            kcache,
+            vcache,
+            c["qkv"],
+            c["cos_sin"],
+            c["num_seqlen"],
+            c["q_index"],
+            c["kv_idx"],
+            len(req_lens) == sum(q_lens),
+            qw,
+            kw,
+            qk_norm_policy=policy,
+            cache_layout=layout,
+            impl=impl,
+        )
+
+    from hpc_ops_tpu.ops.rope import can_use_rope_kernel
+
+    assert can_use_rope_kernel(
+        c["qkv"].shape[0], kcache.dtype, c["qkv"].dtype, layout, True
+    )
+    for name, a, b in zip("q k v".split(), outs["pallas"], outs["xla"]):
+        assert_allclose(
+            np.asarray(a, np.float32),
+            np.asarray(b, np.float32),
+            atol=2e-2,
+            rtol=2e-2,
+            name=f"pallas_vs_xla_{name}",
+        )
