@@ -32,7 +32,13 @@ from hpc_ops_tpu.ops.attention.decode import attention_decode
 from hpc_ops_tpu.ops.attention.prefill import attention_with_kvcache_prefill
 from hpc_ops_tpu.ops.moe import fuse_moe_pertensor_fp8
 from hpc_ops_tpu.ops.normalization import rmsnorm_ref
-from hpc_ops_tpu.ops.rope import make_cos_sin_cache, rope_norm_store_kv, rope_norm_store_kv_fp8
+from hpc_ops_tpu.ops.attention.paging import unpack_kv_fused
+from hpc_ops_tpu.ops.rope import (
+    make_cos_sin_cache,
+    rope_norm_store_kv,
+    rope_norm_store_kv_fp8,
+    rope_norm_store_kv_int8,
+)
 from hpc_ops_tpu.ops.sampler import fused_sampler_temperature_sample
 from hpc_ops_tpu.parallel.collectives import fuse_allreduce_rmsnorm
 
@@ -54,6 +60,13 @@ class ModelConfig(NamedTuple):
     rope_base: float = 500000.0
     norm_eps: float = 1e-5
     fp8_kv: bool = False
+    # int8_kv: the TPU-native quantized serving mode — KV pages hold
+    # symmetric int8 codes in the FUSED K|V page layout (pack_kv_fused)
+    # with one static per-tensor scale each; decode rides the fused int8
+    # Pallas kernel (the headline bench path). Mutually exclusive with
+    # fp8_kv.
+    int8_kv: bool = False
+    kv_scale: float = 0.05  # static per-tensor K/V scale for int8_kv
     moe: Optional[MoEConfig] = None
     max_position: int = 8192
     # residual-branch gain. 1.0 = raw random-init behavior; trained nets
@@ -138,9 +151,19 @@ def init_weights(key, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict:
 
 
 def init_cache(cfg: ModelConfig, num_blocks: int, block_size: int, tp: int = 1):
-    """HND-layout paged caches per layer: [Hkv/tp, blocks, bs, D]."""
-    dt = FP8_DTYPE if cfg.fp8_kv else jnp.bfloat16
+    """Paged caches per layer: HND [Hkv/tp, blocks, bs, D] k/v pairs, or a
+    single fused int8 slab [Hkv/tp, blocks, 2*bs, D] when cfg.int8_kv."""
     hkv = cfg.kv_heads // tp
+    if cfg.int8_kv:
+        return [
+            {
+                "kv": jnp.zeros(
+                    (hkv, num_blocks, 2 * block_size, cfg.head_dim), jnp.int8
+                )
+            }
+            for _ in range(cfg.layers)
+        ]
+    dt = FP8_DTYPE if cfg.fp8_kv else jnp.bfloat16
     return [
         {
             "k": jnp.zeros((hkv, num_blocks, block_size, cfg.head_dim), dt),
@@ -218,9 +241,42 @@ def forward_step(
     x_res = x.astype(jnp.bfloat16)
     new_caches = []
 
+    kv_sc = jnp.full((1,), cfg.kv_scale, jnp.float32)
     for li, layer in enumerate(weights["layers"]):
         qkv = h_normed @ layer["wqkv"]  # [rows, (Hq+2Hkv)/tp * D]
-        if cfg.fp8_kv:
+        if cfg.int8_kv:
+            # quantized serving mode: one fused int8 K|V slab per layer,
+            # stored by the fused Pallas kernel (decode) and read by the
+            # FUSED int8 decode / dequantizing HND prefill kernels.
+            q, kv_new = rope_norm_store_kv_int8(
+                caches[li]["kv"],
+                qkv,
+                weights["cos_sin"],
+                seq_lens,
+                q_index,
+                block_ids,
+                is_prefill,
+                kv_sc,
+                kv_sc,
+                impl="xla" if is_prefill else "pallas",
+            )
+            new_caches.append({"kv": kv_new})
+            if is_prefill:
+                k_hnd, v_hnd = unpack_kv_fused(kv_new)
+                attn = attention_with_kvcache_prefill(
+                    q, k_hnd, v_hnd,
+                    q_index, block_ids, seq_lens, max_seqlens_q,
+                    kscale=kv_sc, vscale=kv_sc,
+                    cache_layout="HND",
+                )
+            else:
+                attn = attention_decode(
+                    q, kv_new, None, block_ids, seq_lens,
+                    mtp=mtp, new_kv_included=True,
+                    kscale=kv_sc, vscale=kv_sc,
+                    cache_layout="FUSED",
+                )
+        elif cfg.fp8_kv:
             q, q_scale, _, k_new, v_new = rope_norm_store_kv_fp8(
                 caches[li]["k"],
                 caches[li]["v"],
@@ -255,33 +311,33 @@ def forward_step(
                 impl="xla" if is_prefill else "pallas",
             )
             q_scale = None
-        new_caches.append({"k": k_new, "v": v_new})
-
-        if is_prefill:
-            if cfg.fp8_kv:
-                attn = attention_with_kvcache_prefill(
-                    q, k_new, v_new,
-                    q_index, block_ids, seq_lens, max_seqlens_q,
-                    qscale=q_scale,
-                    kscale=jnp.ones((1,), jnp.float32),
-                    vscale=jnp.ones((1,), jnp.float32),
-                    cache_layout="HND",
-                )
+        if not cfg.int8_kv:
+            new_caches.append({"k": k_new, "v": v_new})
+            if is_prefill:
+                if cfg.fp8_kv:
+                    attn = attention_with_kvcache_prefill(
+                        q, k_new, v_new,
+                        q_index, block_ids, seq_lens, max_seqlens_q,
+                        qscale=q_scale,
+                        kscale=jnp.ones((1,), jnp.float32),
+                        vscale=jnp.ones((1,), jnp.float32),
+                        cache_layout="HND",
+                    )
+                else:
+                    attn = attention_with_kvcache_prefill(
+                        q, k_new, v_new,
+                        q_index, block_ids, seq_lens, max_seqlens_q,
+                        cache_layout="HND",
+                    )
             else:
-                attn = attention_with_kvcache_prefill(
-                    q, k_new, v_new,
-                    q_index, block_ids, seq_lens, max_seqlens_q,
+                attn = attention_decode(
+                    q, k_new, v_new, block_ids, seq_lens,
+                    mtp=mtp, new_kv_included=True,
+                    qscale=q_scale,
+                    kscale=jnp.ones((1,), jnp.float32) if cfg.fp8_kv else None,
+                    vscale=jnp.ones((1,), jnp.float32) if cfg.fp8_kv else None,
                     cache_layout="HND",
                 )
-        else:
-            attn = attention_decode(
-                q, k_new, v_new, block_ids, seq_lens,
-                mtp=mtp, new_kv_included=True,
-                qscale=q_scale,
-                kscale=jnp.ones((1,), jnp.float32) if cfg.fp8_kv else None,
-                vscale=jnp.ones((1,), jnp.float32) if cfg.fp8_kv else None,
-                cache_layout="HND",
-            )
 
         attn_partial = attn.reshape(rows, -1) @ layer["wo"]  # partial over tp
         if cfg.residual_alpha != 1.0:
@@ -386,7 +442,10 @@ def make_sharded_step(mesh, cfg: ModelConfig, is_prefill: bool = False, **fw_kw)
     rows = row_axes if len(row_axes) > 1 else row_axes[0]
     # caches: KV heads sharded over tp, page pool sharded over the row axes
     # (each row shard owns its requests' pages; block_ids are shard-local).
-    cache_spec = [{"k": P("tp", rows), "v": P("tp", rows)} for _ in range(cfg.layers)]
+    one_spec = (
+        {"kv": P("tp", rows)} if cfg.int8_kv else {"k": P("tp", rows), "v": P("tp", rows)}
+    )
+    cache_spec = [one_spec for _ in range(cfg.layers)]
     data_specs = (
         P(rows),  # token_ids (rows sharded over the request-owning axes)
         P(rows),  # seq_lens

@@ -308,6 +308,116 @@ def _rope_store_pallas(
     return q_out.reshape(rows, num_q_heads, qk_dim), cache.k, cache.v
 
 
+def rope_norm_store_kv_int8(
+    kv_cache: jax.Array,  # [Hkv, nb, 2*bs, D] int8 (fused K|V page layout)
+    qkv: jax.Array,
+    cos_sin: jax.Array,
+    num_seqlen_per_req: jax.Array,
+    q_index: jax.Array,
+    kvcache_indices: jax.Array,
+    is_prefill: bool,
+    k_scale: jax.Array,
+    v_scale: jax.Array,
+    q_norm_weight: Optional[jax.Array] = None,
+    k_norm_weight: Optional[jax.Array] = None,
+    qk_norm_policy: int = 0,
+    impl: str = "auto",
+    interpret: bool | None = None,
+):
+    """RoPE + optional QK-norm + symmetric int8 quant + fused-page KV store.
+
+    The TPU-native quantized serving store (no reference counterpart — the
+    reference's quantized cache is fp8, hpc/rope.py:101-234; on v5e the
+    byte-packed 8-bit cache code is int8 and K|V of a page live in one
+    fused slab, see ops/attention/paging.py:pack_kv_fused). Writes
+    ``clip(round(x/scale), ±127)`` codes for K (post-rope/norm) and V into
+    the token's (page, slot) rows of the fused cache; the result feeds
+    ``attention_decode(..., cache_layout="FUSED", kscale, vscale)``.
+
+    Q is returned rotated/normed in bf16 (the FUSED decode kernel takes
+    bf16 q with per-tensor KV scales). impl: "pallas" opts into the fused
+    store kernel under the same all-rows-real contract as
+    :func:`rope_norm_store_kv`; "auto"/"xla" use a scatter formulation
+    that tolerates padded rows.
+
+    Returns (q_rot [rows, Hq, D] bf16, new_kv_cache int8).
+    """
+    h, nb, bs2, d = kv_cache.shape
+    bs = bs2 // 2
+    rows, hidden = qkv.shape
+    v_dim = d
+    q, k, v, m = _rope_norm_core(
+        qkv,
+        cos_sin,
+        num_seqlen_per_req,
+        q_index,
+        q_norm_weight,
+        k_norm_weight,
+        qk_norm_policy,
+        h,
+        d,
+        v_dim,
+    )
+    k_inv = 1.0 / k_scale.reshape(()).astype(jnp.float32)
+    v_inv = 1.0 / v_scale.reshape(()).astype(jnp.float32)
+
+    # fused-slab slot math: page rows [0:bs]=K, [bs:2bs]=V (pack_kv_fused)
+    blk = m.positions // bs
+    off = m.positions % bs
+    phys = kvcache_indices[m.req_ids, jnp.maximum(blk, 0)]
+    slot_k = phys * bs2 + off
+    bad = (phys < 0) | ~m.valid
+    oob = jnp.int32(2**31 - 1)
+
+    use_pallas = impl == "pallas" and can_use_rope_kernel(
+        rows, jnp.bfloat16, qkv.dtype, "HND", True
+    )
+    if use_pallas:
+        from hpc_ops_tpu.ops.rope_kernel import rope_store_rows
+
+        kvflat = kv_cache.reshape(h, nb * bs2, d)
+        # contract: all rows real -> slots in range; clip bounds a
+        # malformed call's blast radius (see rope_norm_store_kv)
+        sk = jnp.clip(slot_k, 0, nb * bs2 - 1 - bs)
+        cs_rows = cos_sin[jnp.maximum(m.positions, 0)].astype(jnp.float32)
+        q_out, kvflat = rope_store_rows(
+            qkv,
+            cs_rows,
+            q_norm_weight,
+            k_norm_weight,
+            sk,
+            sk + bs,
+            (kvflat,),
+            hq=q.shape[1],
+            hkv=h,
+            d=d,
+            dv=v_dim,
+            qk_norm_policy=qk_norm_policy,
+            head_major=True,
+            k_scale_inv=k_inv,
+            v_scale_inv=v_inv,
+            interpret=interpret_default() if interpret is None else interpret,
+        )
+        return (
+            q_out.reshape(rows, q.shape[1], d),
+            kvflat.reshape(kv_cache.shape),
+        )
+
+    k_q = jnp.clip(jnp.round(k * k_inv), -127, 127).astype(jnp.int8)
+    v_q = jnp.clip(jnp.round(v.astype(jnp.float32) * v_inv), -127, 127).astype(
+        jnp.int8
+    )
+    kvflat = kv_cache.reshape(h, nb * bs2, d)
+    kvflat = kvflat.at[:, jnp.where(bad, oob, slot_k), :].set(
+        k_q.transpose(1, 0, 2), mode="drop"
+    )
+    kvflat = kvflat.at[:, jnp.where(bad, oob, slot_k + bs), :].set(
+        v_q.transpose(1, 0, 2), mode="drop"
+    )
+    q_out = jnp.where(m.valid[:, None, None], q, 0.0).astype(jnp.bfloat16)
+    return q_out, kvflat.reshape(kv_cache.shape)
+
+
 def rope_norm_store_kv_fp8(
     key_cache: jax.Array,
     value_cache: jax.Array,
@@ -408,4 +518,5 @@ __all__ = [
     "make_cos_sin_cache",
     "rope_norm_store_kv",
     "rope_norm_store_kv_fp8",
+    "rope_norm_store_kv_int8",
 ]

@@ -49,6 +49,7 @@ def _rope_store_kernel(
     cs_ref,  # [RT, d] f32 VMEM block (gathered cos|sin rows)
     qw_ref,  # [1, d] f32
     kw_ref,  # [1, d] f32
+    sc_ref,  # [1, 128] f32: [0,0]=1/k_scale, [0,1]=1/v_scale (int8 quant)
     *refs,  # cache input ref(s), q_out, cache output ref(s), scratch, sem
     RT: int,
     hq: int,
@@ -95,12 +96,17 @@ def _rope_store_kernel(
         k = norm(k, kw_ref)
 
     cache_dtype = k_scr.dtype
+    vf = v.astype(jnp.float32)
+    if cache_dtype == jnp.int8:
+        # symmetric per-tensor int8: y = clip(round(x / s), ±127)
+        k = jnp.clip(jnp.round(k * sc_ref[0, 0]), -127, 127)
+        vf = jnp.clip(jnp.round(vf * sc_ref[0, 1]), -127, 127)
     if head_major:
         k_scr[...] = k.transpose(1, 0, 2).astype(cache_dtype)
-        v_scr[...] = v.transpose(1, 0, 2).astype(cache_dtype)
+        v_scr[...] = vf.transpose(1, 0, 2).astype(cache_dtype)
     else:
         k_scr[...] = k.reshape(RT, hkv * d).astype(cache_dtype)
-        v_scr[...] = v.reshape(RT, hkv * dv).astype(cache_dtype)
+        v_scr[...] = vf.reshape(RT, hkv * dv).astype(cache_dtype)
 
     base = i * RT
     copies = []
@@ -168,6 +174,8 @@ def rope_store_rows(
     dv: int,
     qk_norm_policy: int,
     head_major: bool,
+    k_scale_inv: jax.Array | None = None,  # [] f32, required for int8 caches
+    v_scale_inv: jax.Array | None = None,
     interpret: bool = False,
 ):
     """Run the fused kernel. caches are flat views:
@@ -187,6 +195,13 @@ def rope_store_rows(
     qw = ones if q_norm_weight is None else q_norm_weight.reshape(1, d).astype(jnp.float32)
     kw = ones if k_norm_weight is None else k_norm_weight.reshape(1, d).astype(jnp.float32)
     cache_dtype = caches[0].dtype
+    if cache_dtype == jnp.int8:
+        assert k_scale_inv is not None and v_scale_inv is not None
+        sc = jnp.zeros((1, 128), jnp.float32)
+        sc = sc.at[0, 0].set(k_scale_inv.reshape(()).astype(jnp.float32))
+        sc = sc.at[0, 1].set(v_scale_inv.reshape(()).astype(jnp.float32))
+    else:
+        sc = jnp.zeros((1, 128), jnp.float32)
 
     if head_major:
         scr = [
@@ -208,6 +223,7 @@ def rope_store_rows(
             pl.BlockSpec((rt, d), lambda i, *_: (i, 0)),
             pl.BlockSpec((1, d), lambda i, *_: (0, 0)),
             pl.BlockSpec((1, d), lambda i, *_: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i, *_: (0, 0)),
         ]
         + [pl.BlockSpec(memory_space=pl.ANY)] * len(caches),
         out_specs=[pl.BlockSpec((rt, hq * d), lambda i, *_: (i, 0))]
@@ -225,9 +241,9 @@ def rope_store_rows(
         head_major=head_major,
         fused=fused,
     )
-    # operand order: slot_k, slot_v, qkv, cs, qw, kw, caches... -> cache
-    # operand index base is 6 (aliasing indices count scalar-prefetch args).
-    aliases = {6 + j: 1 + j for j in range(len(caches))}
+    # operand order: slot_k, slot_v, qkv, cs, qw, kw, sc, caches... -> cache
+    # operand index base is 7 (aliasing indices count scalar-prefetch args).
+    aliases = {7 + j: 1 + j for j in range(len(caches))}
     out_shapes = [jax.ShapeDtypeStruct((rows, hq * d), jnp.bfloat16)] + [
         jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches
     ]
@@ -240,7 +256,7 @@ def rope_store_rows(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(slot_k, slot_v, qkv, cs_rows, qw, kw, *caches)
+    )(slot_k, slot_v, qkv, cs_rows, qw, kw, sc, *caches)
     return outs[0], *outs[1:]
 
 

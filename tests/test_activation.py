@@ -32,6 +32,20 @@ def _np_act_mul_quant(gate_up, scale, use_bf16_mul=True):
     return np.clip(out, -448, 448).astype(jnp.float8_e4m3fn).astype(np.float32)
 
 
+def _f8_ordinal(x) -> np.ndarray:
+    """Map e4m3 values to signed integer ordinals (adjacent codes differ
+    by 1), so quantizer outputs can be compared by code distance."""
+    b = np.asarray(x, np.float32).astype(jnp.float8_e4m3fn).view(np.uint8)
+    return np.where(b & 0x80, -(b & 0x7F).astype(np.int32), (b & 0x7F).astype(np.int32))
+
+
+def _assert_f8_codes_close(got, want, name, max_steps=1, max_frac=0.05):
+    d = np.abs(_f8_ordinal(got) - _f8_ordinal(want))
+    assert d.max() <= max_steps, f"{name}: fp8 code diff up to {d.max()} steps"
+    frac = float((d != 0).mean())
+    assert frac <= max_frac, f"{name}: {frac:.1%} of codes differ"
+
+
 @pytest.mark.parametrize("n", [1, 7, 128, 300])
 @pytest.mark.parametrize("c", [256, 1536])
 @pytest.mark.parametrize("use_bf16_mul", [True, False])
@@ -45,16 +59,13 @@ def test_act_mul_and_quant(n, c, use_bf16_mul):
     want = _np_act_mul_quant(gate_up, 1.7, use_bf16_mul)
 
     assert out.dtype == jnp.float8_e4m3fn
-    assert_allclose(
-        np.asarray(out, np.float32), want, atol=0.25, rtol=0.06, name="pallas"
-    )
-    assert_allclose(
-        np.asarray(ref, np.float32),
-        np.asarray(out, np.float32),
-        atol=0.25,
-        rtol=0.06,
-        name="ref_vs_pallas",
-    )
+    # Compare in fp8 CODE space, allowing one-code steps: a 1-ulp
+    # cross-impl difference in silu (XLA host vs numpy exp) can flip the
+    # bf16-rounded product across an fp8 boundary, which a value-space
+    # atol can't express without going slack everywhere.
+    _assert_f8_codes_close(np.asarray(out), want, name="pallas")
+    _assert_f8_codes_close(np.asarray(ref), np.asarray(out, np.float32),
+                           name="ref_vs_pallas")
 
 
 def test_masked_act_mul_and_quant():

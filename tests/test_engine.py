@@ -115,3 +115,23 @@ def test_ngram_draft():
     assert ngram_draft([1, 2, 3, 4, 5, 2, 3], k=2) == [4, 5]
     assert ngram_draft([1, 2], k=2) == []  # too short
     assert ngram_draft([1, 2, 3, 4], k=2) == []  # no earlier match
+
+
+def test_engine_int8_kv_serving():
+    """Engine drives the quantized serving mode unchanged: fused int8 K|V
+    slab caches, Pallas store on decode, FUSED int8 decode attention.
+    Batch-vs-solo determinism must hold exactly as in bf16."""
+    cfg = tiny_config(int8_kv=True, kv_scale=0.02)
+    weights = init_weights(jax.random.PRNGKey(0), cfg)
+    prompts = [[1, 2, 3, 4, 5], [7, 8], [9, 10, 11]]
+
+    eng = Engine(cfg, weights, num_blocks=64, block_size=16, max_batch=4)
+    batch_out = eng.run(prompts, max_new=4)
+
+    e1 = Engine(cfg, weights, num_blocks=64, block_size=16, max_batch=1)
+    solo_out = [e1.run([p], max_new=4)[0] for p in prompts]
+
+    assert batch_out == solo_out
+    for out in batch_out:
+        assert len(out) == 4
+        assert all(0 <= t < cfg.vocab for t in out)

@@ -158,3 +158,53 @@ def test_sharded_step_tp_dp(moe):
         )
     finally:
         set_interpret_override(None)
+
+
+def test_dense_model_forward_int8_kv():
+    """int8_kv serving mode: fused int8 K|V slab caches end-to-end.
+
+    8 requests so the decode step's row count tiles and rides the fused
+    Pallas store kernel (rows=8 -> pick_row_tile hits); logits must stay
+    close (cosine) to the bf16-cache model with identical weights.
+    """
+    cfg_i8 = tiny_config(int8_kv=True, kv_scale=0.02)
+    cfg_bf = tiny_config()
+    key = jax.random.PRNGKey(2)
+    weights = init_weights(key, cfg_bf)
+    bs = 16
+
+    q_lens = [7, 5, 3, 8, 2, 6, 4, 1]
+    b = len(q_lens)
+    rows = sum(q_lens)
+    token_ids = jnp.asarray(np.arange(rows) % cfg_bf.vocab, jnp.int32)
+    seq_lens = jnp.asarray(q_lens, jnp.int32)
+    q_index = jnp.asarray(np.concatenate([[0], np.cumsum(q_lens)]), jnp.int32)
+    block_ids = jnp.asarray(
+        np.arange(b * 2, dtype=np.int32).reshape(b, 2)
+    )
+
+    outs = {}
+    for name, cfg in (("i8", cfg_i8), ("bf", cfg_bf)):
+        caches = init_cache(cfg, num_blocks=b * 2 + 1, block_size=bs)
+        logits_p, caches = forward_step(
+            weights, caches, cfg, token_ids, seq_lens, q_index, block_ids,
+            is_prefill=True, max_seqlens_q=8,
+        )
+        new_tok = jnp.asarray(np.arange(b) % cfg.vocab, jnp.int32)
+        logits_d, caches = forward_step(
+            weights, caches, cfg, new_tok, seq_lens + 1,
+            jnp.arange(b + 1, dtype=jnp.int32), block_ids,
+            is_prefill=False, max_seqlens_q=1,
+        )
+        outs[name] = (np.asarray(logits_p, np.float32), np.asarray(logits_d, np.float32))
+        if name == "i8":
+            assert set(caches[0]) == {"kv"}
+            assert caches[0]["kv"].dtype == jnp.int8
+            assert caches[0]["kv"].shape == (cfg.kv_heads, b * 2 + 1, 2 * bs, cfg.head_dim)
+
+    for phase, (a, ref) in enumerate(zip(outs["i8"], outs["bf"])):
+        assert np.isfinite(a).all()
+        num = (a * ref).sum(-1)
+        den = np.linalg.norm(a, axis=-1) * np.linalg.norm(ref, axis=-1)
+        cos = num / np.maximum(den, 1e-9)
+        assert cos.min() > 0.98, f"phase {phase}: min cosine {cos.min()}"

@@ -295,3 +295,127 @@ def test_rope_store_pallas_matches_xla(policy, layout, req_lens, q_lens):
             rtol=2e-2,
             name=f"pallas_vs_xla_{name}",
         )
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize(
+    "req_lens,q_lens",
+    [
+        ([34, 8, 17, 21, 40, 12, 9, 30], [1] * 8),  # decode, rows=8
+        ([33, 7, 16, 8], [33, 7, 16, 8]),  # prefill, rows=64
+    ],
+)
+def test_rope_norm_store_kv_int8_fused(impl, req_lens, q_lens):
+    """int8 fused-layout store: numpy-golden codes + both impls agree.
+
+    Cache is the serving FUSED page layout [Hkv, nb, 2*bs, D] (rows [0:bs]
+    = K, [bs:2bs] = V of the page); codes follow scaled_int8_quant
+    (clip(round(x/s), +-127)).
+    """
+    from hpc_ops_tpu.ops.rope import rope_norm_store_kv_int8
+
+    c = make_case(23, req_lens, q_lens)
+    hq, hkv, dqk, dv, blk = c["hq"], c["hkv"], c["dqk"], c["dv"], c["blk"]
+    rng = np.random.RandomState(5)
+    kw_ = jnp.asarray(rng.rand(dqk).astype(np.float32) + 0.5)
+    qw_ = jnp.asarray(rng.rand(dqk).astype(np.float32) + 0.5)
+    k_scale = jnp.array([0.011], jnp.float32)
+    v_scale = jnp.array([0.017], jnp.float32)
+    kv_cache = jnp.asarray(
+        rng.randint(-5, 5, (hkv, c["total_blocks"], 2 * blk, dqk)), jnp.int8
+    )
+
+    q_out, kv_new = rope_norm_store_kv_int8(
+        kv_cache,
+        c["qkv"],
+        c["cos_sin"],
+        c["num_seqlen"],
+        c["q_index"],
+        c["kv_idx"],
+        len(req_lens) == sum(q_lens),
+        k_scale,
+        v_scale,
+        q_norm_weight=qw_,
+        k_norm_weight=kw_,
+        qk_norm_policy=1,
+        impl=impl,
+    )
+
+    # numpy expectation
+    q = np_rope_neox(c["np_q"].copy(), c["np_cs"])
+    k = np_rope_neox(c["np_k"].copy(), c["np_cs"])
+    q = np_rms(q, np.asarray(qw_))
+    k = np_rms(k, np.asarray(kw_))
+    k_codes = np.clip(np.round(k / 0.011), -127, 127)
+    v_codes = np.clip(np.round(c["np_v"] / 0.017), -127, 127)
+
+    assert q_out.dtype == jnp.bfloat16 and kv_new.dtype == jnp.int8
+    assert_allclose(np.asarray(q_out, np.float32), q, atol=3e-2, rtol=3e-2, name="q")
+
+    kv_new = np.asarray(kv_new, np.int32)
+    tok = 0
+    for ri, (L, ql) in enumerate(zip(c["req_lens"], c["q_lens"])):
+        for pos in range(L - ql, L):
+            cb = c["kv_idx_np"][ri, pos // blk]
+            pb = pos % blk
+            # bf16 rounding before quant can move a code by 1
+            assert np.max(np.abs(kv_new[:, cb, pb] - k_codes[tok])) <= 1, (
+                f"k codes r{ri} p{pos}"
+            )
+            assert np.max(np.abs(kv_new[:, cb, blk + pb] - v_codes[tok])) <= 1, (
+                f"v codes r{ri} p{pos}"
+            )
+            tok += 1
+    # untouched pages pass through bit-exactly
+    touched = set()
+    for ri, (L, ql) in enumerate(zip(c["req_lens"], c["q_lens"])):
+        for pos in range(L - ql, L):
+            touched.add(int(c["kv_idx_np"][ri, pos // blk]))
+    for pg in range(c["total_blocks"]):
+        if pg not in touched:
+            assert np.array_equal(kv_new[:, pg], np.asarray(kv_cache, np.int32)[:, pg])
+
+
+def test_rope_int8_store_feeds_fused_decode():
+    """e2e: int8 fused store -> attention_decode(cache_layout="FUSED")
+    matches a bf16-cache decode within int8 quantization tolerance."""
+    from hpc_ops_tpu.ops.attention.decode import attention_decode
+    from hpc_ops_tpu.ops.rope import rope_norm_store_kv_int8
+
+    req_lens = [34, 8, 17, 21, 40, 12, 9, 30]
+    q_lens = [1] * 8
+    c = make_case(29, req_lens, q_lens, hq=8, hkv=2, blk=16)
+    hq, hkv, dqk, dv, blk = c["hq"], c["hkv"], c["dqk"], c["dv"], c["blk"]
+    rng = np.random.RandomState(11)
+    k_scale = jnp.array([0.02], jnp.float32)
+    v_scale = jnp.array([0.02], jnp.float32)
+    kv_cache = jnp.asarray(
+        np.clip(rng.randn(hkv, c["total_blocks"], 2 * blk, dqk) * 25, -127, 127),
+        jnp.int8,
+    )
+
+    q_out, kv_new = rope_norm_store_kv_int8(
+        kv_cache, c["qkv"], c["cos_sin"], c["num_seqlen"], c["q_index"],
+        c["kv_idx"], False, k_scale, v_scale, impl="pallas",
+    )
+    out_i8 = attention_decode(
+        q_out, kv_new, None, c["kv_idx"], c["num_seqlen"],
+        new_kv_included=True, cache_layout="FUSED",
+        kscale=k_scale, vscale=v_scale,
+    )
+
+    # bf16 oracle: dequantized HND caches + the bf16 HND decode path
+    kv_np = np.asarray(kv_new, np.float32)
+    k_hnd = jnp.asarray(kv_np[:, :, :blk] * 0.02, jnp.bfloat16)
+    v_hnd = jnp.asarray(kv_np[:, :, blk:] * 0.02, jnp.bfloat16)
+    out_ref = attention_decode(
+        q_out, k_hnd, v_hnd, c["kv_idx"], c["num_seqlen"],
+        new_kv_included=True, cache_layout="HND",
+    )
+    assert_allclose(
+        np.asarray(out_i8, np.float32),
+        np.asarray(out_ref, np.float32),
+        atol=5e-2,
+        rtol=5e-2,
+        name="fused_int8_decode",
+    )
