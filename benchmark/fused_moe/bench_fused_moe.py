@@ -93,7 +93,13 @@ def main():
                 wdn_s = jnp.ones(
                     (e_local, h // 128, -(-i_local // 128)), jnp.float32
                 )
-                fn = lambda x, xs, w_gu, w_dn, ti, ts: fuse_moe_blockwise_fp8(  # noqa: E731
+                if args.dtype == "int8":
+                    from hpc_ops_tpu.ops.moe import fuse_moe_blockwise_int8
+
+                    moe_bw = fuse_moe_blockwise_int8
+                else:
+                    moe_bw = fuse_moe_blockwise_fp8
+                fn = lambda x, xs, w_gu, w_dn, ti, ts: moe_bw(  # noqa: E731
                     x, xs, w_gu, wgu_s, w_dn, wdn_s, ti, ts,
                     rank_ep=0, num_expert_total=e_total,
                 )
@@ -141,7 +147,11 @@ def main():
                 ep=args.ep,
                 tp=args.tp,
                 experts_local=e_local,
-                scheme="blockwise" if args.blockwise else f"pertensor_{args.dtype}",
+                scheme=(
+                    f"blockwise_{args.dtype}"
+                    if args.blockwise
+                    else f"pertensor_{args.dtype}"
+                ),
                 latency_us=round(sec * 1e6, 1),
                 tflops=round(flops / sec / 1e12, 2),
                 weight_gbps=round(w_bytes / sec / 1e9, 1),

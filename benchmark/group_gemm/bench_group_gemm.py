@@ -36,7 +36,9 @@ SHAPES = [
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--schemes", nargs="*", default=["pertensor", "int8", "blockwise"]
+        "--schemes",
+        nargs="*",
+        default=["pertensor", "int8", "blockwise", "blockwise_int8"],
     )
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--iters", type=int, default=10)
@@ -48,6 +50,7 @@ def main():
 
     from hpc_ops_tpu.ops.group_gemm import (
         group_gemm_blockwise_fp8,
+        group_gemm_blockwise_int8,
         group_gemm_pertensor_fp8,
         group_gemm_pertensor_int8,
     )
@@ -84,6 +87,13 @@ def main():
                 xx, ww = x_i8, w_i8
                 fn = lambda x, w, sl, cu: group_gemm_pertensor_int8(  # noqa: E731
                     x, w, sl, cu, ys
+                )
+            elif scheme == "blockwise_int8":
+                xs = jnp.ones((total, k // 128), jnp.float32)
+                ws = jnp.ones((g_num, n // 128, -(-k // 128)), jnp.float32)
+                xx, ww = x_i8, w_i8
+                fn = lambda x, w, sl, cu: group_gemm_blockwise_int8(  # noqa: E731
+                    x, w, sl, cu, xs, ws, x_scale_layout="natural"
                 )
             else:
                 xs = jnp.ones((total, k // 128), jnp.float32)

@@ -2,7 +2,9 @@ from hpc_ops_tpu.ops.attention.decode import (
     attention_decode,
     attention_decode_bf16,
     attention_decode_fp8,
+    unpack_tailrow_kscale,
 )
+from hpc_ops_tpu.ops.attention.paging import pack_kv_fused, unpack_kv_fused
 from hpc_ops_tpu.ops.attention.prefill import (
     attention_prefill_bf16,
     attention_with_kvcache_blocksparse_prefill_fp8,
@@ -29,6 +31,9 @@ __all__ = [
     "attention_decode",
     "attention_decode_bf16",
     "attention_decode_fp8",
+    "unpack_tailrow_kscale",
+    "pack_kv_fused",
+    "unpack_kv_fused",
     "attention_prefill_bf16",
     "attention_with_kvcache_prefill",
     "attention_with_kvcache_prefill_bf16",

@@ -1601,4 +1601,9 @@ def attention_decode_fp8(
     )
 
 
-__all__ = ["attention_decode", "attention_decode_bf16", "attention_decode_fp8"]
+__all__ = [
+    "attention_decode",
+    "attention_decode_bf16",
+    "attention_decode_fp8",
+    "unpack_tailrow_kscale",
+]

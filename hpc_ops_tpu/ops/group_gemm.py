@@ -192,8 +192,26 @@ def _gg_pertensor_kernel(
 
 def _gg_blockwise_kernel(
     grp_ref, row_ref, nvt_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref, acc_ref,
-    *, x_bits: bool = False, w_bits: bool = False,
+    *, gk: int, scheme: str, x_bits: bool = False, w_bits: bool = False,
 ):
+    """Blockwise-scale tile, two schemes:
+
+    "fp8": the per-(row, 128-group) x-scale and per-(128x128-block)
+    w-scale factor exactly — each product's scale is
+    sx[m, g(k)] * sw[g(k), n] — so both operands are pre-scaled
+    elementwise on the VPU and ONE wide dot spans ``gk`` scale groups
+    (tk = 128*gk). This replaces the round-1 design (tk pinned to 128 +
+    one-hot masked scale select per step), whose k=128 matmuls starved
+    the MXU. bf16 rounding of the pre-scaled operands adds ~2^-9 rel
+    error — far inside e4m3's own ~6% quantization error.
+
+    "int8": per-group s8 x s8 -> s32 dots on the MXU's native int8 path
+    (no decode ladder, no operand pre-scale — int8 codes go straight to
+    the MXU), each group's s32 partial scaled into the f32 accumulator
+    (DeepGEMM's promotion structure, TPU-native). k=128 per dot fills
+    the 128x128 systolic array, and ``gk`` dots per grid step amortize
+    the step overhead that made the round-1 tk=128 grid slow.
+    """
     t = pl.program_id(0)
     jk = pl.program_id(2)
 
@@ -203,25 +221,46 @@ def _gg_blockwise_kernel(
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        x = _e4m3_bf16(x_ref[...]) if x_bits else x_ref[...].astype(jnp.bfloat16)
-        w = _e4m3_bf16(w_ref[0]) if w_bits else w_ref[0].astype(jnp.bfloat16)
-        part = jax.lax.dot_general(
-            x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        # scale blocks carry all k-groups; select this k-block's column/row
-        # via one-hot masked reduction (dynamic lane/sublane offsets aren't
-        # allowed)
-        sx_all = sx_ref[...]  # [tm, kb]
-        lane = jax.lax.broadcasted_iota(jnp.int32, sx_all.shape, 1)
-        sx = jnp.sum(
-            jnp.where(lane == jk, sx_all, 0.0), axis=1, keepdims=True
-        )  # [tm,1]
-        sw_all = sw_ref[0]  # [kb, tn]
-        sub = jax.lax.broadcasted_iota(jnp.int32, sw_all.shape, 0)
-        sw = jnp.sum(
-            jnp.where(sub == jk, sw_all, 0.0), axis=0, keepdims=True
-        )  # [1,tn]
-        acc_ref[...] += part * sx * sw
+        tm, tk = x_ref.shape
+        tn = w_ref.shape[1]
+        if scheme == "int8":
+            x8 = x_ref[...]
+            w8 = w_ref[0]
+            sx = sx_ref[...]  # [tm, gk] f32
+            sw = sw_ref[0]  # [tn, gk] f32
+            acc = acc_ref[...]
+            for gi in range(gk):
+                p = jax.lax.dot_general(
+                    x8[:, gi * 128 : (gi + 1) * 128],
+                    w8[:, gi * 128 : (gi + 1) * 128],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                acc += (
+                    p.astype(jnp.float32)
+                    * sx[:, gi : gi + 1]
+                    * sw[:, gi].reshape(1, tn)
+                )
+            acc_ref[...] = acc
+        else:
+            x = (
+                e4m3_bits_to_f32_fast(x_ref[...])
+                if x_bits
+                else x_ref[...].astype(jnp.float32)
+            )
+            x = (x.reshape(tm, gk, 128) * sx_ref[...][:, :, None]).reshape(tm, tk)
+            w = (
+                e4m3_bits_to_f32_fast(w_ref[0])
+                if w_bits
+                else w_ref[0].astype(jnp.float32)
+            )
+            w = (w.reshape(tn, gk, 128) * sw_ref[0][:, :, None]).reshape(tn, tk)
+            acc_ref[...] += jax.lax.dot_general(
+                x.astype(jnp.bfloat16),
+                w.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
         @pl.when(jk == pl.num_programs(2) - 1)
         def _():
@@ -288,20 +327,33 @@ def _gg_pertensor_pallas(
     return out[:, :n]
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret", "scheme"))
 def _gg_blockwise_pallas(
-    x_al, weight, sx_al, sw_exp, grp, row_blk, tm, tn, interpret=False,
-    num_valid_tiles=None,
+    x_al, weight, sx_al, sw_compact, grp, row_blk, tm, tn, interpret=False,
+    num_valid_tiles=None, scheme="fp8",
 ):
-    x_al, xb = _as_i8_bits(x_al)
-    weight, wb = _as_i8_bits(weight)
-    tk = 128  # scale-group width
+    """sx_al: [total_pad, kb] f32 per-(row, k-group) scales;
+    sw_compact: [G, N//128, kb] f32 per-(128x128 block) weight scales.
+    scheme "fp8": operands are fp8 (or fp8 bits in int8); "int8":
+    operands are int8 codes for the native s8 MXU path."""
+    if scheme == "int8":
+        assert x_al.dtype == jnp.int8 and weight.dtype == jnp.int8
+        xb = wb = False
+    else:
+        x_al, xb = _as_i8_bits(x_al)
+        weight, wb = _as_i8_bits(weight)
     total_pad_t, k = x_al.shape
     g, n, _ = weight.shape
+    kb = k // 128
+    # widest k-tile whose scale groups divide evenly (tk = 128*gk)
+    gk = next(d for d in (8, 4, 2, 1) if kb % d == 0)
+    tk = 128 * gk
     np_ = round_up(n, tn)
+    # [G, N//128, kb] -> per-output-column rows [G, N, kb]
+    sw_nk = jnp.repeat(sw_compact.astype(jnp.float32), 128, axis=1)
     if np_ != n:
         weight = jnp.pad(weight, ((0, 0), (0, np_ - n), (0, 0)))
-        sw_exp = jnp.pad(sw_exp, ((0, 0), (0, 0), (0, np_ - n)))
+        sw_nk = jnp.pad(sw_nk, ((0, 0), (0, np_ - n), (0, 0)))
     num_tiles = grp.shape[0]
     if num_valid_tiles is None:
         num_valid_tiles = jnp.full((1,), num_tiles, jnp.int32)
@@ -312,7 +364,9 @@ def _gg_blockwise_pallas(
         return jnp.where(t < nvt_r[0], val, alt)
 
     out = pl.pallas_call(
-        functools.partial(_gg_blockwise_kernel, x_bits=xb, w_bits=wb),
+        functools.partial(
+            _gg_blockwise_kernel, gk=gk, scheme=scheme, x_bits=xb, w_bits=wb
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(num_tiles, np_ // tn, k // tk),
@@ -332,13 +386,17 @@ def _gg_blockwise_pallas(
                     ),
                 ),
                 pl.BlockSpec(
-                    (tm, k // tk),
-                    lambda t, jn, jk, grp_r, row_r, nvt_r: (row_r[t], 0),
+                    (tm, gk),
+                    lambda t, jn, jk, grp_r, row_r, nvt_r: (
+                        row_r[t], pin(jk, t, nvt_r)
+                    ),
                 ),
                 pl.BlockSpec(
-                    (1, k // tk, tn),
+                    (1, tn, gk),
                     lambda t, jn, jk, grp_r, row_r, nvt_r: (
-                        pin(grp_r[t], t, nvt_r), 0, pin(jn, t, nvt_r)
+                        pin(grp_r[t], t, nvt_r),
+                        pin(jn, t, nvt_r),
+                        pin(jk, t, nvt_r),
                     ),
                 ),
             ],
@@ -353,7 +411,7 @@ def _gg_blockwise_pallas(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(grp, row_blk, num_valid_tiles, x_al, weight, sx_al, sw_exp)
+    )(grp, row_blk, num_valid_tiles, x_al, weight, sx_al, sw_nk)
     return out[:, :n]
 
 
@@ -684,7 +742,7 @@ def group_gemm_pertensor_int8(
     )
 
 
-def group_gemm_blockwise_fp8(
+def _group_gemm_blockwise(
     x,
     weight,
     seqlens,
@@ -696,16 +754,8 @@ def group_gemm_blockwise_fp8(
     x_scale_layout: str = "transposed",
     tn: int = 256,
     impl: str = "auto",
+    scheme: str = "fp8",
 ):
-    """Blockwise (128-group) FP8 grouped GEMM.
-
-    x: [total_seq, K] fp8; weight: [G, N, K] fp8;
-    x_scale: reference layout [K//128, total_seq_pad] f32
-    (``x_scale_layout="transposed"``, see reformat_x_scale) or natural
-    [total_seq, K//128] (``"natural"``);
-    w_scale: [G, N//128, ceil(K/128) padded to 4] f32.
-    Returns [total_seq, N] bf16.
-    """
     total, k = x.shape
     g, n, _ = weight.shape
     kb = k // 128
@@ -740,14 +790,64 @@ def group_gemm_blockwise_fp8(
         return group_gemm_blockwise_ref(
             x, weight, seqlens, cu_seqlens, x_scale_nat, w_scale
         )
-    # w_scale [G, N//128, Kb_pad] -> expanded [G, Kb, N]
-    sw = jnp.transpose(w_scale[:, :, :kb], (0, 2, 1))  # [G, Kb, N//128]
-    sw_exp = jnp.repeat(sw, 128, axis=2)  # [G, Kb, N]
     out_al = _gg_blockwise_pallas(
-        x_al, weight, sx_al, sw_exp, grp, row_blk, tm, tn,
+        x_al, weight, sx_al, w_scale[:, :, :kb], grp, row_blk, tm, tn,
         interpret=interpret_default(), num_valid_tiles=total_tiles,
+        scheme=scheme,
     )
     return out_al[new_row]
+
+
+def group_gemm_blockwise_fp8(
+    x,
+    weight,
+    seqlens,
+    cu_seqlens,
+    x_scale,
+    w_scale,
+    num_seq_per_group_avg: int | None = None,
+    **kw,
+):
+    """Blockwise (128-group) FP8 grouped GEMM.
+
+    x: [total_seq, K] fp8; weight: [G, N, K] fp8;
+    x_scale: reference layout [K//128, total_seq_pad] f32
+    (``x_scale_layout="transposed"``, see reformat_x_scale) or natural
+    [total_seq, K//128] (``"natural"``);
+    w_scale: [G, N//128, ceil(K/128) padded to 4] f32.
+    Returns [total_seq, N] bf16.
+    """
+    return _group_gemm_blockwise(
+        x, weight, seqlens, cu_seqlens, x_scale, w_scale,
+        num_seq_per_group_avg, scheme="fp8", **kw,
+    )
+
+
+def group_gemm_blockwise_int8(
+    x,
+    weight,
+    seqlens,
+    cu_seqlens,
+    x_scale,
+    w_scale,
+    num_seq_per_group_avg: int | None = None,
+    **kw,
+):
+    """Blockwise (128-group) INT8 grouped GEMM (TPU-native extension).
+
+    Same contract and scale layouts as :func:`group_gemm_blockwise_fp8`
+    but with int8 codes (quantize with
+    :func:`hpc_ops_tpu.ops.quant.blockwise_int8_quant`): per-group
+    s8 x s8 -> s32 MXU dots with f32 scale-accumulate — the fine-grained
+    accuracy of the reference's blockwise fp8 scheme
+    (hpc/group_gemm.py blockwise entry) at the MXU's native 8-bit rate,
+    with no fp8 decode ladder (v5e has no hardware fp8).
+    """
+    assert x.dtype == jnp.int8 and weight.dtype == jnp.int8
+    return _group_gemm_blockwise(
+        x, weight, seqlens, cu_seqlens, x_scale, w_scale,
+        num_seq_per_group_avg, scheme="int8", **kw,
+    )
 
 
 def reformat_x_scale(x_scale, seqlens, cu_seqlens, num_seq_per_group_avg: int = 32):
@@ -781,6 +881,7 @@ __all__ = [
     "group_gemm_pertensor_int8",
     "group_gemm_pertensor_fp8",
     "group_gemm_blockwise_fp8",
+    "group_gemm_blockwise_int8",
     "group_gemm_fp8_scatter",
     "group_gemm_ref",
     "group_gemm_blockwise_ref",

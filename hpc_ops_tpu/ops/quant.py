@@ -86,6 +86,24 @@ def blockwise_fp8_dequant(
     return (yf * (scales[..., None] + 1e-8)).reshape(*lead, c).astype(dtype)
 
 
+def blockwise_int8_quant(x: jax.Array, group: int = BLOCKWISE_GROUP):
+    """Per-group (last-dim, width ``group``) symmetric INT8 quantization.
+
+    TPU-native counterpart of :func:`blockwise_fp8_quant` (beyond the
+    reference, whose blockwise scheme targets fp8-native GPUs): int8 codes
+    feed the MXU's native s8 x s8 -> s32 path with no decode ladder.
+    scale = max(|x_group|) / 127;  y = clip(round(x / scale), +-127).
+
+    Returns (y_int8 [..., C], scales [..., C // group] float32).
+    """
+    *lead, c = x.shape
+    assert c % group == 0, f"last dim {c} not a multiple of {group}"
+    xf = x.astype(jnp.float32).reshape(*lead, c // group, group)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    y = jnp.clip(jnp.round(xf / (scale[..., None] + 1e-30)), -127, 127)
+    return y.reshape(*lead, c).astype(jnp.int8), scale
+
+
 def per_token_per_head_fp8_quant(x: jax.Array, upper_max: float = FP8_MAX):
     """Quantize [..., tokens, heads, dim] per (token, head): scale over last dim.
 
@@ -127,6 +145,7 @@ __all__ = [
     "fp8_dequant",
     "blockwise_fp8_quant",
     "blockwise_fp8_dequant",
+    "blockwise_int8_quant",
     "per_token_per_head_fp8_quant",
     "FP8_DTYPE",
     "FP8_MAX",

@@ -19,6 +19,17 @@ if not os.environ.get("HPC_TEST_TPU"):
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if not os.environ.get("HPC_TEST_TPU"):
+    # A remote-TPU PJRT plugin registered at interpreter start (via
+    # sitecustomize) forces jax.config jax_platforms to itself, overriding
+    # the JAX_PLATFORMS env var set above; when its tunnel is down, its
+    # backend init then blocks every jnp op forever. Tests are CPU-only —
+    # force the config back at the same (config) level so the remote
+    # factory is never initialized and a dead tunnel can't hang the suite.
+    import jax  # noqa: E402
+
+    jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: interpret-mode Pallas programs are slow to
 # compile; cache them across test runs (repo-local, gitignored).
 import jax  # noqa: E402

@@ -19,6 +19,10 @@ _SCRIPT = textwrap.dedent(
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count={ws}"
     os.environ.pop("JAX_PLATFORMS", None)
     import numpy as np, jax, jax.numpy as jnp
+    # a sitecustomize-registered remote-TPU plugin forces jax_platforms to
+    # itself; force CPU back so a dead tunnel can't hang the subprocess
+    # (same rationale as conftest.py)
+    jax.config.update("jax_platforms", "cpu")
     from jax.sharding import Mesh, PartitionSpec as P
     import sys; sys.path.insert(0, {repo!r})
     from hpc_ops_tpu.parallel.collective_kernels import (

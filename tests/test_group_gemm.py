@@ -119,6 +119,58 @@ def test_group_gemm_blockwise_fp8(seqlens):
     )
 
 
+@pytest.mark.parametrize("seqlens", [[9, 40], [70]])
+def test_group_gemm_blockwise_int8(seqlens):
+    """INT8 blockwise grouped GEMM (native s8 MXU per-group dots) vs the
+    dequantized ground truth."""
+    from hpc_ops_tpu.ops.group_gemm import group_gemm_blockwise_int8
+    from hpc_ops_tpu.ops.quant import blockwise_int8_quant
+
+    rng = np.random.RandomState(13)
+    g, n, k = len(seqlens), 256, 512
+    kb = k // 128
+    x, w, cu = make_groups(rng, seqlens, k, n, g)
+    total = sum(seqlens)
+
+    x8, sx = blockwise_int8_quant(jnp.asarray(x))  # [total,k], [total,kb]
+    # w per (128x128 block): quantize each n-block row-group over its k-group
+    wg = w.reshape(g, n // 128, 128, kb, 128)
+    sw = np.abs(wg).max(axis=(2, 4)) / 127.0 + 1e-8  # [g, n//128, kb]
+    w8 = jnp.asarray(
+        np.clip(np.round(wg / sw[:, :, None, :, None]), -127, 127).reshape(
+            g, n, k
+        ),
+        jnp.int8,
+    )
+    kb_pad = ((kb + 3) // 4) * 4
+    w_scale = np.zeros((g, n // 128, kb_pad), np.float32)
+    w_scale[:, :, :kb] = sw
+
+    out = group_gemm_blockwise_int8(
+        x8, w8, jnp.asarray(seqlens, jnp.int32), jnp.asarray(cu),
+        sx, jnp.asarray(w_scale),
+        num_seq_per_group_avg=32, x_scale_layout="natural",
+    )
+
+    xd = np.asarray(x8, np.float32).reshape(total, kb, 128) * np.asarray(
+        sx, np.float32
+    )[..., None]
+    wd = (
+        np.asarray(w8, np.float32).reshape(g, n // 128, 128, kb, 128)
+        * sw[:, :, None, :, None]
+    ).reshape(g, n, k)
+    want = np.zeros((total, n), np.float32)
+    for gi in range(g):
+        s, l = cu[gi], seqlens[gi]
+        want[s : s + l] = xd[s : s + l].reshape(l, k) @ wd[gi].T
+    # int8 codes dot exactly in s32; the error budget is the bf16 output
+    # cast (2^-8 rel) plus f32 scale-accum rounding
+    assert_allclose(
+        np.asarray(out, np.float32), want, atol=0.05, rtol=1e-2,
+        name="int8_blockwise",
+    )
+
+
 def test_group_gemm_fp8_scatter():
     """Scatter variant: in-kernel row gather vs materialized-gather oracle."""
     from hpc_ops_tpu.ops.group_gemm import _pick_tm, group_gemm_fp8_scatter
