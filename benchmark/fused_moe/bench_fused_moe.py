@@ -37,6 +37,119 @@ MODELS = {
 }
 
 
+def _stage_rows(rep, args, model, s, h, i_local, e_local, e_total, topk,
+                x, w_gu, w_dn, topk_ids, topk_scale, qdt):
+    """Time each pertensor-scatter pipeline stage in isolation.
+
+    The fused number alone can't say whether the pipeline is bound by the
+    grouped GEMMs (weight streaming), the activation quant (VPU), or the
+    routing/reduce glue — these rows attribute the wall time. Every
+    stage's fixed inputs ride in the chain carry (closure constants would
+    ship through the remote-compile tunnel).
+    """
+    from hpc_ops_tpu.ops.activation import act_mul_and_quant
+    from hpc_ops_tpu.ops.group_gemm import _gg_scatter_pallas
+    from hpc_ops_tpu.ops.moe import _pick_tm, _route_aligned
+    from hpc_ops_tpu.ops.moe import reduce as moe_reduce
+    from hpc_ops_tpu.utils.common import interpret_default
+
+    interp = interpret_default()
+
+    navg = max(s * topk // max(e_total, 1), 1)
+    tm = _pick_tm(navg)
+    gu_scale = jnp.full((e_local,), 1e-3, jnp.float32)
+    dn_scale = jnp.full((e_local,), 1e-3, jnp.float32)
+    am_scale = jnp.ones((1,), jnp.float32)
+    trials = max(args.iters // 2, 3)
+
+    # materialize the pipeline once for the per-stage inputs
+    row_idx, topk_pos, seqlens, cu, tiles, cu_tiles, grp = _route_aligned(
+        topk_ids, e_local, 0, tm
+    )
+    nvt = cu_tiles[-1]
+    tn1, tn2 = min(512, w_gu.shape[1]), min(512, w_dn.shape[1])
+    gate_up = _gg_scatter_pallas(
+        x, w_gu, gu_scale, row_idx, grp, tm, tn1, num_valid_tiles=nvt, interpret=interp
+    )
+    down_in = act_mul_and_quant(
+        gate_up, am_scale, True, out_dtype=qdt, num_valid=nvt * tm
+    )
+    ident = jnp.arange(row_idx.shape[0], dtype=jnp.int32)
+    down = _gg_scatter_pallas(
+        down_in, w_dn, dn_scale, ident, grp, tm, tn2, num_valid_tiles=nvt, interpret=interp
+    )
+
+    def perturb_i8(a, dep):
+        if a.dtype == jnp.int8:
+            return (a.astype(jnp.int32) + dep).astype(jnp.int8)
+        if a.dtype == jnp.float8_e4m3fn:
+            return jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(a, jnp.int8) + dep.astype(jnp.int8),
+                a.dtype,
+            )
+        return (a.astype(jnp.float32) + dep).astype(a.dtype)
+
+    def t_route(c):
+        ti, = c
+        r = _route_aligned(ti, e_local, 0, tm)
+        dep = (r[0][0] > 2 ** 30).astype(jnp.int32)
+        return ((ti + dep) % e_total,)
+
+    def t_gemm1(c):
+        xc, w, ri, g_, nv = c
+        o = _gg_scatter_pallas(xc, w, gu_scale, ri, g_, tm, tn1,
+                               num_valid_tiles=nv, interpret=interp)
+        dep = (o[0, 0].astype(jnp.float32) > 1e30).astype(jnp.int32)
+        return (perturb_i8(xc, dep), w, ri, g_, nv)
+
+    def t_act(c):
+        gu, nv = c
+        o = act_mul_and_quant(gu, am_scale, True, out_dtype=qdt,
+                              num_valid=nv * tm)
+        dep = (o[0, 0].astype(jnp.float32) > 1e30).astype(jnp.bfloat16)
+        return (gu + dep, nv)
+
+    def t_gemm2(c):
+        di, w, g_, nv = c
+        idn = jnp.arange(di.shape[0], dtype=jnp.int32)
+        o = _gg_scatter_pallas(di, w, dn_scale, idn, g_, tm, tn2,
+                               num_valid_tiles=nv, interpret=interp)
+        dep = (o[0, 0].astype(jnp.float32) > 1e30).astype(jnp.int32)
+        return (perturb_i8(di, dep), w, g_, nv)
+
+    def t_reduce(c):
+        dn, tp_, ts_ = c
+        o = moe_reduce(dn, tp_, ts_)
+        dep = (o[0, 0].astype(jnp.float32) > 1e30).astype(jnp.bfloat16)
+        return (dn + dep.astype(dn.dtype), tp_, ts_)
+
+    stages = {
+        "route": (t_route, (topk_ids,)),
+        "gemm1": (t_gemm1, (x, w_gu, row_idx, grp, nvt)),
+        "act": (t_act, (gate_up, nvt)),
+        "gemm2": (t_gemm2, (down_in, w_dn, grp, nvt)),
+        "reduce": (t_reduce, (down, topk_pos, topk_scale)),
+    }
+    stage_bytes = {
+        "gemm1": w_gu.size,
+        "gemm2": w_dn.size,
+    }
+    for name, (body, init) in stages.items():
+        try:
+            sec = time_chain(body, init, inner=args.inner, trials=trials)
+        except Exception as exc:  # pragma: no cover - shape/env specific
+            rep.add(bench="fused_moe_stage", model=model, tokens=s,
+                    stage=name, error=str(exc)[:120])
+            continue
+        row = dict(
+            bench="fused_moe_stage", model=model, tokens=s, ep=args.ep,
+            dtype=args.dtype, stage=name, latency_us=round(sec * 1e6, 1),
+        )
+        if name in stage_bytes:
+            row["weight_gbps"] = round(stage_bytes[name] / sec / 1e9, 1)
+        rep.add(**row)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="*", default=["qwen3_235b", "deepseek_v3"])
@@ -44,6 +157,11 @@ def main():
     ap.add_argument("--ep", type=int, default=8, help="expert-parallel factor")
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel factor")
     ap.add_argument("--blockwise", action="store_true")
+    ap.add_argument(
+        "--stages", action="store_true",
+        help="time each pertensor-scatter pipeline stage separately "
+        "(route / gemm1 / act / gemm2 / reduce) to locate the bottleneck",
+    )
     ap.add_argument("--dtype", default="fp8", choices=["fp8", "int8"])
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--iters", type=int, default=10)
@@ -85,6 +203,12 @@ def main():
             topk_scale = jnp.asarray(
                 rng.random((s, topk)).astype(np.float32) / topk
             )
+            if args.stages:
+                _stage_rows(
+                    rep, args, model, s, h, i_local, e_local, e_total, topk,
+                    x, w_gu, w_dn, topk_ids, topk_scale, qdt,
+                )
+                continue
             if args.blockwise:
                 xs = jnp.ones((s, h // 128), jnp.float32)
                 wgu_s = jnp.ones(
