@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-2 pending TPU measurements — run when the axon tunnel is up.
+# Each step appends raw rows to results/*.jsonl; BENCHMARKS.md quotes them.
+set -x
+cd "$(dirname "$0")/.."
+
+# 1. Grouped GEMM: reworked blockwise fp8 + new native int8 blockwise
+timeout 2400 python benchmark/group_gemm/bench_group_gemm.py \
+  --schemes blockwise blockwise_int8 int8 \
+  --jsonl results/gg_r2d.jsonl
+
+# 2. Fused MoE: blockwise int8 + per-stage attribution + deepseek rerun
+timeout 2400 python benchmark/fused_moe/bench_fused_moe.py \
+  --models qwen3_235b deepseek_v3 --tokens 1024 4096 --dtype int8 \
+  --jsonl results/moe_r2_int8c.jsonl
+timeout 2400 python benchmark/fused_moe/bench_fused_moe.py \
+  --models qwen3_235b deepseek_v3 --tokens 1024 4096 --dtype int8 --blockwise \
+  --jsonl results/moe_r2_bwint8.jsonl
+timeout 2400 python benchmark/fused_moe/bench_fused_moe.py \
+  --models qwen3_235b --tokens 1024 4096 --dtype int8 --stages \
+  --jsonl results/moe_r2_stages.jsonl
+
+# 3. RoPE store kernel rows (Pallas vs XLA) — BENCHMARKS "TPU rows pending"
+timeout 2400 python benchmark/rope_norm_store_kv/bench_rope.py \
+  --impls xla pallas --jsonl results/rope_r2.jsonl
+
+# 4. Prefill: dense vs splash baseline + sparse ratio on the fp8-bits path
+timeout 3000 python benchmark/attention_prefill/bench_attention_prefill.py \
+  --jsonl results/prefill_r2b.jsonl
+
+# 5. Headline bench reproducibility (3 runs)
+for i in 1 2 3; do timeout 580 python bench.py; done
