@@ -47,6 +47,12 @@ class MoEConfig(NamedTuple):
     num_experts: int = 8
     topk: int = 2
     expert_intermediate: int = 1024
+    # "pertensor_fp8": one scale per expert weight, fp8 codes (reference
+    # default, hpc/fuse_moe.py:136). "blockwise_int8": per-128x128-block
+    # weight scales + per-(row,128-group) activation scales with int8
+    # codes — the deepseek-class fine-grained scheme on the MXU's native
+    # s8 path (requires hidden and 2*expert_intermediate % 128 == 0).
+    scheme: str = "pertensor_fp8"
 
 
 class ModelConfig(NamedTuple):
@@ -134,12 +140,30 @@ def init_weights(key, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict:
             dw = jax.random.normal(
                 ks[6], (m.num_experts, h, m.expert_intermediate), jnp.float32
             ) / math.sqrt(m.expert_intermediate)
-            gs = jnp.max(jnp.abs(gw)) / 448.0
-            ds = jnp.max(jnp.abs(dw)) / 448.0
-            layer["moe_gate_up"] = (gw / gs).astype(FP8_DTYPE)
-            layer["moe_down"] = (dw / ds).astype(FP8_DTYPE)
-            layer["moe_gate_up_scale"] = jnp.full((m.num_experts,), gs, jnp.float32)
-            layer["moe_down_scale"] = jnp.full((m.num_experts,), ds, jnp.float32)
+            if m.scheme == "blockwise_int8":
+
+                def q_block(wm):
+                    e_, n_, k_ = wm.shape
+                    wg = wm.reshape(e_, n_ // 128, 128, k_ // 128, 128)
+                    sw = jnp.max(jnp.abs(wg), axis=(2, 4)) / 127.0 + 1e-8
+                    w8 = jnp.clip(
+                        jnp.round(wg / sw[:, :, None, :, None]), -127, 127
+                    )
+                    return w8.reshape(e_, n_, k_).astype(jnp.int8), sw
+
+                layer["moe_gate_up"], layer["moe_gate_up_scale"] = q_block(gw)
+                layer["moe_down"], layer["moe_down_scale"] = q_block(dw)
+            else:
+                gs = jnp.max(jnp.abs(gw)) / 448.0
+                ds = jnp.max(jnp.abs(dw)) / 448.0
+                layer["moe_gate_up"] = (gw / gs).astype(FP8_DTYPE)
+                layer["moe_down"] = (dw / ds).astype(FP8_DTYPE)
+                layer["moe_gate_up_scale"] = jnp.full(
+                    (m.num_experts,), gs, jnp.float32
+                )
+                layer["moe_down_scale"] = jnp.full(
+                    (m.num_experts,), ds, jnp.float32
+                )
         layers.append(layer)
     return {
         "embed": lin(keys[-2], 1, (cfg.vocab, h)),
@@ -186,11 +210,27 @@ def _mlp_moe(h_normed, layer, cfg: ModelConfig, rank_ep):
     router_logits = h_normed.astype(jnp.float32) @ layer["router"].astype(jnp.float32)
     topk_scale, topk_ids = jax.lax.top_k(router_logits, m.topk)
     topk_scale = jax.nn.softmax(topk_scale, axis=-1)
+    if m.scheme == "blockwise_int8":
+        from hpc_ops_tpu.ops.moe import fuse_moe_blockwise_int8
+        from hpc_ops_tpu.ops.quant import blockwise_int8_quant
+
+        x8, sx = blockwise_int8_quant(h_normed.astype(jnp.float32))
+        return fuse_moe_blockwise_int8(
+            x8,
+            sx,
+            layer["moe_gate_up"],
+            layer["moe_gate_up_scale"],
+            layer["moe_down"],
+            layer["moe_down_scale"],
+            topk_ids.astype(jnp.int32),
+            topk_scale,
+            rank_ep,
+            m.num_experts,
+        )
     # quantize activations per-tensor for the fp8 MoE
     x_amax = jnp.maximum(jnp.max(jnp.abs(h_normed.astype(jnp.float32))), 1e-6)
     x_scale = x_amax / 448.0
     x8 = (h_normed.astype(jnp.float32) / x_scale).astype(FP8_DTYPE)
-    act_scale = (x_scale * jnp.ones((1,), jnp.float32)).reshape(1)
     out = fuse_moe_pertensor_fp8(
         x8,
         layer["moe_gate_up"],
@@ -405,13 +445,18 @@ def shard_weights_specs(cfg: ModelConfig):
     if cfg.moe is None:
         layer_spec.update({"w_gate_up": P(None, "tp"), "w_down": P("tp", None)})
     else:
+        scale_spec = (
+            P("tp", None, None)  # [E, N//128, Kb] per-block scales
+            if cfg.moe.scheme == "blockwise_int8"
+            else P("tp")  # [E] per-expert scales
+        )
         layer_spec.update(
             {
                 "router": P(),
                 "moe_gate_up": P("tp", None, None),
                 "moe_down": P("tp", None, None),
-                "moe_gate_up_scale": P("tp"),
-                "moe_down_scale": P("tp"),
+                "moe_gate_up_scale": scale_spec,
+                "moe_down_scale": scale_spec,
             }
         )
     return {

@@ -69,6 +69,30 @@ def test_moe_model_forward():
     assert np.isfinite(np.asarray(logits_d, np.float32)).all()
 
 
+def test_moe_model_blockwise_int8():
+    """MoE scheme="blockwise_int8": same random weights quantized per
+    128x128 block to int8 must track the pertensor-fp8 model closely
+    (finer scale granularity, comparable code width)."""
+    from hpc_ops_tpu.models.llama import MoEConfig
+
+    cfg_pt = tiny_config(moe=True)
+    cfg_bw = cfg_pt._replace(
+        moe=cfg_pt.moe._replace(scheme="blockwise_int8")
+    )
+    outs = {}
+    for name, cfg in (("pt", cfg_pt), ("bw", cfg_bw)):
+        logits_p, logits_d, _ = run_prefill_then_decode(cfg, seed=4)
+        outs[name] = (
+            np.asarray(logits_p, np.float32), np.asarray(logits_d, np.float32)
+        )
+        assert np.isfinite(outs[name][1]).all()
+    for phase, (a, ref) in enumerate(zip(outs["bw"], outs["pt"])):
+        num = (a * ref).sum(-1)
+        den = np.linalg.norm(a, axis=-1) * np.linalg.norm(ref, axis=-1)
+        cos = num / np.maximum(den, 1e-9)
+        assert cos.min() > 0.97, f"phase {phase}: min cosine {cos.min()}"
+
+
 def test_decode_matches_incremental_prefill():
     """Decoding token t+1 after prefill must equal prefilling t+1 tokens."""
     cfg = tiny_config()
@@ -109,7 +133,7 @@ def test_decode_matches_incremental_prefill():
     )
 
 
-@pytest.mark.parametrize("moe", [False, True])
+@pytest.mark.parametrize("moe", [False, True, "blockwise_int8"])
 def test_sharded_step_tp_dp(moe):
     """Full forward step sharded over a 2x4 (dp, tp) host mesh vs single-dev."""
     cpus = jax.devices("cpu")
@@ -117,7 +141,9 @@ def test_sharded_step_tp_dp(moe):
         pytest.skip("need 8 host devices")
     set_interpret_override(True)
     try:
-        cfg = tiny_config(moe=moe)
+        cfg = tiny_config(moe=bool(moe))
+        if moe == "blockwise_int8":
+            cfg = cfg._replace(moe=cfg.moe._replace(scheme="blockwise_int8"))
         tp, dp = 4, 2
         mesh = make_mesh(tp=tp, dp=dp, devices=cpus)
         key = jax.random.PRNGKey(7)
