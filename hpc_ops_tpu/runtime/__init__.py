@@ -98,12 +98,17 @@ class PagedBlockAllocator:
         return int(n)
 
     def table(self, seq: int, pad_to: int | None = None) -> np.ndarray:
-        """Page table of `seq` as int32, optionally zero-padded to pad_to."""
+        """Page table of `seq` as int32, padded to pad_to with -1.
+
+        Padding is -1 (not 0): page 0 is a real pool page, so zero padding
+        would silently alias it — every consumer (rope store, decode,
+        prefill) drops or masks negative page ids, making an
+        under-extended sequence loud instead of corrupting page 0."""
         n = self._lib.hpc_kv_table(self._h, seq, None, 0)
         if n < 0:
             raise KeyError(f"unknown sequence {seq}")
         cap = max(n, pad_to or 0)
-        out = np.zeros(cap, np.int32)
+        out = np.full(cap, -1, np.int32)
         self._lib.hpc_kv_table(
             self._h, seq, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n
         )

@@ -55,6 +55,7 @@ class Request:
     out: list = field(default_factory=list)
     max_new: int = 16
     done: bool = False
+    prefilled: int = 0  # prompt tokens already written to the KV cache
 
     @property
     def tokens(self) -> list:
@@ -84,6 +85,7 @@ class Engine:
         seed: int = 0,
         speculative_k: int = 0,
         draft_fn=None,
+        prefill_chunk: int | None = None,
     ):
         self.cfg = cfg
         self.weights = weights
@@ -99,6 +101,14 @@ class Engine:
         assert speculative_k < block_size, "draft run must fit one page"
         self.speculative_k = speculative_k
         self.draft_fn = draft_fn or ngram_draft
+        # chunked prefill: long prompts prefill prefill_chunk tokens per
+        # engine step, and decode batches interleave between chunks, so one
+        # long prompt cannot stall token generation for the active requests
+        # (incremental prefill is numerically identical to one-shot prefill;
+        # tests/test_model.py::test_decode_matches_incremental_prefill).
+        assert prefill_chunk is None or prefill_chunk > 0
+        self.prefill_chunk = prefill_chunk
+        self._prefer_decode = False
         self.spec_proposed = 0
         self.spec_accepted = 0
         self._spec_step = None
@@ -172,26 +182,37 @@ class Engine:
     def _table(self, rid: int) -> np.ndarray:
         return self.alloc.table(rid, pad_to=self.max_blocks_per_seq)
 
-    def _prefill_one(self, rid: int) -> None:
+    def _prefill_one(self, rid: int) -> bool:
+        """Prefill the next chunk of `rid`'s prompt (the whole prompt when
+        chunking is off). Returns True when the prompt is fully prefilled
+        — only then is the first token sampled and the request activated."""
         req = self.requests[rid]
-        n = len(req.prompt)
+        total = len(req.prompt)
+        start = req.prefilled
+        n = total - start
+        if self.prefill_chunk is not None:
+            n = min(self.prefill_chunk, n)
         bucket = _bucket(n)
-        self.alloc.extend(rid, n)
+        self.alloc.extend(rid, start + n)  # extend() takes TOTAL tokens
         tbl = self._table(rid)
         tokens = np.zeros((bucket,), np.int32)
-        tokens[:n] = req.prompt
+        tokens[:n] = req.prompt[start : start + n]
         logits, self.caches = self._prefill_fn(bucket)(
             self.weights,
             self.caches,
             token_ids=jnp.asarray(tokens),
-            seq_lens=jnp.asarray([n], jnp.int32),
+            seq_lens=jnp.asarray([start + n], jnp.int32),
             q_index=jnp.asarray([0, n], jnp.int32),
             block_ids=jnp.asarray(tbl[None, :]),
         )
+        req.prefilled = start + n
+        if req.prefilled < total:
+            return False
         tok = int(self._sample(logits.reshape(1, -1))[0])
         req.out.append(tok)
         self._active.append(rid)
         self._finish_if_done(req)
+        return True
 
     def _finish_if_done(self, req: Request) -> None:
         if len(req.out) >= req.max_new:
@@ -301,11 +322,18 @@ class Engine:
         }
 
     def step(self) -> bool:
-        """One engine step (a prefill or a decode batch). Returns False when
-        no work remains."""
-        if self._pending:
-            self._prefill_one(self._pending.pop(0))
+        """One engine step (a prefill [chunk] or a decode batch). Returns
+        False when no work remains. With chunked prefill enabled, decode
+        batches alternate with prefill chunks so active requests keep
+        producing tokens while a long prompt streams in."""
+        if self._pending and not (
+            self.prefill_chunk is not None and self._active and self._prefer_decode
+        ):
+            if self._prefill_one(self._pending[0]):
+                self._pending.pop(0)
+            self._prefer_decode = True
             return True
+        self._prefer_decode = False
         if self._active:
             if self.speculative_k > 0:
                 drafts = {

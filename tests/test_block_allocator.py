@@ -68,4 +68,7 @@ def test_padded_table():
     a.extend(5, 3)
     t = a.table(5, pad_to=6)
     assert t.shape == (6,)
-    assert np.all(t[2:] == 0)
+    # padding must be -1, not 0: page 0 is a real pool page, and the
+    # negative sentinel is what every kernel path masks/drops
+    assert np.all(t[2:] == -1)
+    assert np.all(t[:2] >= 0)

@@ -117,6 +117,46 @@ def test_ngram_draft():
     assert ngram_draft([1, 2, 3, 4], k=2) == []  # no earlier match
 
 
+def test_engine_chunked_prefill(model):
+    """Chunked prefill is token-exact vs one-shot prefill (incremental
+    prefill equivalence), across chunk sizes incl. non-divisors."""
+    cfg, weights = model
+    prompts = [list(range(1, 20)), [7, 8, 9], list(range(30, 60))]
+    ref = Engine(cfg, weights, num_blocks=64, block_size=16, max_batch=4).run(
+        prompts, max_new=5
+    )
+    for chunk in (4, 16):
+        eng = Engine(
+            cfg, weights, num_blocks=64, block_size=16, max_batch=4,
+            prefill_chunk=chunk,
+        )
+        assert eng.run(prompts, max_new=5) == ref
+
+
+def test_engine_chunked_prefill_interleaves(model):
+    """Decode batches run BETWEEN the chunks of a long prompt — a long
+    prefill must not stall active requests' token generation."""
+    cfg, weights = model
+    eng = Engine(
+        cfg, weights, num_blocks=64, block_size=16, max_batch=4,
+        prefill_chunk=4,
+    )
+    r1 = eng.add_request([1, 2, 3], max_new=4)
+    r2 = eng.add_request(list(range(1, 41)), max_new=2)
+    eng.step()  # r1 prompt fits one chunk -> fully prefilled + activated
+    assert eng.requests[r1].prefilled == 3 and len(eng.requests[r1].out) == 1
+    eng.step()  # alternation: decode r1 before r2's next chunk
+    assert len(eng.requests[r1].out) == 2
+    assert eng.requests[r2].prefilled == 0
+    eng.step()  # now a chunk of r2
+    assert eng.requests[r2].prefilled == 4
+    eng.step()  # and a decode again
+    assert len(eng.requests[r1].out) == 3
+    while eng.step():
+        pass
+    assert eng.requests[r2].done and len(eng.requests[r2].out) == 2
+
+
 def test_engine_int8_kv_serving():
     """Engine drives the quantized serving mode unchanged: fused int8 K|V
     slab caches, Pallas store on decode, FUSED int8 decode attention.
