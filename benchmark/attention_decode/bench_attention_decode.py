@@ -109,6 +109,12 @@ def main():
     ap.add_argument("--task-tile", type=int, default=2048)
     ap.add_argument("--csv", default=None)
     ap.add_argument("--jsonl", default=None)
+    ap.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="also capture a jax.profiler trace of each timed config into "
+        "DIR for XProf device-time attribution (the nsys/NVTX analog; may "
+        "be unavailable through some tunneled attachments)",
+    )
     args = ap.parse_args()
 
     from hpc_ops_tpu.ops.attention.decode import attention_decode
@@ -189,6 +195,14 @@ def main():
                     rep.add(bench="attention_decode", case=case, dtype=dtype,
                             method=method, error=str(exc)[:160])
                     continue
+                if args.trace:
+                    from common import trace_fn
+
+                    trace_fn(
+                        lambda c: body(c),
+                        (init,),
+                        f"{args.trace}/{case}_{dtype}_{method}",
+                    )
                 gbps = kv_bytes / sec / 1e9
                 eff = (
                     kv_bytes * (2 if dtype in ("fp8", "int8") else 1)
