@@ -56,6 +56,7 @@ class ShardedEngine:
         block_size: int = 16,
         max_batch: int = 4,  # decode slots per row shard
         max_blocks_per_seq: int | None = None,
+        prefill_chunk: int | None = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -64,6 +65,14 @@ class ShardedEngine:
         self.num_shards = int(np.prod([mesh.shape[a] for a in self.row_axes]))
         self.block_size = block_size
         self.max_batch = max_batch
+        # chunked prefill (same semantics as Engine): long prompts stream in
+        # prefill_chunk tokens per global prefill round, decode rounds
+        # interleave between chunks, and a mid-prefill request stays pinned
+        # to the shard that took its first chunk (its KV pages are
+        # shard-local).
+        assert prefill_chunk is None or prefill_chunk > 0
+        self.prefill_chunk = prefill_chunk
+        self._prefer_decode = False
         self.num_blocks = num_blocks
         self.max_blocks_per_seq = max_blocks_per_seq or max(num_blocks // 4, 4)
 
@@ -152,19 +161,35 @@ class ShardedEngine:
         return self._prefill_steps[bucket]
 
     def _prefill_round(self) -> None:
-        """Prefill up to one pending request per shard in one global step.
+        """Prefill up to one pending request per shard in one global step
+        (the next chunk of each when chunked prefill is on).
 
-        All participating requests share one length bucket (the max of the
-        round) — q_index must be identical across shards (it is replicated).
+        All participating requests share one length bucket (the max chunk of
+        the round); q_index/seq_lens are row-sharded, so per-shard offsets
+        may differ. A request mid-prefill keeps its owner shard across
+        rounds; it leaves ``_pending`` only once fully prefilled.
         """
         take: list[int | None] = [None] * self.num_shards
+        # mid-prefill requests resume on their owner shard first
+        for rid in self._pending:
+            s = self._owner.get(rid)
+            if s is not None and take[s] is None:
+                take[s] = rid
+        # fresh requests fill the remaining shards in arrival order
+        fresh = (r for r in self._pending if self._owner.get(r) is None)
         for s in range(self.num_shards):
-            if not self._pending:
-                break
-            take[s] = self._pending.pop(0)
-        bucket = _bucket(
-            max(len(self.requests[r].prompt) for r in take if r is not None)
-        )
+            if take[s] is None:
+                take[s] = next(fresh, None)
+        chunks: dict[int, int] = {}
+        for rid in take:
+            if rid is None:
+                continue
+            req = self.requests[rid]
+            n = len(req.prompt) - req.prefilled
+            if self.prefill_chunk is not None:
+                n = min(self.prefill_chunk, n)
+            chunks[rid] = n
+        bucket = _bucket(max(chunks.values()))
         tokens = np.zeros((self.num_shards, bucket), np.int32)
         seq_lens = np.zeros((self.num_shards, 1), np.int32)
         q_index = np.zeros((self.num_shards, 2), np.int32)
@@ -176,11 +201,11 @@ class ShardedEngine:
                 q_index[s] = (0, 1)
                 continue
             req = self.requests[rid]
-            n = len(req.prompt)
+            start, n = req.prefilled, chunks[rid]
             self._owner[rid] = s
-            self.allocs[s].extend(rid, n)
-            tokens[s, :n] = req.prompt
-            seq_lens[s, 0] = n
+            self.allocs[s].extend(rid, start + n)  # extend() takes TOTAL tokens
+            tokens[s, :n] = req.prompt[start : start + n]
+            seq_lens[s, 0] = start + n
             q_index[s] = (0, n)
             tables[s, 0, :] = self._table(s, rid)
         logits, self.caches = self._prefill_fn(bucket)(
@@ -197,6 +222,10 @@ class ShardedEngine:
             if rid is None:
                 continue
             req = self.requests[rid]
+            req.prefilled += chunks[rid]
+            if req.prefilled < len(req.prompt):
+                continue  # more chunks to go; logits row is a partial prefix
+            self._pending.remove(rid)
             req.out.append(int(toks[s]))
             self._active[s].append(rid)
             self._finish_if_done(req)
@@ -246,9 +275,18 @@ class ShardedEngine:
                 self._finish_if_done(req)
 
     def step(self) -> bool:
-        if self._pending:
+        """One global step (a prefill round or a decode round). With chunked
+        prefill on, decode rounds alternate with chunk rounds so active
+        requests keep producing tokens while long prompts stream in."""
+        if self._pending and not (
+            self.prefill_chunk is not None
+            and any(self._active)
+            and self._prefer_decode
+        ):
             self._prefill_round()
+            self._prefer_decode = True
             return True
+        self._prefer_decode = False
         if any(self._active):
             self._decode_round()
             return True

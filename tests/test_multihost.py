@@ -63,6 +63,46 @@ def test_sharded_engine_hybrid_mesh_matches_single_device():
     assert got == want, f"sharded {got} != single {want}"
 
 
+def test_sharded_engine_chunked_prefill_matches_oneshot():
+    """Chunked prefill on the hybrid mesh is token-identical to one-shot
+    prefill: chunk rounds write the same KV (incremental prefill is exact)
+    and decode interleaving only reorders scheduling, not numerics."""
+    from hpc_ops_tpu.models.llama import init_weights, tiny_config
+    from hpc_ops_tpu.parallel.mesh import make_hybrid_mesh
+    from hpc_ops_tpu.runtime.sharded_engine import ShardedEngine
+
+    devices = _cpu_devices(8)
+    cfg = tiny_config()
+    with jax.default_device(devices[0]):
+        weights = init_weights(jax.random.PRNGKey(3), cfg)
+
+        prompts = [
+            list(range(1, 12)),  # 11 tokens -> 3 chunks of <=4
+            [7, 8, 9],
+            list(range(20, 29)),  # 9 tokens -> 3 chunks
+            [41, 42],
+        ]
+
+        set_interpret_override(True)
+        try:
+            mesh = make_hybrid_mesh(dcn_dp=2, tp=4, dp=1, devices=devices)
+            base = ShardedEngine(
+                cfg, weights, mesh, num_blocks=64, block_size=16,
+                max_batch=4, max_blocks_per_seq=4,
+            )
+            want = base.run([list(p) for p in prompts], max_new=5)
+
+            chunked = ShardedEngine(
+                cfg, weights, mesh, num_blocks=64, block_size=16,
+                max_batch=4, max_blocks_per_seq=4, prefill_chunk=4,
+            )
+            got = chunked.run([list(p) for p in prompts], max_new=5)
+        finally:
+            set_interpret_override(None)
+
+    assert got == want, f"chunked {got} != one-shot {want}"
+
+
 def test_sharded_engine_rejects_oversized_request():
     from hpc_ops_tpu.models.llama import init_weights, tiny_config
     from hpc_ops_tpu.parallel.mesh import make_hybrid_mesh
