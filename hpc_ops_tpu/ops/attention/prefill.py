@@ -159,39 +159,63 @@ def _prefill_kernel(
             vc.wait()
             v = _upk(v_buf[slot].reshape(ck, v_buf.shape[-1]), kv_e4m3)
 
-            kpos = j * ck + jax.lax.broadcasted_iota(jnp.int32, (tq, ck), 1)
-            qpos = kv_off + tqi * tq + jax.lax.broadcasted_iota(
-                jnp.int32, (tq, ck), 0
-            )
-            mask = (kpos <= qpos) & (kpos < kv_len)
+            def update(masked: bool):
+                if masked:
+                    kpos = j * ck + jax.lax.broadcasted_iota(
+                        jnp.int32, (tq, ck), 1
+                    )
+                    qpos = kv_off + tqi * tq + jax.lax.broadcasted_iota(
+                        jnp.int32, (tq, ck), 0
+                    )
+                    mask = (kpos <= qpos) & (kpos < kv_len)
+                for g in range(group):
+                    q = q_buf[g]  # [TQ, D] bf16 pre-scaled
+                    s = jax.lax.dot_general(
+                        q,
+                        k,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if pertoken_ks:
+                        # QuantType-0: one K scale per (token, kv-head),
+                        # applied to the logits (exact — constant along D),
+                        # same trick as _decode_qt0_kernel
+                        s = s * ks_ref[0, 0, j][None, :]
+                    if masked:
+                        s = jnp.where(mask, s, MASK_VALUE)
+                    m_prev = m_buf[g]
+                    l_prev = l_buf[g]
+                    m_curr = jnp.broadcast_to(
+                        jnp.max(s, axis=1, keepdims=True), m_prev.shape
+                    )
+                    m_next = jnp.maximum(m_prev, m_curr)
+                    alpha = jnp.exp(m_prev - m_next)
+                    p = jnp.exp(s - m_next[:, :1])
+                    l_buf[g] = alpha * l_prev + jnp.broadcast_to(
+                        jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+                    )
+                    m_buf[g] = m_next
+                    o_curr = jax.lax.dot(
+                        p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+                    )
+                    acc_buf[g] = acc_buf[g] * alpha[:, :1] + o_curr
 
-            for g in range(group):
-                q = q_buf[g]  # [TQ, D] bf16 pre-scaled
-                s = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-                )
-                if pertoken_ks:
-                    # QuantType-0: one K scale per (token, kv-head), applied
-                    # to the logits (exact — constant along D), same trick as
-                    # _decode_qt0_kernel
-                    s = s * ks_ref[0, 0, j][None, :]
-                s = jnp.where(mask, s, MASK_VALUE)
-                m_prev = m_buf[g]
-                l_prev = l_buf[g]
-                m_curr = jnp.broadcast_to(
-                    jnp.max(s, axis=1, keepdims=True), m_prev.shape
-                )
-                m_next = jnp.maximum(m_prev, m_curr)
-                alpha = jnp.exp(m_prev - m_next)
-                p = jnp.exp(s - m_next[:, :1])
-                l_buf[g] = alpha * l_prev + jnp.broadcast_to(
-                    jnp.sum(p, axis=1, keepdims=True), l_prev.shape
-                )
-                m_buf[g] = m_next
-                o_curr = jax.lax.dot(
-                    p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
-                )
-                acc_buf[g] = acc_buf[g] * alpha[:, :1] + o_curr
+            # Interior chunks — every kv position precedes this q tile's
+            # first row and is in-range — skip the causal mask entirely:
+            # the iota/compare/select chain is ~1/3 of the per-element VPU
+            # work on a kernel whose MXU:VPU balance is already VPU-tight.
+            interior = ((j + 1) * ck <= kv_off + tqi * tq + 1) & (
+                (j + 1) * ck <= kv_len
+            )
+
+            @pl.when(interior)
+            def _():
+                update(masked=False)
+
+            @pl.when(jnp.logical_not(interior))
+            def _():
+                update(masked=True)
+
             return ()
 
         jax.lax.fori_loop(0, num_kv_tiles, body, (), unroll=False)
@@ -688,7 +712,7 @@ def attention_with_kvcache_prefill(
     mask_tile_q: int = 128,
     mask_tile_kv: int = 128,
     sm_scale: float | None = None,
-    tq: int = 128,
+    tq: int | None = None,
     pages_per_compute_block: int | None = None,
     cache_layout: str = "NHD",
     impl: str = "auto",
@@ -700,6 +724,16 @@ def attention_with_kvcache_prefill(
     (per-token-per-head). Caches NHD [nb, bs, Hkv, D] (or HND with
     cache_layout="HND"). block_mask enables the block-sparse path.
     """
+    if tq is None:
+        # sparse requires q-tile == mask tile; dense long prefills run
+        # tq=256 — each q tile streams the whole KV prefix, so doubling tq
+        # halves KV DMA traffic per FLOP (tq=128 sits right at the
+        # MXU-flops:DMA-bytes break-even on v5e).
+        tq = (
+            mask_tile_q
+            if block_mask is not None
+            else (256 if max_seqlens_q >= 2048 else 128)
+        )
     if cache_layout == "NHD":
         k_pages = nhd_to_hnd(kcache)
         v_pages = nhd_to_hnd(vcache)

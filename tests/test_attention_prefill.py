@@ -103,6 +103,42 @@ def test_paged_prefill_bf16(q_lens, kv_extra):
     assert_allclose(np.asarray(out, np.float32), want, atol=4e-2, rtol=4e-2)
 
 
+def test_paged_prefill_multi_chunk_interior():
+    """Small compute chunks (ck=32) against a long KV history: chunks fully
+    below the q tile run the interior (mask-free) kernel branch, the
+    diagonal/tail chunk runs the masked branch — both must agree with the
+    numpy oracle."""
+    rng = np.random.RandomState(11)
+    hq, hkv, d, bs = 8, 2, 128, 16
+    q_lens = [16, 40]
+    kv_lens = [86, 49]
+    total_q = sum(q_lens)
+    q = rng.randn(total_q, hq, d).astype(np.float32)
+    ks = [rng.randn(L, hkv, d).astype(np.float32) for L in kv_lens]
+    vs = [rng.randn(L, hkv, d).astype(np.float32) for L in kv_lens]
+
+    q_bf = jnp.asarray(q, jnp.bfloat16)
+    q = np.asarray(q_bf, np.float32)
+    ks = [np.asarray(jnp.asarray(k, jnp.bfloat16), np.float32) for k in ks]
+    vs = [np.asarray(jnp.asarray(v, jnp.bfloat16), np.float32) for v in vs]
+    want = np_varlen_attn(q, ks, vs, q_lens, kv_lens, hkv)
+
+    kcache, vcache, block_ids = build_paged(ks, vs, bs)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(q_lens)]), jnp.int32)
+    out = attention_with_kvcache_prefill(
+        q_bf,
+        jnp.asarray(kcache, jnp.bfloat16),
+        jnp.asarray(vcache, jnp.bfloat16),
+        cu_q,
+        jnp.asarray(block_ids),
+        jnp.asarray(kv_lens, jnp.int32),
+        max(q_lens),
+        tq=16,
+        pages_per_compute_block=2,  # ck=32 -> interior + boundary chunks
+    )
+    assert_allclose(np.asarray(out, np.float32), want, atol=4e-2, rtol=4e-2)
+
+
 def test_dense_prefill_bf16():
     rng = np.random.RandomState(3)
     hq, hkv, d = 4, 4, 128
