@@ -39,7 +39,10 @@ from hpc_ops_tpu.ops.rope import (
     rope_norm_store_kv_fp8,
     rope_norm_store_kv_int8,
 )
-from hpc_ops_tpu.ops.sampler import fused_sampler_temperature_sample
+from hpc_ops_tpu.ops.sampler import (
+    fused_sampler_temperature_sample,
+    gumbel_from_uniform,
+)
 from hpc_ops_tpu.parallel.collectives import fuse_allreduce_rmsnorm
 
 
@@ -432,6 +435,72 @@ def forward_step(
         )
         return tokens, new_caches
     return logits, new_caches
+
+
+def decode_multi(
+    weights,
+    caches,
+    cfg: ModelConfig,
+    last_tokens: jax.Array,  # [B] int32 — last sampled token per slot
+    seq_lens: jax.Array,  # [B] int32 — total tokens incl. the input token
+    block_ids: jax.Array,  # [B, max_blocks] (pre-extended for num_steps)
+    num_steps: int,
+    temperature: float = 0.0,
+    sample_seed: int = 0,
+    axis_name: Optional[str] = None,
+    rank_ep: int = 0,
+):
+    """``num_steps`` decode steps in ONE compiled graph (lax.scan): forward,
+    in-graph sampling, cache append, feed the token back — no host round
+    trip between steps. On a tunneled/remote attachment one dispatch costs
+    ~30ms, so fusing N steps multiplies serving throughput by up to N; on
+    local hardware it still removes per-step dispatch + readback.
+
+    The caller must pre-extend each slot's page table to cover
+    ``seq_lens + num_steps - 1`` KV slots (the engine reserves
+    ``multi_step - 1`` slack, see :class:`hpc_ops_tpu.runtime.Engine`).
+    Greedy (temperature=0) matches single-step decode token-exactly;
+    temperature>0 draws per-step Gumbel noise from
+    ``fold_in(PRNGKey(sample_seed), step)``.
+
+    Returns (tokens [num_steps, B] int32, new_caches).
+    """
+    b = seq_lens.shape[0]
+    q_index = jnp.arange(b + 1, dtype=jnp.int32)
+
+    def body(carry, i):
+        toks, lens, caches = carry
+        logits, caches = forward_step(
+            weights,
+            caches,
+            cfg,
+            toks,
+            lens,
+            q_index,
+            block_ids,
+            is_prefill=False,
+            axis_name=axis_name,
+            rank_ep=rank_ep,
+            max_seqlens_q=1,
+        )
+        if temperature > 0:
+            key = jax.random.fold_in(jax.random.PRNGKey(sample_seed), i)
+            noise = gumbel_from_uniform(
+                jax.random.uniform(key, logits.shape, jnp.float32, 1e-20, 1.0)
+            )
+            nxt = fused_sampler_temperature_sample(
+                logits.astype(jnp.float32), temperature, gumbel_noise=noise
+            ).reshape(-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, lens + 1, caches), nxt
+
+    (_, _, caches), toks = jax.lax.scan(
+        body,
+        (last_tokens.astype(jnp.int32), seq_lens.astype(jnp.int32), caches),
+        jnp.arange(num_steps),
+    )
+    return toks, caches
 
 
 def shard_weights_specs(cfg: ModelConfig):

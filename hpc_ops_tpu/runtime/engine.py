@@ -22,7 +22,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from hpc_ops_tpu.models.llama import ModelConfig, forward_step, init_cache
+from hpc_ops_tpu.models.llama import (
+    ModelConfig,
+    decode_multi,
+    forward_step,
+    init_cache,
+)
 from hpc_ops_tpu.runtime import PagedBlockAllocator
 
 __all__ = ["Engine", "Request", "ngram_draft"]
@@ -86,6 +91,7 @@ class Engine:
         speculative_k: int = 0,
         draft_fn=None,
         prefill_chunk: int | None = None,
+        multi_step: int = 1,
     ):
         self.cfg = cfg
         self.weights = weights
@@ -109,6 +115,18 @@ class Engine:
         assert prefill_chunk is None or prefill_chunk > 0
         self.prefill_chunk = prefill_chunk
         self._prefer_decode = False
+        # fused multi-step decode: multi_step decode iterations run in ONE
+        # compiled graph (models.llama.decode_multi) — in-graph sampling +
+        # cache append, no host round trip between steps. Token streams are
+        # identical to single-step for greedy sampling; temperature>0 draws
+        # per-step folded-key noise (a different, equally valid stream than
+        # the host fused_sampler path). Page tables reserve multi_step-1
+        # slack slots per request (see add_request).
+        assert multi_step >= 1
+        assert multi_step == 1 or speculative_k == 0, (
+            "fused multi-step decode and speculative decode are exclusive"
+        )
+        self.multi_step = multi_step
         self.spec_proposed = 0
         self.spec_accepted = 0
         self._spec_step = None
@@ -134,6 +152,19 @@ class Engine:
             ),
             static_argnames=(),
         )
+        self._decode_multi_step = (
+            jax.jit(
+                functools.partial(
+                    decode_multi,
+                    cfg=cfg,
+                    num_steps=multi_step,
+                    temperature=temperature,
+                    sample_seed=seed,
+                )
+            )
+            if multi_step > 1
+            else None
+        )
 
     # ------------------------------------------------------------- requests
     def add_request(self, prompt_ids, max_new: int = 16) -> int:
@@ -141,7 +172,9 @@ class Engine:
         # page-table width: over-long requests would otherwise fail deep in
         # a decode batch with an opaque broadcast error after KV was already
         # allocated (tables[i] = self._table(rid) below).
-        need = len(prompt_ids) + max_new + self.speculative_k
+        need = len(prompt_ids) + max_new + self.speculative_k + (
+            self.multi_step - 1
+        )
         cap = self.max_blocks_per_seq * self.block_size
         if need > cap:
             raise ValueError(
@@ -248,6 +281,38 @@ class Engine:
             req.out.append(int(toks[i]))
             self._finish_if_done(req)
 
+    def _decode_batch_multi(self) -> None:
+        """One fused multi_step-step decode dispatch (decode_multi): the
+        batch membership is fixed for the whole fused run; requests that
+        hit max_new mid-run have their surplus tokens truncated (their
+        page-table slack covers the surplus KV writes)."""
+        n = self.multi_step
+        rids = self._active[: self.max_batch]
+        b = self.max_batch
+        tokens = np.zeros((b,), np.int32)
+        seq_lens = np.ones((b,), np.int32)
+        tables = np.full((b, self.max_blocks_per_seq), self._dummy_block, np.int32)
+        for i, rid in enumerate(rids):
+            req = self.requests[rid]
+            new_len = len(req.tokens)
+            self.alloc.extend(rid, new_len + n - 1)
+            tokens[i] = req.tokens[-1]
+            seq_lens[i] = new_len
+            tables[i] = self._table(rid)
+        toks, self.caches = self._decode_multi_step(
+            self.weights,
+            self.caches,
+            last_tokens=jnp.asarray(tokens),
+            seq_lens=jnp.asarray(seq_lens),
+            block_ids=jnp.asarray(tables),
+        )
+        toks = np.asarray(toks)  # [n, b]
+        for i, rid in enumerate(rids):
+            req = self.requests[rid]
+            budget = req.max_new - len(req.out)
+            req.out.extend(int(t) for t in toks[:budget, i])
+            self._finish_if_done(req)
+
     # ------------------------------------------------- speculative decode
     def _spec_fn(self):
         if self._spec_step is None:
@@ -345,7 +410,10 @@ class Engine:
                 if any(drafts.values()):
                     self._spec_batch(drafts)
                     return True
-            self._decode_batch()
+            if self.multi_step > 1:
+                self._decode_batch_multi()
+            else:
+                self._decode_batch()
             return True
         return False
 

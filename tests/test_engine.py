@@ -175,3 +175,101 @@ def test_engine_int8_kv_serving():
     for out in batch_out:
         assert len(out) == 4
         assert all(0 <= t < cfg.vocab for t in out)
+
+
+def test_decode_multi_matches_single_steps(model):
+    """Model-level: decode_multi (n fused steps, one graph) produces the
+    same tokens and caches as n single forward_step calls."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from hpc_ops_tpu.models.llama import decode_multi, forward_step, init_cache
+
+    cfg, weights = model
+    n, b, bs = 4, 2, 16
+    caches = init_cache(cfg, num_blocks=16, block_size=bs)
+    # prefill two prompts first so decode has history
+    prompts = [[1, 2, 3], [5, 6, 7, 8]]
+    tables = np.asarray([[0, 1], [2, 3]], np.int32)
+    pre = jax.jit(
+        functools.partial(forward_step, cfg=cfg, is_prefill=True, max_seqlens_q=8)
+    )
+    caches_s = caches
+    last = []
+    for i, p in enumerate(prompts):
+        toks = np.zeros((8,), np.int32)
+        toks[: len(p)] = p
+        logits, caches_s = pre(
+            weights, caches_s,
+            token_ids=jnp.asarray(toks),
+            seq_lens=jnp.asarray([len(p)], jnp.int32),
+            q_index=jnp.asarray([0, len(p)], jnp.int32),
+            block_ids=jnp.asarray(tables[i : i + 1]),
+        )
+        last.append(int(np.argmax(np.asarray(logits).reshape(-1))))
+
+    lens0 = np.asarray([len(p) + 1 for p in prompts], np.int32)
+
+    # n single steps
+    dec = jax.jit(
+        functools.partial(forward_step, cfg=cfg, is_prefill=False, max_seqlens_q=1)
+    )
+    caches_a = caches_s
+    toks_a = []
+    cur = list(last)
+    lens = lens0.copy()
+    for _ in range(n):
+        logits, caches_a = dec(
+            weights, caches_a,
+            token_ids=jnp.asarray(cur, jnp.int32),
+            seq_lens=jnp.asarray(lens),
+            q_index=jnp.arange(b + 1, dtype=jnp.int32),
+            block_ids=jnp.asarray(tables),
+        )
+        cur = [int(t) for t in np.argmax(np.asarray(logits), axis=-1)]
+        toks_a.append(cur)
+        lens = lens + 1
+
+    # one fused n-step graph
+    toks_b, caches_b = jax.jit(
+        functools.partial(decode_multi, cfg=cfg, num_steps=n)
+    )(
+        weights, caches_s,
+        last_tokens=jnp.asarray(last, jnp.int32),
+        seq_lens=jnp.asarray(lens0),
+        block_ids=jnp.asarray(tables),
+    )
+    assert np.asarray(toks_b).tolist() == toks_a
+    for la, lb in zip(caches_a, caches_b):
+        for k in la:
+            np.testing.assert_array_equal(np.asarray(la[k]), np.asarray(lb[k]))
+
+
+def test_engine_multi_step_matches_single(model):
+    """Engine(multi_step=4) greedy serving is token-identical to the
+    single-step engine, including requests whose max_new is not a multiple
+    of the fused block (surplus tokens truncated) and chunked prefill
+    interleaving."""
+    cfg, weights = model
+    prompts = [[1, 2, 3, 4, 5], [7, 8], [9, 10, 11, 12, 13, 14], [15]]
+
+    base = Engine(cfg, weights, num_blocks=64, block_size=16, max_batch=4)
+    want = base.run([list(p) for p in prompts], max_new=6)
+
+    fused = Engine(
+        cfg, weights, num_blocks=64, block_size=16, max_batch=4, multi_step=4
+    )
+    got = fused.run([list(p) for p in prompts], max_new=6)
+    assert got == want
+
+    both = Engine(
+        cfg, weights, num_blocks=64, block_size=16, max_batch=4,
+        multi_step=3, prefill_chunk=2,
+    )
+    got2 = both.run([list(p) for p in prompts], max_new=6)
+    assert got2 == want
+
+    # pool fully freed despite the slack extension
+    free0 = Engine(cfg, weights, num_blocks=64, block_size=16).alloc.num_free
+    assert fused.alloc.num_free == free0
