@@ -595,6 +595,45 @@ def make_sharded_step(mesh, cfg: ModelConfig, is_prefill: bool = False, **fw_kw)
     )
 
 
+def make_sharded_multi_step(mesh, cfg: ModelConfig, num_steps: int, **dm_kw):
+    """Sharded counterpart of :func:`decode_multi`: one shard_map'd graph
+    runs ``num_steps`` decode iterations over the (…rows…, "tp") mesh with
+    in-graph sampling — the multi-host analog of Engine(multi_step=N).
+    Same data/cache specs as :func:`make_sharded_step`; returns
+    (tokens [num_steps, rows], new_caches)."""
+    wspecs = shard_weights_specs(cfg)
+    row_axes = tuple(a for a in mesh.axis_names if a != "tp")
+    rows = row_axes if len(row_axes) > 1 else row_axes[0]
+    one_spec = (
+        {"kv": P("tp", rows)} if cfg.int8_kv else {"k": P("tp", rows), "v": P("tp", rows)}
+    )
+    cache_spec = [one_spec for _ in range(cfg.layers)]
+    data_specs = (P(rows), P(rows), P(rows))  # last_tokens, seq_lens, block_ids
+
+    def step(weights, caches, last_tokens, seq_lens, block_ids):
+        rank_ep = jax.lax.axis_index("tp")
+        return decode_multi(
+            weights,
+            caches,
+            cfg,
+            last_tokens,
+            seq_lens,
+            block_ids,
+            num_steps,
+            axis_name="tp",
+            rank_ep=rank_ep,
+            **dm_kw,
+        )
+
+    return shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(wspecs, cache_spec, *data_specs),
+        out_specs=(P(None, rows), cache_spec),
+        check_vma=False,
+    )
+
+
 def repack_qkv_for_tp(wqkv: jax.Array, cfg: ModelConfig, tp: int) -> jax.Array:
     """Reorder packed [H, (Hq+2Hkv)*D] columns so a tp-split gives each rank
     its own contiguous [q_heads/tp | k_heads/tp | v_heads/tp] block."""

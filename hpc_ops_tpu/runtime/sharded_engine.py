@@ -33,6 +33,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from hpc_ops_tpu.models.llama import (
     ModelConfig,
     init_cache,
+    make_sharded_multi_step,
     make_sharded_step,
     shard_weights_for_tp,
     shard_weights_specs,
@@ -57,6 +58,7 @@ class ShardedEngine:
         max_batch: int = 4,  # decode slots per row shard
         max_blocks_per_seq: int | None = None,
         prefill_chunk: int | None = None,
+        multi_step: int = 1,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -73,6 +75,11 @@ class ShardedEngine:
         assert prefill_chunk is None or prefill_chunk > 0
         self.prefill_chunk = prefill_chunk
         self._prefer_decode = False
+        # fused multi-step decode over the mesh (make_sharded_multi_step):
+        # same semantics as Engine(multi_step=N) — N-1 page-table slack per
+        # request, fixed batch per fused run, surplus tokens truncated.
+        assert multi_step >= 1
+        self.multi_step = multi_step
         self.num_blocks = num_blocks
         self.max_blocks_per_seq = max_blocks_per_seq or max(num_blocks // 4, 4)
 
@@ -120,11 +127,16 @@ class ShardedEngine:
         self._decode_step = jax.jit(
             make_sharded_step(mesh, cfg, is_prefill=False, max_seqlens_q=1)
         )
+        self._decode_multi_step = (
+            jax.jit(make_sharded_multi_step(mesh, cfg, num_steps=multi_step))
+            if multi_step > 1
+            else None
+        )
         self._prefill_steps: dict[int, object] = {}
 
     # ------------------------------------------------------------- requests
     def add_request(self, prompt_ids, max_new: int = 16) -> int:
-        need = len(prompt_ids) + max_new
+        need = len(prompt_ids) + max_new + (self.multi_step - 1)
         cap = self.max_blocks_per_seq * self.block_size
         if need > cap:
             raise ValueError(
@@ -274,6 +286,42 @@ class ShardedEngine:
                 req.out.append(int(toks[s, i]))
                 self._finish_if_done(req)
 
+    def _decode_round_multi(self) -> None:
+        """One fused multi_step decode dispatch over the whole mesh."""
+        n = self.multi_step
+        b = self.max_batch
+        tokens = np.zeros((self.num_shards, b), np.int32)
+        seq_lens = np.ones((self.num_shards, b), np.int32)
+        tables = np.zeros(
+            (self.num_shards, b, self.max_blocks_per_seq), np.int32
+        )
+        served: list[list[int]] = []
+        for s in range(self.num_shards):
+            tables[s, :, :] = self._dummy_blocks[s]
+            rids = self._active[s][:b]
+            served.append(rids)
+            for i, rid in enumerate(rids):
+                req = self.requests[rid]
+                new_len = len(req.tokens)
+                self.allocs[s].extend(rid, new_len + n - 1)
+                tokens[s, i] = req.tokens[-1]
+                seq_lens[s, i] = new_len
+                tables[s, i] = self._table(s, rid)
+        toks, self.caches = self._decode_multi_step(
+            self.weights,
+            self.caches,
+            self._put_rows(tokens.reshape(-1)),
+            self._put_rows(seq_lens.reshape(-1)),
+            self._put_rows(tables.reshape(self.num_shards * b, -1)),
+        )
+        toks = np.asarray(toks).reshape(n, self.num_shards, b)
+        for s, rids in enumerate(served):
+            for i, rid in enumerate(rids):
+                req = self.requests[rid]
+                budget = req.max_new - len(req.out)
+                req.out.extend(int(t) for t in toks[:budget, s, i])
+                self._finish_if_done(req)
+
     def step(self) -> bool:
         """One global step (a prefill round or a decode round). With chunked
         prefill on, decode rounds alternate with chunk rounds so active
@@ -288,7 +336,10 @@ class ShardedEngine:
             return True
         self._prefer_decode = False
         if any(self._active):
-            self._decode_round()
+            if self.multi_step > 1:
+                self._decode_round_multi()
+            else:
+                self._decode_round()
             return True
         return False
 

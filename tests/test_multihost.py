@@ -103,6 +103,39 @@ def test_sharded_engine_chunked_prefill_matches_oneshot():
     assert got == want, f"chunked {got} != one-shot {want}"
 
 
+def test_sharded_engine_multi_step_matches_single():
+    """Fused multi-step decode over the hybrid mesh is token-identical to
+    single-step sharded serving (greedy); surplus fused tokens past
+    max_new are truncated."""
+    from hpc_ops_tpu.models.llama import init_weights, tiny_config
+    from hpc_ops_tpu.parallel.mesh import make_hybrid_mesh
+    from hpc_ops_tpu.runtime.sharded_engine import ShardedEngine
+
+    devices = _cpu_devices(8)
+    cfg = tiny_config()
+    with jax.default_device(devices[0]):
+        weights = init_weights(jax.random.PRNGKey(3), cfg)
+        prompts = [[1, 2, 3, 4, 5], [7, 8, 9], [21, 22], [31]]
+
+        set_interpret_override(True)
+        try:
+            mesh = make_hybrid_mesh(dcn_dp=2, tp=4, dp=1, devices=devices)
+            base = ShardedEngine(
+                cfg, weights, mesh, num_blocks=64, block_size=16,
+                max_batch=4, max_blocks_per_seq=4,
+            )
+            want = base.run([list(p) for p in prompts], max_new=5)
+            fused = ShardedEngine(
+                cfg, weights, mesh, num_blocks=64, block_size=16,
+                max_batch=4, max_blocks_per_seq=4, multi_step=3,
+            )
+            got = fused.run([list(p) for p in prompts], max_new=5)
+        finally:
+            set_interpret_override(None)
+
+    assert got == want, f"multi-step {got} != single {want}"
+
+
 def test_sharded_engine_rejects_oversized_request():
     from hpc_ops_tpu.models.llama import init_weights, tiny_config
     from hpc_ops_tpu.parallel.mesh import make_hybrid_mesh
