@@ -30,3 +30,8 @@ timeout 3000 python benchmark/attention_prefill/bench_attention_prefill.py \
 
 # 5. Headline bench reproducibility (3 runs)
 for i in 1 2 3; do timeout 580 python bench.py; done
+
+# 6. Serving engine throughput: fused multi-step decode + int8 KV (TPU)
+timeout 2400 python benchmark/serving/bench_serving.py \
+  --config mid --batch 8 --multi-steps 1 8 32 \
+  --jsonl results/serving_r2.jsonl
