@@ -35,3 +35,6 @@ for i in 1 2 3; do timeout 580 python bench.py; done
 timeout 2400 python benchmark/serving/bench_serving.py \
   --config mid --batch 8 --multi-steps 1 8 32 \
   --jsonl results/serving_r2.jsonl
+
+# 7. Prefill tile sweep (tq x kv-chunk) for default selection
+timeout 3000 python exp/prefill_sweep.py 2>&1 | tee results/prefill_sweep_r2.txt

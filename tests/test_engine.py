@@ -176,6 +176,13 @@ def test_engine_int8_kv_serving():
         assert len(out) == 4
         assert all(0 <= t < cfg.vocab for t in out)
 
+    # fused multi-step decode rides the same int8 path token-exactly
+    # (Pallas store + FUSED int8 decode inside the scanned graph)
+    e_ms = Engine(
+        cfg, weights, num_blocks=64, block_size=16, max_batch=4, multi_step=3
+    )
+    assert e_ms.run([list(p) for p in prompts], max_new=4) == batch_out
+
 
 def test_decode_multi_matches_single_steps(model):
     """Model-level: decode_multi (n fused steps, one graph) produces the
