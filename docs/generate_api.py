@@ -23,6 +23,7 @@ MODULES = [
     ("Pallas collective kernels", "hpc_ops_tpu.parallel.collective_kernels"),
     ("Serving runtime", "hpc_ops_tpu.runtime"),
     ("Serving engine", "hpc_ops_tpu.runtime.engine"),
+    ("Multi-host serving engine", "hpc_ops_tpu.runtime.sharded_engine"),
     ("Models", "hpc_ops_tpu.models.llama"),
     ("Record/replay harness", "hpc_ops_tpu.utils.replay"),
 ]

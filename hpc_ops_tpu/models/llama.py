@@ -675,7 +675,9 @@ __all__ = [
     "init_weights",
     "init_cache",
     "forward_step",
+    "decode_multi",
     "make_sharded_step",
+    "make_sharded_multi_step",
     "shard_weights_specs",
     "repack_qkv_for_tp",
     "repack_gate_up_for_tp",
