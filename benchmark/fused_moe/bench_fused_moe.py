@@ -168,6 +168,12 @@ def main():
     ap.add_argument("--inner", type=int, default=8)
     ap.add_argument("--csv", default=None)
     ap.add_argument("--jsonl", default=None)
+    ap.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="also capture a jax.profiler trace of each timed config into "
+        "DIR (XProf device-time attribution — the nsys analog of the "
+        "reference's benchmark/fused_moe/worker.py methodology)",
+    )
     args = ap.parse_args()
 
     from hpc_ops_tpu.ops.moe import fuse_moe_blockwise_fp8, fuse_moe_pertensor_fp8
@@ -259,6 +265,16 @@ def main():
                 body, fargs, inner=args.inner,
                 trials=max(args.iters // 2, 3),
             )
+            if args.trace:
+                from common import trace_fn
+
+                scheme_tag = (
+                    f"{'blockwise_' if args.blockwise else ''}{args.dtype}"
+                )
+                trace_fn(
+                    lambda c: body(c), (fargs,),
+                    f"{args.trace}/{model}_s{s}_{scheme_tag}",
+                )
             # expected local expert work: tokens landing on this rank's experts
             frac_local = e_local / e_total
             eff_tokens = s * topk * frac_local
