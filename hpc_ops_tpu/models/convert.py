@@ -1,0 +1,111 @@
+"""HuggingFace checkpoint conversion.
+
+The reference is an operator library that plugs into vLLM/SGLang, which
+load HF checkpoints; a standalone framework needs its own loader. This
+module converts a ``transformers`` Llama-family causal-LM (Llama 2/3,
+Mistral, Qwen2-style: GQA decoder, NeoX rotate-half RoPE, RMSNorm,
+SiLU-gated MLP) into this framework's packed weight layout:
+
+  * ``wqkv [H, (Hq+2Hkv)*D]`` — q|k|v column blocks (q/k/v_proj transposed
+    and concatenated; see :func:`repack_qkv_for_tp` for the TP repack)
+  * ``w_gate_up [H, 2I]`` — gate|up halves
+  * ``w_down [I, H]``, ``wo [Hq*D, H]``, ``lm_head [H, V]`` — transposed
+    from HF's [out, in] convention
+  * ``cos_sin`` — rebuilt from rope_theta (same NeoX table both sides)
+
+The conversion is validated end-to-end against the HF forward pass in
+tests/test_convert.py (logit parity on a random-init tiny Llama) — an
+independent-implementation check of the model semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from hpc_ops_tpu.models.llama import ModelConfig
+from hpc_ops_tpu.ops.rope import make_cos_sin_cache
+
+__all__ = ["config_from_hf", "from_hf_llama"]
+
+
+def config_from_hf(hf_config, max_position: int | None = None) -> ModelConfig:
+    """Map a transformers LlamaConfig-compatible config to ModelConfig."""
+    head_dim = getattr(hf_config, "head_dim", None) or (
+        hf_config.hidden_size // hf_config.num_attention_heads
+    )
+    return ModelConfig(
+        vocab=hf_config.vocab_size,
+        hidden=hf_config.hidden_size,
+        layers=hf_config.num_hidden_layers,
+        q_heads=hf_config.num_attention_heads,
+        kv_heads=getattr(
+            hf_config, "num_key_value_heads", hf_config.num_attention_heads
+        ),
+        head_dim=head_dim,
+        intermediate=hf_config.intermediate_size,
+        rope_base=float(getattr(hf_config, "rope_theta", 10000.0)),
+        norm_eps=hf_config.rms_norm_eps,
+        max_position=max_position
+        or min(int(hf_config.max_position_embeddings), 8192),
+    )
+
+
+def from_hf_llama(model, dtype=jnp.bfloat16, max_position: int | None = None):
+    """Convert a transformers ``LlamaForCausalLM``-style model.
+
+    Returns ``(cfg, weights)`` ready for :func:`forward_step` /
+    :class:`hpc_ops_tpu.runtime.Engine`. Weights are materialized through
+    float32 numpy then cast to ``dtype`` (bf16 by default).
+    """
+    import torch
+
+    cfg = config_from_hf(model.config, max_position=max_position)
+
+    def t2j(t: "torch.Tensor") -> jnp.ndarray:
+        return jnp.asarray(
+            np.asarray(t.detach().to(torch.float32).cpu()), dtype
+        )
+
+    base = model.model if hasattr(model, "model") else model
+    layers = []
+    for hf_layer in base.layers:
+        attn = hf_layer.self_attn
+        mlp = hf_layer.mlp
+        wqkv = jnp.concatenate(
+            [
+                t2j(attn.q_proj.weight).T,
+                t2j(attn.k_proj.weight).T,
+                t2j(attn.v_proj.weight).T,
+            ],
+            axis=1,
+        )  # [H, (Hq+2Hkv)*D]
+        layers.append(
+            {
+                "attn_norm": t2j(hf_layer.input_layernorm.weight),
+                "wqkv": wqkv,
+                "wo": t2j(attn.o_proj.weight).T,  # [Hq*D, H]
+                "mlp_norm": t2j(hf_layer.post_attention_layernorm.weight),
+                "w_gate_up": jnp.concatenate(
+                    [t2j(mlp.gate_proj.weight).T, t2j(mlp.up_proj.weight).T],
+                    axis=1,
+                ),  # [H, 2I]
+                "w_down": t2j(mlp.down_proj.weight).T,  # [I, H]
+            }
+        )
+
+    if getattr(model.config, "tie_word_embeddings", False):
+        lm_head_w = base.embed_tokens.weight
+    else:
+        lm_head_w = model.lm_head.weight
+    weights = {
+        "embed": t2j(base.embed_tokens.weight),  # [V, H]
+        "layers": layers,
+        "final_norm": t2j(base.norm.weight),
+        "lm_head": t2j(lm_head_w).T,  # [H, V]
+        "cos_sin": make_cos_sin_cache(
+            cfg.max_position, cfg.head_dim, cfg.rope_base
+        ),
+    }
+    return cfg, weights
