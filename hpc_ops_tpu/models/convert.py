@@ -24,10 +24,11 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from hpc_ops_tpu.models.llama import ModelConfig
+from hpc_ops_tpu.config import FP8_DTYPE
+from hpc_ops_tpu.models.llama import ModelConfig, MoEConfig
 from hpc_ops_tpu.ops.rope import make_cos_sin_cache
 
-__all__ = ["config_from_hf", "from_hf_llama"]
+__all__ = ["config_from_hf", "from_hf_llama", "from_hf_mixtral"]
 
 
 def config_from_hf(hf_config, max_position: int | None = None) -> ModelConfig:
@@ -50,6 +51,116 @@ def config_from_hf(hf_config, max_position: int | None = None) -> ModelConfig:
         max_position=max_position
         or min(int(hf_config.max_position_embeddings), 8192),
     )
+
+
+def _quantize_moe(gw, dw, scheme: str):
+    """Quantize stacked [E, N, K] fp32 expert weights the way init_weights
+    does: per-128x128-block int8 scales or per-tensor fp8."""
+    if scheme == "blockwise_int8":
+
+        def q_block(wm):
+            e_, n_, k_ = wm.shape
+            wg = wm.reshape(e_, n_ // 128, 128, k_ // 128, 128)
+            sw = jnp.max(jnp.abs(wg), axis=(2, 4)) / 127.0 + 1e-8
+            w8 = jnp.clip(jnp.round(wg / sw[:, :, None, :, None]), -127, 127)
+            return w8.reshape(e_, n_, k_).astype(jnp.int8), sw
+
+        (g8, gs), (d8, ds) = q_block(gw), q_block(dw)
+        return g8, gs, d8, ds
+    e = gw.shape[0]
+    gs = jnp.max(jnp.abs(gw)) / 448.0
+    ds = jnp.max(jnp.abs(dw)) / 448.0
+    return (
+        (gw / gs).astype(FP8_DTYPE),
+        jnp.full((e,), gs, jnp.float32),
+        (dw / ds).astype(FP8_DTYPE),
+        jnp.full((e,), ds, jnp.float32),
+    )
+
+
+def from_hf_mixtral(
+    model,
+    dtype=jnp.bfloat16,
+    max_position: int | None = None,
+    scheme: str = "pertensor_fp8",
+):
+    """Convert a transformers ``MixtralForCausalLM`` into the MoE flagship.
+
+    Router semantics are identical by construction: Mixtral's
+    softmax-then-topk-renormalize equals this model's topk-then-softmax
+    (same k logits feed the same normalized exponentials). Expert weights
+    are stacked [E, N, K] (w1|w3 rows -> gate|up halves, w2 as-is) and
+    quantized with the model's serving scheme (``pertensor_fp8`` or
+    ``blockwise_int8`` — the checkpoint is the fp32/bf16 master, the
+    quantized cache is derived exactly as init_weights derives it).
+    """
+    import torch
+
+    base_cfg = config_from_hf(model.config, max_position=max_position)
+    cfg = base_cfg._replace(
+        moe=MoEConfig(
+            num_experts=model.config.num_local_experts,
+            topk=model.config.num_experts_per_tok,
+            expert_intermediate=model.config.intermediate_size,
+            scheme=scheme,
+        )
+    )
+
+    def t2f(t: "torch.Tensor") -> jnp.ndarray:
+        return jnp.asarray(np.asarray(t.detach().to(torch.float32).cpu()))
+
+    def t2j(t: "torch.Tensor") -> jnp.ndarray:
+        return t2f(t).astype(dtype)
+
+    base = model.model if hasattr(model, "model") else model
+    layers = []
+    for hf_layer in base.layers:
+        attn = hf_layer.self_attn
+        moe = hf_layer.block_sparse_moe
+        gw = jnp.stack(
+            [
+                jnp.concatenate(
+                    [t2f(ex.w1.weight), t2f(ex.w3.weight)], axis=0
+                )  # [2F, H] gate|up
+                for ex in moe.experts
+            ]
+        )
+        dw = jnp.stack([t2f(ex.w2.weight) for ex in moe.experts])  # [E, H, F]
+        g8, gs, d8, ds = _quantize_moe(gw, dw, scheme)
+        layers.append(
+            {
+                "attn_norm": t2j(hf_layer.input_layernorm.weight),
+                "wqkv": jnp.concatenate(
+                    [
+                        t2j(attn.q_proj.weight).T,
+                        t2j(attn.k_proj.weight).T,
+                        t2j(attn.v_proj.weight).T,
+                    ],
+                    axis=1,
+                ),
+                "wo": t2j(attn.o_proj.weight).T,
+                "mlp_norm": t2j(hf_layer.post_attention_layernorm.weight),
+                "router": t2j(moe.gate.weight).T,  # [H, E]
+                "moe_gate_up": g8,
+                "moe_gate_up_scale": gs,
+                "moe_down": d8,
+                "moe_down_scale": ds,
+            }
+        )
+
+    if getattr(model.config, "tie_word_embeddings", False):
+        lm_head_w = base.embed_tokens.weight
+    else:
+        lm_head_w = model.lm_head.weight
+    return cfg, {
+        "embed": t2j(base.embed_tokens.weight),
+        "layers": layers,
+        "final_norm": t2j(base.norm.weight),
+        "lm_head": t2j(lm_head_w).T,
+        "cos_sin": make_cos_sin_cache(
+            cfg.max_position, cfg.head_dim, cfg.rope_base
+        ),
+    }
 
 
 def from_hf_llama(model, dtype=jnp.bfloat16, max_position: int | None = None):

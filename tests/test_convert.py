@@ -112,3 +112,63 @@ def test_hf_llama_serving_roundtrip():
             nxt = int(model(torch.tensor([seq])).logits[0, -1].argmax())
             seq.append(nxt)
     assert outs[0] == seq[3:], f"ours {outs[0]} != hf {seq[3:]}"
+
+
+def test_hf_mixtral_logit_parity():
+    """Mixtral conversion drives the fused-MoE path; fp8-quantized experts
+    vs HF's fp32 reference bound the comparison (quantization is the
+    dominant error term, so thresholds are looser than the dense test)."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    from hpc_ops_tpu.models.convert import from_hf_mixtral
+    from hpc_ops_tpu.models.llama import forward_step, init_cache
+
+    hf_cfg = MixtralConfig(
+        vocab_size=512,
+        hidden_size=256,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_key_value_heads=1,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-5,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(3)
+    model = MixtralForCausalLM(hf_cfg).eval()
+    ids = np.random.RandomState(2).randint(0, 512, (1, 16))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(ids)).logits[0].float().numpy()
+
+    cfg, w = from_hf_mixtral(model)
+    assert cfg.moe is not None and cfg.moe.num_experts == 4
+    caches = init_cache(cfg, num_blocks=4, block_size=16)
+    n, bucket = ids.shape[1], 16
+    toks = np.zeros(bucket, np.int32)
+    toks[:n] = ids[0]
+    logits, _ = jax.jit(
+        functools.partial(
+            forward_step,
+            cfg=cfg,
+            is_prefill=True,
+            max_seqlens_q=bucket,
+            return_all_logits=True,
+        )
+    )(
+        w,
+        caches,
+        token_ids=jnp.asarray(toks),
+        seq_lens=jnp.asarray([n], jnp.int32),
+        q_index=jnp.asarray([0, n], jnp.int32),
+        block_ids=jnp.asarray([[0, 1, 2, 3]], jnp.int32),
+    )
+    ours = np.asarray(logits, np.float32)[:n]
+    c = _cos(ours, hf_logits)
+    top1 = float((ours.argmax(-1) == hf_logits.argmax(-1)).mean())
+    print("mixtral cosine min/mean:", c.min(), c.mean(), "top1:", top1)
+    assert c.min() > 0.95, f"cosine per position: min {c.min()}"
+    assert top1 >= 0.75, f"top-1 agreement {top1}"
