@@ -49,6 +49,10 @@ def native_lib() -> ctypes.CDLL:
     lib.hpc_kv_length.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.hpc_kv_fork.restype = ctypes.c_int32
     lib.hpc_kv_fork.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+    lib.hpc_kv_share_prefix.restype = ctypes.c_int32
+    lib.hpc_kv_share_prefix.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32
+    ]
     lib.hpc_kv_cow_last.restype = ctypes.c_int32
     lib.hpc_kv_cow_last.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)
@@ -125,6 +129,18 @@ class PagedBlockAllocator:
         n = self._lib.hpc_kv_fork(self._h, parent, child)
         if n < 0:
             raise KeyError(f"cannot fork {parent} -> {child}")
+        return int(n)
+
+    def share_prefix(self, parent: int, child: int, num_blocks: int) -> int:
+        """Share parent's first num_blocks FULLY-WRITTEN blocks with a new
+        sequence `child` (refcounted, read-only for the child — its own
+        writes start at the next, freshly-allocated block, so no
+        copy-on-write is involved). The prefix-caching primitive."""
+        n = self._lib.hpc_kv_share_prefix(self._h, parent, child, num_blocks)
+        if n < 0:
+            raise KeyError(
+                f"cannot share {num_blocks} blocks of {parent} -> {child}"
+            )
         return int(n)
 
     def cow_last(self, seq: int) -> tuple[int, int]:

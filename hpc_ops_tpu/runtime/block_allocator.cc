@@ -112,6 +112,29 @@ int32_t hpc_kv_fork(void* h, int64_t parent, int64_t child) {
   return static_cast<int32_t>(it->second.size());
 }
 
+// Shares the first `num_blocks` blocks of `parent` with a NEW sequence
+// `child` (refcounted). Callers must only share FULLY-WRITTEN blocks: the
+// child starts at num_blocks*block_size tokens and its own writes begin at
+// the next (freshly allocated) block, so shared pages stay read-only and
+// no copy-on-write is ever needed on this path (prefix caching). Returns
+// the shared block count, -1 on unknown parent / existing child / range.
+int32_t hpc_kv_share_prefix(void* h, int64_t parent, int64_t child,
+                            int32_t num_blocks) {
+  auto* a = static_cast<Allocator*>(h);
+  auto it = a->tables.find(parent);
+  if (it == a->tables.end() || a->tables.count(child)) return -1;
+  if (num_blocks < 0 ||
+      num_blocks > static_cast<int32_t>(it->second.size())) {
+    return -1;
+  }
+  std::vector<int32_t> tbl(it->second.begin(),
+                           it->second.begin() + num_blocks);
+  for (int32_t blk : tbl) a->refcount[blk]++;
+  a->tables[child] = std::move(tbl);
+  a->lengths[child] = static_cast<int64_t>(num_blocks) * a->block_size;
+  return num_blocks;
+}
+
 // Copy-on-write: ensure the LAST block of `seq` is exclusively owned
 // (decode appends tokens in place there). Returns the physical id of the
 // (possibly new) last block, -2 if a copy is needed but no block is free,

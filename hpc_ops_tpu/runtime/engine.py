@@ -92,6 +92,7 @@ class Engine:
         draft_fn=None,
         prefill_chunk: int | None = None,
         multi_step: int = 1,
+        prefix_cache: bool = False,
     ):
         self.cfg = cfg
         self.weights = weights
@@ -127,6 +128,20 @@ class Engine:
             "fused multi-step decode and speculative decode are exclusive"
         )
         self.multi_step = multi_step
+        # prefix caching: a new request whose prompt starts with blocks
+        # already WRITTEN for another request (live or recently finished)
+        # shares those physical pages (allocator refcounts; see
+        # share_prefix) and prefills only the suffix. Finished requests'
+        # pages are retained in LRU order and evicted on pool pressure.
+        # Only full, fully-written blocks are shared and each request's own
+        # writes always land in unshared tail blocks, so shared pages are
+        # read-only and outputs stay token-identical (incremental-prefill
+        # exactness).
+        self.prefix_cache = prefix_cache
+        self._retired: list[int] = []  # finished rids, pages retained (LRU)
+        self._resident: set[int] = set()  # rids holding allocator tables
+        self.prefix_hits = 0
+        self.prefix_shared_blocks = 0
         self.spec_proposed = 0
         self.spec_accepted = 0
         self._spec_step = None
@@ -215,18 +230,71 @@ class Engine:
     def _table(self, rid: int) -> np.ndarray:
         return self.alloc.table(rid, pad_to=self.max_blocks_per_seq)
 
+    # ------------------------------------------------------- prefix caching
+    def _extend(self, rid: int, num_tokens: int) -> None:
+        """alloc.extend with LRU eviction of retained finished-request
+        pages on pool pressure (shared pages survive via refcounts)."""
+        self._resident.add(rid)
+        while True:
+            try:
+                self.alloc.extend(rid, num_tokens)
+                return
+            except MemoryError:
+                if not self._retired:
+                    raise
+                old = self._retired.pop(0)
+                self.alloc.free(old)
+                self._resident.discard(old)
+
+    def _written(self, rid: int) -> list:
+        """Tokens actually present in rid's KV pages: the prefilled prompt
+        prefix while prefilling; everything but the last sampled token
+        once decoding (that token was sampled but never fed back)."""
+        req = self.requests[rid]
+        if not req.out:
+            return req.prompt[: req.prefilled]
+        return req.tokens[:-1]
+
+    def _match_prefix(self, prompt: list) -> tuple[int | None, int]:
+        """Longest full-block prefix of `prompt` already written for a
+        resident request. Returns (parent_rid, num_blocks); sharing is
+        capped at len(prompt)-1 tokens so the suffix prefill always has at
+        least one token (and therefore produces the first-token logits)."""
+        bs = self.block_size
+        cap_tokens = len(prompt) - 1
+        best, best_k = None, 0
+        for cand in self._resident:
+            if cand == self._dummy_seq or cand not in self.requests:
+                continue
+            w = self._written(cand)
+            lim = min(len(w), cap_tokens) // bs
+            k = 0
+            while k < lim and w[k * bs : (k + 1) * bs] == prompt[k * bs : (k + 1) * bs]:
+                k += 1
+            if k > best_k:
+                best, best_k = cand, k
+        return best, best_k
+
     def _prefill_one(self, rid: int) -> bool:
         """Prefill the next chunk of `rid`'s prompt (the whole prompt when
         chunking is off). Returns True when the prompt is fully prefilled
         — only then is the first token sampled and the request activated."""
         req = self.requests[rid]
         total = len(req.prompt)
+        if self.prefix_cache and req.prefilled == 0 and rid not in self._resident:
+            parent, k = self._match_prefix(req.prompt)
+            if k > 0:
+                self.alloc.share_prefix(parent, rid, k)
+                self._resident.add(rid)
+                req.prefilled = k * self.block_size
+                self.prefix_hits += 1
+                self.prefix_shared_blocks += k
         start = req.prefilled
         n = total - start
         if self.prefill_chunk is not None:
             n = min(self.prefill_chunk, n)
         bucket = _bucket(n)
-        self.alloc.extend(rid, start + n)  # extend() takes TOTAL tokens
+        self._extend(rid, start + n)  # extend() takes TOTAL tokens
         tbl = self._table(rid)
         tokens = np.zeros((bucket,), np.int32)
         tokens[:n] = req.prompt[start : start + n]
@@ -252,7 +320,13 @@ class Engine:
             req.done = True
             if req.rid in self._active:
                 self._active.remove(req.rid)
-            self.alloc.free(req.rid)
+            if self.prefix_cache:
+                # retain the pages for future prefix hits; evicted LRU by
+                # _extend under pool pressure
+                self._retired.append(req.rid)
+            else:
+                self.alloc.free(req.rid)
+                self._resident.discard(req.rid)
 
     def _decode_batch(self) -> None:
         rids = self._active[: self.max_batch]
@@ -263,7 +337,7 @@ class Engine:
         for i, rid in enumerate(rids):
             req = self.requests[rid]
             new_len = len(req.tokens)
-            self.alloc.extend(rid, new_len)
+            self._extend(rid, new_len)
             tokens[i] = req.tokens[-1]
             seq_lens[i] = new_len
             tables[i] = self._table(rid)
@@ -295,7 +369,7 @@ class Engine:
         for i, rid in enumerate(rids):
             req = self.requests[rid]
             new_len = len(req.tokens)
-            self.alloc.extend(rid, new_len + n - 1)
+            self._extend(rid, new_len + n - 1)
             tokens[i] = req.tokens[-1]
             seq_lens[i] = new_len
             tables[i] = self._table(rid)
@@ -350,7 +424,7 @@ class Engine:
             tokens[i, 0] = req.tokens[-1]
             tokens[i, 1:] = d
             seq_lens[i] = base + k
-            self.alloc.extend(rid, base + k)
+            self._extend(rid, base + k)
             tables[i] = self._table(rid)
         logits, self.caches = self._spec_fn()(
             self.weights,

@@ -280,3 +280,60 @@ def test_engine_multi_step_matches_single(model):
     # pool fully freed despite the slack extension
     free0 = Engine(cfg, weights, num_blocks=64, block_size=16).alloc.num_free
     assert fused.alloc.num_free == free0
+
+
+def test_engine_prefix_cache_shares_and_stays_exact(model):
+    """Requests sharing a long system prompt reuse its KV pages (allocator
+    refcounts) and outputs stay token-identical to the uncached engine."""
+    cfg, weights = model
+    sys_prompt = list(range(1, 40))  # 39 tokens -> 2 full blocks of 16
+    prompts = [sys_prompt + [100 + i] for i in range(3)]
+
+    base = Engine(cfg, weights, num_blocks=64, block_size=16, max_batch=4)
+    want = base.run([list(p) for p in prompts], max_new=4)
+
+    eng = Engine(
+        cfg, weights, num_blocks=64, block_size=16, max_batch=4,
+        prefix_cache=True,
+    )
+    got = eng.run([list(p) for p in prompts], max_new=4)
+    assert got == want
+    assert eng.prefix_hits == 2, eng.prefix_hits
+    assert eng.prefix_shared_blocks == 4  # 2 followers x 2 full blocks
+
+
+def test_engine_prefix_cache_retained_after_finish(model):
+    """Pages of finished requests are retained: a later request with the
+    same prefix still hits, and matches an uncached engine token-exactly."""
+    cfg, weights = model
+    sys_prompt = list(range(3, 36))  # 33 tokens -> 2 full blocks
+
+    eng = Engine(
+        cfg, weights, num_blocks=64, block_size=16, max_batch=2,
+        prefix_cache=True,
+    )
+    eng.run([sys_prompt + [7]], max_new=3)
+    out2 = eng.run([sys_prompt + [9, 11]], max_new=3)
+    assert eng.prefix_hits == 1 and eng.prefix_shared_blocks == 2
+
+    fresh = Engine(cfg, weights, num_blocks=64, block_size=16, max_batch=2)
+    want = fresh.run([sys_prompt + [9, 11]], max_new=3)
+    assert out2[0] == want[0]
+
+
+def test_engine_prefix_cache_eviction_under_pressure(model):
+    """Retained pages are evicted LRU when the pool runs dry; serving keeps
+    working and stays correct."""
+    cfg, weights = model
+    eng = Engine(
+        cfg, weights, num_blocks=10, block_size=16, max_batch=1,
+        max_blocks_per_seq=3, prefix_cache=True,
+    )
+    fresh_outs = []
+    for i in range(6):  # 6 distinct 2-block prompts > 9-block pool
+        p = list(range(i * 50 + 1, i * 50 + 20))
+        out = eng.run([p], max_new=3)[0]
+        f = Engine(cfg, weights, num_blocks=10, block_size=16, max_batch=1,
+                   max_blocks_per_seq=3)
+        fresh_outs.append(f.run([list(p)], max_new=3)[0])
+        assert out == fresh_outs[-1], f"iter {i}: {out}"
