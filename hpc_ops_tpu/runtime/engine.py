@@ -61,6 +61,8 @@ class Request:
     max_new: int = 16
     done: bool = False
     prefilled: int = 0  # prompt tokens already written to the KV cache
+    n_best: int = 1  # parallel samples sharing this prompt's KV (parent)
+    parent: int | None = None  # set on n-best children
 
     @property
     def tokens(self) -> list:
@@ -142,6 +144,9 @@ class Engine:
         self._resident: set[int] = set()  # rids holding allocator tables
         self.prefix_hits = 0
         self.prefix_shared_blocks = 0
+        self._children: dict[int, list[int]] = {}  # n-best parent -> kids
+        self._sample_calls = 0
+        self._copy_page_fn = None
         self.spec_proposed = 0
         self.spec_accepted = 0
         self._spec_step = None
@@ -174,7 +179,6 @@ class Engine:
                     cfg=cfg,
                     num_steps=multi_step,
                     temperature=temperature,
-                    sample_seed=seed,
                 )
             )
             if multi_step > 1
@@ -182,7 +186,19 @@ class Engine:
         )
 
     # ------------------------------------------------------------- requests
-    def add_request(self, prompt_ids, max_new: int = 16) -> int:
+    def add_request(self, prompt_ids, max_new: int = 16, n: int = 1):
+        """Queue a request. With ``n > 1`` (parallel sampling / n-best,
+        requires temperature > 0): one prefill serves n continuations — the
+        children fork the parent's page table (allocator refcounts) and the
+        shared partial tail block is copied on write (cow_last + a device
+        page copy), so only divergent KV is ever duplicated. Returns the
+        rid (n == 1) or the list of n rids (parent first)."""
+        assert n >= 1
+        assert n == 1 or self.temperature > 0.0, (
+            "n-best sampling requires temperature > 0 (greedy continuations "
+            "would be identical)"
+        )
+        assert n == 1 or self.speculative_k == 0
         # reject up front anything whose KV footprint cannot fit the per-seq
         # page-table width: over-long requests would otherwise fail deep in
         # a decode batch with an opaque broadcast error after KV was already
@@ -200,9 +216,22 @@ class Engine:
             )
         rid = self._next_rid
         self._next_rid += 1
-        self.requests[rid] = Request(rid, list(map(int, prompt_ids)), max_new=max_new)
+        prompt = list(map(int, prompt_ids))
+        self.requests[rid] = Request(rid, prompt, max_new=max_new, n_best=n)
         self._pending.append(rid)
-        return rid
+        if n == 1:
+            return rid
+        rids = [rid]
+        for _ in range(n - 1):
+            crid = self._next_rid
+            self._next_rid += 1
+            # children are NOT pending — the parent's prefill activates them
+            self.requests[crid] = Request(
+                crid, list(prompt), max_new=max_new, parent=rid
+            )
+            rids.append(crid)
+        self._children[rid] = rids[1:]
+        return rids
 
     # --------------------------------------------------------------- steps
     def _sample(self, logits) -> np.ndarray:
@@ -210,8 +239,14 @@ class Engine:
             return np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int64)
         from hpc_ops_tpu.ops.sampler import fused_sampler
 
+        # fold a step counter into the seed: a fixed seed would replay the
+        # SAME Gumbel noise every decode step, systematically biasing
+        # generation toward whatever tokens that one draw favors
+        self._sample_calls += 1
         toks, _ = fused_sampler(
-            logits, temperature=self.temperature, seed=self.seed
+            logits,
+            temperature=self.temperature,
+            seed=(self.seed + 0x9E3779B9 * self._sample_calls) % (2**31),
         )
         return np.asarray(toks).reshape(-1).astype(np.int64)
 
@@ -309,11 +344,62 @@ class Engine:
         req.prefilled = start + n
         if req.prefilled < total:
             return False
-        tok = int(self._sample(logits.reshape(1, -1))[0])
-        req.out.append(tok)
+        nb = req.n_best
+        if nb == 1:
+            tok = int(self._sample(logits.reshape(1, -1))[0])
+            req.out.append(tok)
+            self._active.append(rid)
+            self._finish_if_done(req)
+            return True
+        # n-best: one prefill, n continuations. Sample n first tokens from
+        # the same logits row (per-row Gumbel noise makes them distinct),
+        # fork the children's page tables off the parent's, and make each
+        # child's partial tail block exclusive (cow + device page copy) so
+        # subsequent decode writes diverge without touching shared pages.
+        toks = self._sample(
+            jnp.broadcast_to(logits.reshape(1, -1), (nb, logits.size))
+        )
+        req.out.append(int(toks[0]))
         self._active.append(rid)
         self._finish_if_done(req)
+        for j, crid in enumerate(self._children.pop(rid), start=1):
+            child = self.requests[crid]
+            self.alloc.fork(rid, crid)
+            self._resident.add(crid)
+            child.prefilled = total
+            if total % self.block_size:
+                self._cow_last(crid)
+            child.out.append(int(toks[j]))
+            self._active.append(crid)
+            self._finish_if_done(child)
         return True
+
+    def _cow_last(self, rid: int) -> None:
+        """Make rid's tail block exclusive; device-copies the old page's
+        contents into the fresh page across all cache layers."""
+        while True:
+            try:
+                blk, src = self.alloc.cow_last(rid)
+                break
+            except MemoryError:
+                if not self._retired:
+                    raise
+                old = self._retired.pop(0)
+                self.alloc.free(old)
+                self._resident.discard(old)
+        if src < 0:
+            return  # already exclusive
+        if self._copy_page_fn is None:
+            def copy(caches, s, d):
+                return [
+                    {k: v.at[:, d].set(v[:, s]) for k, v in layer.items()}
+                    for layer in caches
+                ]
+
+            self._copy_page_fn = jax.jit(copy)
+        self.caches = self._copy_page_fn(
+            self.caches, jnp.int32(src), jnp.int32(blk)
+        )
 
     def _finish_if_done(self, req: Request) -> None:
         if len(req.out) >= req.max_new:
@@ -373,12 +459,18 @@ class Engine:
             tokens[i] = req.tokens[-1]
             seq_lens[i] = new_len
             tables[i] = self._table(rid)
+        # per-run seed (traced, so no recompile): a fixed seed would replay
+        # identical per-step noise across fused runs
+        self._sample_calls += 1
         toks, self.caches = self._decode_multi_step(
             self.weights,
             self.caches,
             last_tokens=jnp.asarray(tokens),
             seq_lens=jnp.asarray(seq_lens),
             block_ids=jnp.asarray(tables),
+            sample_seed=jnp.int32(
+                (self.seed + 0x9E3779B9 * self._sample_calls) % (2**31)
+            ),
         )
         toks = np.asarray(toks)  # [n, b]
         for i, rid in enumerate(rids):

@@ -337,3 +337,53 @@ def test_engine_prefix_cache_eviction_under_pressure(model):
                    max_blocks_per_seq=3)
         fresh_outs.append(f.run([list(p)], max_new=3)[0])
         assert out == fresh_outs[-1], f"iter {i}: {out}"
+
+
+def test_engine_n_best_parallel_sampling(model):
+    """n-best: one prefill serves n continuations. Children fork the
+    parent's page table (shared full blocks), the partial tail block is
+    copied on write (cow_last + device page copy), and continuations
+    diverge under temperature sampling."""
+    cfg, weights = model
+    eng = Engine(
+        cfg, weights, num_blocks=64, block_size=16, max_batch=4,
+        temperature=0.8, seed=7,
+    )
+    free0 = eng.alloc.num_free
+    prompt = list(range(1, 25))  # 24 tokens -> 1 full + 1 partial block
+    rids = eng.add_request(prompt, max_new=6, n=3)
+    assert len(rids) == 3
+
+    eng.step()  # prefill: samples 3 first tokens, forks + COWs children
+    pt = eng.alloc.table(rids[0])
+    for crid in rids[1:]:
+        ct = eng.alloc.table(crid)
+        assert ct[0] == pt[0], "full prefix block must be shared"
+        assert ct[1] != pt[1], "partial tail block must be exclusive"
+        # the device page copy duplicated the tail block's contents
+        for layer in eng.caches:
+            for arr in layer.values():
+                a = np.asarray(arr)
+                np.testing.assert_array_equal(a[:, int(ct[1])], a[:, int(pt[1])])
+
+    while eng.step():
+        pass
+    outs = [eng.requests[r].out for r in rids]
+    assert all(len(o) == 6 for o in outs)
+    assert len({tuple(o) for o in outs}) >= 2, f"no divergence: {outs}"
+    assert eng.alloc.num_free == free0  # refcounted pages all returned
+
+
+def test_engine_temperature_seed_advances(model):
+    """The sampling seed must advance per step — a fixed seed replays the
+    same Gumbel noise and visibly biases generation (e.g. immediate token
+    repeats when one noise draw dominates)."""
+    cfg, weights = model
+    eng = Engine(
+        cfg, weights, num_blocks=64, block_size=16, max_batch=1,
+        temperature=1.0, seed=3,
+    )
+    out = eng.run([[1, 2, 3]], max_new=12)[0]
+    # with step-invariant noise this sequence degenerates into a loop of
+    # length 1 almost surely; distinct-step noise keeps it diverse
+    assert len(set(out)) >= 4, f"suspiciously repetitive: {out}"
