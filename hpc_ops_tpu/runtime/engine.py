@@ -90,6 +90,10 @@ class Engine:
         max_blocks_per_seq: int | None = None,
         temperature: float = 0.0,
         seed: int = 0,
+        topk: int = 0,
+        topp: float = 0.0,
+        softmax_policy=None,
+        repetition_penalty: float = 0.0,
         speculative_k: int = 0,
         draft_fn=None,
         prefill_chunk: int | None = None,
@@ -147,6 +151,37 @@ class Engine:
         self._children: dict[int, list[int]] = {}  # n-best parent -> kids
         self._sample_calls = 0
         self._copy_page_fn = None
+        # full-sampler serving (reference op #16 semantics): top-k/top-p
+        # truncation and the repetition-penalty bitmask, all inside
+        # fused_sampler. Each live request owns a mask row (slot); prompt
+        # tokens are seeded into it at activation, sampled tokens
+        # accumulate via the sampler's functional writeback.
+        from hpc_ops_tpu.config import SoftmaxPolicy
+
+        self.topk = topk
+        self.topp = topp
+        self.repetition_penalty = repetition_penalty
+        if softmax_policy is None:
+            softmax_policy = (
+                SoftmaxPolicy.BEFORE_TOPK if topp > 0 else SoftmaxPolicy.NONE
+            )
+        self.softmax_policy = softmax_policy
+        self._full_sampler = (
+            topk > 0 or topp > 0 or repetition_penalty > 0
+        )
+        assert not (self._full_sampler and temperature <= 0.0), (
+            "topk/topp/repetition_penalty require temperature > 0"
+        )
+        assert not (self._full_sampler and multi_step > 1), (
+            "full-sampler features run the host sampler; use multi_step=1"
+        )
+        if repetition_penalty > 0:
+            self._mask_slots = max_batch * 8 + 1  # last row = dummy scratch
+            self._penalty_mask = jnp.zeros(
+                (self._mask_slots, (cfg.vocab + 7) // 8), jnp.uint8
+            )
+            self._free_slots = list(range(self._mask_slots - 1))
+            self._slot_of: dict[int, int] = {}
         self.spec_proposed = 0
         self.spec_accepted = 0
         self._spec_step = None
@@ -234,7 +269,21 @@ class Engine:
         return rids
 
     # --------------------------------------------------------------- steps
-    def _sample(self, logits) -> np.ndarray:
+    def _assign_slot(self, rid: int) -> int:
+        """Give `rid` a penalty-mask row seeded with its prompt tokens."""
+        if rid in self._slot_of:
+            return self._slot_of[rid]
+        if not self._free_slots:
+            raise RuntimeError("penalty-mask slot pool exhausted")
+        s = self._free_slots.pop()
+        self._slot_of[rid] = s
+        row = np.zeros(self._penalty_mask.shape[1], np.uint8)
+        for t in self.requests[rid].prompt:
+            row[t // 8] |= np.uint8(1 << (t % 8))
+        self._penalty_mask = self._penalty_mask.at[s].set(jnp.asarray(row))
+        return s
+
+    def _sample(self, logits, rids=None) -> np.ndarray:
         if self.temperature <= 0.0:
             return np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int64)
         from hpc_ops_tpu.ops.sampler import fused_sampler
@@ -243,11 +292,31 @@ class Engine:
         # SAME Gumbel noise every decode step, systematically biasing
         # generation toward whatever tokens that one draw favors
         self._sample_calls += 1
-        toks, _ = fused_sampler(
-            logits,
-            temperature=self.temperature,
-            seed=(self.seed + 0x9E3779B9 * self._sample_calls) % (2**31),
+        seed = (self.seed + 0x9E3779B9 * self._sample_calls) % (2**31)
+        kw = {}
+        if self._full_sampler:
+            kw.update(
+                topk=self.topk,
+                topp=self.topp,
+                softmax_policy=self.softmax_policy,
+            )
+            if self.repetition_penalty > 0:
+                b = logits.shape[0]
+                scratch = self._mask_slots - 1
+                slots = [
+                    self._assign_slot(r) if r is not None else scratch
+                    for r in (rids or [None] * b)
+                ] + [scratch] * (b - len(rids or []))
+                kw.update(
+                    penalty_mask=self._penalty_mask,
+                    slot_id=jnp.asarray(slots[:b], jnp.int32),
+                    repetition_penalty=self.repetition_penalty,
+                )
+        toks, new_mask = fused_sampler(
+            logits, temperature=self.temperature, seed=seed, **kw
         )
+        if new_mask is not None:
+            self._penalty_mask = new_mask
         return np.asarray(toks).reshape(-1).astype(np.int64)
 
     def _prefill_fn(self, bucket: int):
@@ -346,7 +415,7 @@ class Engine:
             return False
         nb = req.n_best
         if nb == 1:
-            tok = int(self._sample(logits.reshape(1, -1))[0])
+            tok = int(self._sample(logits.reshape(1, -1), rids=[rid])[0])
             req.out.append(tok)
             self._active.append(rid)
             self._finish_if_done(req)
@@ -356,13 +425,15 @@ class Engine:
         # fork the children's page tables off the parent's, and make each
         # child's partial tail block exclusive (cow + device page copy) so
         # subsequent decode writes diverge without touching shared pages.
+        kids = self._children.pop(rid)
         toks = self._sample(
-            jnp.broadcast_to(logits.reshape(1, -1), (nb, logits.size))
+            jnp.broadcast_to(logits.reshape(1, -1), (nb, logits.size)),
+            rids=[rid] + kids,
         )
         req.out.append(int(toks[0]))
         self._active.append(rid)
         self._finish_if_done(req)
-        for j, crid in enumerate(self._children.pop(rid), start=1):
+        for j, crid in enumerate(kids, start=1):
             child = self.requests[crid]
             self.alloc.fork(rid, crid)
             self._resident.add(crid)
@@ -413,6 +484,10 @@ class Engine:
             else:
                 self.alloc.free(req.rid)
                 self._resident.discard(req.rid)
+            if self.repetition_penalty > 0:
+                s = self._slot_of.pop(req.rid, None)
+                if s is not None:
+                    self._free_slots.append(s)  # row re-seeded on reuse
 
     def _decode_batch(self) -> None:
         rids = self._active[: self.max_batch]
@@ -435,7 +510,7 @@ class Engine:
             q_index=jnp.arange(b + 1, dtype=jnp.int32),
             block_ids=jnp.asarray(tables),
         )
-        toks = self._sample(logits)
+        toks = self._sample(logits, rids=rids)
         for i, rid in enumerate(rids):
             req = self.requests[rid]
             req.out.append(int(toks[i]))

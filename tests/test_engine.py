@@ -387,3 +387,51 @@ def test_engine_temperature_seed_advances(model):
     # with step-invariant noise this sequence degenerates into a loop of
     # length 1 almost surely; distinct-step noise keeps it diverse
     assert len(set(out)) >= 4, f"suspiciously repetitive: {out}"
+
+
+def test_engine_topk1_equals_greedy(model):
+    """topk=1 keeps only the argmax candidate, so temperature sampling
+    degenerates to greedy exactly — a deterministic end-to-end check of
+    the full-sampler serving path (top-k truncation + Gumbel draw)."""
+    cfg, weights = model
+    prompts = [[1, 2, 3, 4], [9, 8, 7]]
+    greedy = Engine(cfg, weights, num_blocks=64, block_size=16, max_batch=2)
+    want = greedy.run([list(p) for p in prompts], max_new=5)
+
+    from hpc_ops_tpu.config import SoftmaxPolicy
+
+    eng = Engine(
+        cfg, weights, num_blocks=64, block_size=16, max_batch=2,
+        temperature=1.0, topk=1, softmax_policy=SoftmaxPolicy.AFTER_TOPK,
+    )
+    got = eng.run([list(p) for p in prompts], max_new=5)
+    assert got == want
+
+
+def test_engine_repetition_penalty_mask_accumulates(model):
+    """The penalty bitmask is seeded with prompt tokens at activation and
+    accumulates sampled tokens via the sampler's writeback."""
+    cfg, weights = model
+    eng = Engine(
+        cfg, weights, num_blocks=64, block_size=16, max_batch=2,
+        temperature=0.9, topp=0.9, repetition_penalty=1.3, seed=11,
+    )
+    prompt = [5, 17, 300]
+    rid = eng.add_request(list(prompt), max_new=4)
+    while eng.step():
+        pass
+    out = eng.requests[rid].out
+    assert len(out) == 4 and all(0 <= t < cfg.vocab for t in out)
+    # slot freed on finish; grab the mask row it used
+    mask = np.asarray(eng._penalty_mask)
+    bits = np.unpackbits(mask, axis=1, bitorder="little")
+    hit_rows = {
+        r for r in range(bits.shape[0])
+        for t in prompt + out[:-1]  # last token sampled, maybe not written back before finish
+        if bits[r, t]
+    }
+    for t in prompt:
+        assert bits[:, t].any(), f"prompt token {t} never seeded"
+    for t in out:
+        assert bits[:, t].any(), f"sampled token {t} never written back"
+    assert hit_rows, "no mask row used"
