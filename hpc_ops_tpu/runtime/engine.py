@@ -63,6 +63,7 @@ class Request:
     prefilled: int = 0  # prompt tokens already written to the KV cache
     n_best: int = 1  # parallel samples sharing this prompt's KV (parent)
     parent: int | None = None  # set on n-best children
+    stop: frozenset = frozenset()  # sampling any of these ends the request
 
     @property
     def tokens(self) -> list:
@@ -99,6 +100,7 @@ class Engine:
         prefill_chunk: int | None = None,
         multi_step: int = 1,
         prefix_cache: bool = False,
+        stop_tokens=(),
     ):
         self.cfg = cfg
         self.weights = weights
@@ -144,6 +146,9 @@ class Engine:
         # read-only and outputs stay token-identical (incremental-prefill
         # exactness).
         self.prefix_cache = prefix_cache
+        # stop tokens (EOS and friends): a request finishes as soon as it
+        # emits one, before exhausting max_new; overridable per request
+        self.stop_tokens = frozenset(map(int, stop_tokens))
         self._retired: list[int] = []  # finished rids, pages retained (LRU)
         self._resident: set[int] = set()  # rids holding allocator tables
         self.prefix_hits = 0
@@ -221,7 +226,8 @@ class Engine:
         )
 
     # ------------------------------------------------------------- requests
-    def add_request(self, prompt_ids, max_new: int = 16, n: int = 1):
+    def add_request(self, prompt_ids, max_new: int = 16, n: int = 1,
+                    stop=None):
         """Queue a request. With ``n > 1`` (parallel sampling / n-best,
         requires temperature > 0): one prefill serves n continuations — the
         children fork the parent's page table (allocator refcounts) and the
@@ -249,10 +255,15 @@ class Engine:
                 f"{self.max_blocks_per_seq} x block_size={self.block_size} "
                 f"caps a sequence at {cap}"
             )
+        stop_set = (
+            self.stop_tokens if stop is None else frozenset(map(int, stop))
+        )
         rid = self._next_rid
         self._next_rid += 1
         prompt = list(map(int, prompt_ids))
-        self.requests[rid] = Request(rid, prompt, max_new=max_new, n_best=n)
+        self.requests[rid] = Request(
+            rid, prompt, max_new=max_new, n_best=n, stop=stop_set
+        )
         self._pending.append(rid)
         if n == 1:
             return rid
@@ -262,7 +273,7 @@ class Engine:
             self._next_rid += 1
             # children are NOT pending — the parent's prefill activates them
             self.requests[crid] = Request(
-                crid, list(prompt), max_new=max_new, parent=rid
+                crid, list(prompt), max_new=max_new, parent=rid, stop=stop_set
             )
             rids.append(crid)
         self._children[rid] = rids[1:]
@@ -473,7 +484,11 @@ class Engine:
         )
 
     def _finish_if_done(self, req: Request) -> None:
-        if len(req.out) >= req.max_new:
+        if req.done:
+            return  # idempotent: callers may re-check after batch loops
+        if len(req.out) >= req.max_new or (
+            req.out and req.out[-1] in req.stop
+        ):
             req.done = True
             if req.rid in self._active:
                 self._active.remove(req.rid)
@@ -550,8 +565,11 @@ class Engine:
         toks = np.asarray(toks)  # [n, b]
         for i, rid in enumerate(rids):
             req = self.requests[rid]
-            budget = req.max_new - len(req.out)
-            req.out.extend(int(t) for t in toks[:budget, i])
+            for t in toks[:, i]:
+                if req.done or len(req.out) >= req.max_new:
+                    break
+                req.out.append(int(t))
+                self._finish_if_done(req)
             self._finish_if_done(req)
 
     # ------------------------------------------------- speculative decode
@@ -611,8 +629,11 @@ class Engine:
             emitted = list(d[:a]) + [int(targets[i, a])]
             self.spec_proposed += len(d)
             self.spec_accepted += a
-            budget = req.max_new - len(req.out)
-            req.out.extend(emitted[:budget])
+            for t in emitted:
+                if req.done or len(req.out) >= req.max_new:
+                    break
+                req.out.append(int(t))
+                self._finish_if_done(req)
             self._finish_if_done(req)
 
     @property

@@ -435,3 +435,31 @@ def test_engine_repetition_penalty_mask_accumulates(model):
     for t in out:
         assert bits[:, t].any(), f"sampled token {t} never written back"
     assert hit_rows, "no mask row used"
+
+
+def test_engine_stop_tokens(model):
+    """A sampled stop token ends the request early, on every decode path
+    (single-step, fused multi-step, speculative)."""
+    cfg, weights = model
+    prompts = [[1, 2, 3, 4], [9, 8, 7]]
+    ref = Engine(cfg, weights, num_blocks=64, block_size=16, max_batch=2)
+    full = ref.run([list(p) for p in prompts], max_new=8)
+    # pick the 3rd token of stream 0 as the stop token
+    stop = full[0][2]
+    expect0 = full[0][: 3]  # ends WITH the stop token
+
+    for kw in (
+        {},
+        {"multi_step": 4},
+        {"speculative_k": 2},
+    ):
+        eng = Engine(
+            cfg, weights, num_blocks=64, block_size=16, max_batch=2,
+            stop_tokens=[stop], **kw,
+        )
+        outs = eng.run([list(p) for p in prompts], max_new=8)
+        assert outs[0] == expect0, f"{kw}: {outs[0]} != {expect0}"
+        # stream 1 unaffected unless it also emits the token
+        if stop not in full[1]:
+            assert outs[1] == full[1], f"{kw}: {outs[1]}"
+        assert eng.requests[0].done
