@@ -59,6 +59,7 @@ class ShardedEngine:
         max_blocks_per_seq: int | None = None,
         prefill_chunk: int | None = None,
         multi_step: int = 1,
+        stop_tokens=(),
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -80,6 +81,7 @@ class ShardedEngine:
         # request, fixed batch per fused run, surplus tokens truncated.
         assert multi_step >= 1
         self.multi_step = multi_step
+        self.stop_tokens = frozenset(map(int, stop_tokens))
         self.num_blocks = num_blocks
         self.max_blocks_per_seq = max_blocks_per_seq or max(num_blocks // 4, 4)
 
@@ -135,7 +137,7 @@ class ShardedEngine:
         self._prefill_steps: dict[int, object] = {}
 
     # ------------------------------------------------------------- requests
-    def add_request(self, prompt_ids, max_new: int = 16) -> int:
+    def add_request(self, prompt_ids, max_new: int = 16, stop=None) -> int:
         need = len(prompt_ids) + max_new + (self.multi_step - 1)
         cap = self.max_blocks_per_seq * self.block_size
         if need > cap:
@@ -145,7 +147,13 @@ class ShardedEngine:
             )
         rid = self._next_rid
         self._next_rid += 1
-        self.requests[rid] = Request(rid, list(map(int, prompt_ids)), max_new=max_new)
+        self.requests[rid] = Request(
+            rid,
+            list(map(int, prompt_ids)),
+            max_new=max_new,
+            stop=(self.stop_tokens if stop is None
+                  else frozenset(map(int, stop))),
+        )
         self._pending.append(rid)
         return rid
 
@@ -243,7 +251,11 @@ class ShardedEngine:
             self._finish_if_done(req)
 
     def _finish_if_done(self, req: Request) -> None:
-        if len(req.out) >= req.max_new:
+        if req.done:
+            return  # idempotent: batch loops may re-check
+        if len(req.out) >= req.max_new or (
+            req.out and req.out[-1] in req.stop
+        ):
             req.done = True
             s = self._owner.get(req.rid)
             if s is not None and req.rid in self._active[s]:
@@ -318,8 +330,11 @@ class ShardedEngine:
         for s, rids in enumerate(served):
             for i, rid in enumerate(rids):
                 req = self.requests[rid]
-                budget = req.max_new - len(req.out)
-                req.out.extend(int(t) for t in toks[:budget, s, i])
+                for t in toks[:, s, i]:
+                    if req.done or len(req.out) >= req.max_new:
+                        break
+                    req.out.append(int(t))
+                    self._finish_if_done(req)
                 self._finish_if_done(req)
 
     def step(self) -> bool:

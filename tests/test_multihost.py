@@ -152,3 +152,36 @@ def test_sharded_engine_rejects_oversized_request():
         )
         with pytest.raises(ValueError, match="KV slots"):
             eng.add_request(list(range(100)), max_new=8)
+
+
+def test_sharded_engine_stop_tokens():
+    """Stop tokens end requests early on the sharded engine too (single-
+    and multi-step decode)."""
+    from hpc_ops_tpu.models.llama import init_weights, tiny_config
+    from hpc_ops_tpu.parallel.mesh import make_hybrid_mesh
+    from hpc_ops_tpu.runtime.sharded_engine import ShardedEngine
+
+    devices = _cpu_devices(8)
+    cfg = tiny_config()
+    with jax.default_device(devices[0]):
+        weights = init_weights(jax.random.PRNGKey(3), cfg)
+        prompts = [[1, 2, 3, 4, 5], [7, 8, 9]]
+        set_interpret_override(True)
+        try:
+            mesh = make_hybrid_mesh(dcn_dp=2, tp=4, dp=1, devices=devices)
+            base = ShardedEngine(
+                cfg, weights, mesh, num_blocks=64, block_size=16,
+                max_batch=2, max_blocks_per_seq=4,
+            )
+            full = base.run([list(p) for p in prompts], max_new=6)
+            stop = full[0][2]
+            for ms in (1, 3):
+                eng = ShardedEngine(
+                    cfg, weights, mesh, num_blocks=64, block_size=16,
+                    max_batch=2, max_blocks_per_seq=4, multi_step=ms,
+                    stop_tokens=[stop],
+                )
+                outs = eng.run([list(p) for p in prompts], max_new=6)
+                assert outs[0] == full[0][:3], f"ms={ms}: {outs[0]}"
+        finally:
+            set_interpret_override(None)
