@@ -21,6 +21,7 @@ MODULES = [
     ("Stem sparse-mask generator", "hpc_ops_tpu.ops.stem"),
     ("Parallel / collectives", "hpc_ops_tpu.parallel"),
     ("Pallas collective kernels", "hpc_ops_tpu.parallel.collective_kernels"),
+    ("Ring attention (sequence parallel)", "hpc_ops_tpu.parallel.ring_attention"),
     ("Serving runtime", "hpc_ops_tpu.runtime"),
     ("Serving engine", "hpc_ops_tpu.runtime.engine"),
     ("Multi-host serving engine", "hpc_ops_tpu.runtime.sharded_engine"),

@@ -7,6 +7,7 @@ from hpc_ops_tpu.parallel.collectives import (
     fuse_allreduce_rmsnorm_sharded,
 )
 from hpc_ops_tpu.parallel.mesh import make_mesh, tp_sharding
+from hpc_ops_tpu.parallel.ring_attention import ring_attention
 
 __all__ = [
     "fuse_allreduce_rmsnorm",
@@ -14,5 +15,6 @@ __all__ = [
     "fuse_allreduce_rmsnorm_sharded",
     "fuse_allreduce_rmsnorm_ref",
     "make_mesh",
+    "ring_attention",
     "tp_sharding",
 ]
