@@ -156,6 +156,8 @@ class Engine:
         self._children: dict[int, list[int]] = {}  # n-best parent -> kids
         self._sample_calls = 0
         self._copy_page_fn = None
+        self._prefill_dispatches = 0
+        self._decode_dispatches = 0
         # full-sampler serving (reference op #16 semantics): top-k/top-p
         # truncation and the repetition-penalty bitmask, all inside
         # fused_sampler. Each live request owns a mask row (slot); prompt
@@ -648,6 +650,25 @@ class Engine:
             ),
         }
 
+    @property
+    def stats(self) -> dict:
+        """Serving counters: dispatches, tokens, occupancy, cache state."""
+        done = [r for r in self.requests.values() if r.done]
+        return {
+            "requests": len(self.requests),
+            "pending": len(self._pending),
+            "active": len(self._active),
+            "done": len(done),
+            "tokens_out": sum(len(r.out) for r in self.requests.values()),
+            "prefill_dispatches": self._prefill_dispatches,
+            "decode_dispatches": self._decode_dispatches,
+            "blocks_free": self.alloc.num_free,
+            "blocks_total": self.alloc.num_blocks,
+            "prefix_hits": self.prefix_hits,
+            "prefix_shared_blocks": self.prefix_shared_blocks,
+            "speculative": self.speculative_stats,
+        }
+
     def step(self) -> bool:
         """One engine step (a prefill [chunk] or a decode batch). Returns
         False when no work remains. With chunked prefill enabled, decode
@@ -656,12 +677,14 @@ class Engine:
         if self._pending and not (
             self.prefill_chunk is not None and self._active and self._prefer_decode
         ):
+            self._prefill_dispatches += 1
             if self._prefill_one(self._pending[0]):
                 self._pending.pop(0)
             self._prefer_decode = True
             return True
         self._prefer_decode = False
         if self._active:
+            self._decode_dispatches += 1
             if self.speculative_k > 0:
                 drafts = {
                     rid: self.draft_fn(

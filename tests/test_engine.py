@@ -463,3 +463,17 @@ def test_engine_stop_tokens(model):
         if stop not in full[1]:
             assert outs[1] == full[1], f"{kw}: {outs[1]}"
         assert eng.requests[0].done
+
+
+def test_engine_stats(model):
+    cfg, weights = model
+    eng = Engine(
+        cfg, weights, num_blocks=64, block_size=16, max_batch=2, multi_step=4
+    )
+    eng.run([[1, 2, 3], [4, 5]], max_new=8)
+    st = eng.stats
+    assert st["done"] == 2 and st["tokens_out"] == 16
+    assert st["prefill_dispatches"] == 2
+    # fused multi-step: 8 tokens = 1 from prefill + 7 decode -> 2 fused runs
+    assert st["decode_dispatches"] == 2, st
+    assert st["blocks_free"] == st["blocks_total"] - 1  # dummy page held
