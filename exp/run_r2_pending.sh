@@ -38,3 +38,10 @@ timeout 2400 python benchmark/serving/bench_serving.py \
 
 # 7. Prefill tile sweep (tq x kv-chunk) for default selection
 timeout 3000 python exp/prefill_sweep.py 2>&1 | tee results/prefill_sweep_r2.txt
+
+# 8. Short-KV r_pack sweep (uniform_512): is 16/32 better than 8?
+for rp in 8 16 32; do
+  HPC_DECODE_RPACK=$rp timeout 900 python benchmark/attention_decode/bench_attention_decode.py \
+    --cases uniform_512 --methods grid --dtypes bf16 int8 \
+    --jsonl results/decode_rpack_r2.jsonl || true
+done

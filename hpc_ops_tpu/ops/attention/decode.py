@@ -1374,10 +1374,18 @@ def attention_decode(
                 )
             # short-KV regime: grid-step overhead dominates at <= ~1K KV
             # tokens per (b, h) — pack several pairs per grid step
+            # (HPC_DECODE_RPACK env overrides the candidate for tuning
+            # sweeps; divisibility still enforced)
             r_pack = 1
             if block_ids.shape[1] * page_size <= 1024:
-                for cand in (8, 4, 2):
-                    if (b * hkv) % cand == 0:
+                import os as _os
+
+                cands: tuple = (8, 4, 2)
+                env = _os.environ.get("HPC_DECODE_RPACK")
+                if env:
+                    cands = (int(env),) + cands
+                for cand in cands:
+                    if cand > 1 and (b * hkv) % cand == 0:
                         r_pack = cand
                         break
             if r_pack > 1:
