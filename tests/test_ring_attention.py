@@ -63,3 +63,55 @@ def test_ring_attention_matches_dense(causal, ws):
     )
     err = np.abs(got - want).max()
     assert err < 2e-4, f"max err {err}"
+
+
+@pytest.mark.parametrize("ws", [4, 8])
+def test_ring_attention_zigzag_matches_dense(ws):
+    """Zigzag-balanced causal schedule: layout-permute in, compute, inverse
+    permute out — must equal dense causal attention."""
+    from hpc_ops_tpu.parallel.ring_attention import (
+        ring_attention,
+        zigzag_layout,
+        zigzag_unlayout,
+    )
+
+    devices = _cpu_devices(ws)
+    b, hkv, group, d = 2, 2, 2, 64
+    hq = hkv * group
+    s = ws * 2 * 4  # 2p blocks of 4
+    rng = np.random.RandomState(3)
+    q = rng.randn(b, s, hq, d).astype(np.float32)
+    k = rng.randn(b, s, hkv, d).astype(np.float32)
+    v = rng.randn(b, s, hkv, d).astype(np.float32)
+    want = np_attention(q, k, v, True, group)
+
+    mesh = Mesh(np.array(devices), ("sp",))
+    f = jax.jit(
+        jax.shard_map(
+            lambda q_, k_, v_: ring_attention(
+                q_, k_, v_, "sp", causal=True, schedule="zigzag"
+            ),
+            mesh=mesh,
+            in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp")),
+            out_specs=P(None, "sp"),
+        )
+    )
+    qz = zigzag_layout(jnp.asarray(q), ws)
+    kz = zigzag_layout(jnp.asarray(k), ws)
+    vz = zigzag_layout(jnp.asarray(v), ws)
+    got = np.asarray(
+        zigzag_unlayout(f(qz, kz, vz), ws), np.float32
+    )
+    err = np.abs(got - want).max()
+    assert err < 2e-4, f"max err {err}"
+
+
+def test_zigzag_layout_roundtrip():
+    from hpc_ops_tpu.parallel.ring_attention import (
+        zigzag_layout,
+        zigzag_unlayout,
+    )
+
+    x = jnp.arange(48).reshape(1, 48, 1)
+    y = zigzag_unlayout(zigzag_layout(x, 4), 4)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
