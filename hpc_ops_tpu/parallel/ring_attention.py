@@ -116,27 +116,37 @@ def ring_attention(
         o = jnp.einsum("bhgqk,bhkd->bhgqd", e, vf)
         return m, l, o
 
-    def step(i, carry):
-        kv, m_acc, l_acc, o_acc = carry
-        src = (my - i) % p  # the block now held arrived from this shard
-        m_blk, l_blk, o_blk = local_block(kv, src)
+    def merge(acc, blk_c):
+        m_acc, l_acc, o_acc = acc
+        m_blk, l_blk, o_blk = blk_c
         m_new = jnp.maximum(m_acc, m_blk)
         a_old = jnp.exp(m_acc - m_new)
         a_blk = jnp.exp(m_blk - m_new)
-        l_new = l_acc * a_old + l_blk * a_blk
-        o_new = o_acc * a_old + o_blk * a_blk
+        return (
+            m_new,
+            l_acc * a_old + l_blk * a_blk,
+            o_acc * a_old + o_blk * a_blk,
+        )
+
+    def step(i, carry):
+        # rotate FIRST (steps 1..p-1): exactly p-1 permutes total — a
+        # trailing rotate after the last compute would move a full K+V
+        # block around the ring just to be discarded
+        kv, acc = carry
         kv = jax.tree.map(
             lambda x: jax.lax.ppermute(x, axis_name, perm), kv
         )
-        return kv, m_new, l_new, o_new
+        src = (my - i) % p  # the block now held arrived from this shard
+        return kv, merge(acc, local_block(kv, src))
 
     # derive the accumulators from qf so they carry the same device-varying
     # (shard_map VMA) type as the loop outputs
     m0 = jnp.full_like(qf[..., :1], _NEG_INF)
     l0 = jnp.zeros_like(m0)
     o0 = m0 * 0.0 + jnp.zeros((v.shape[-1],), jnp.float32)
-    _, _, l_fin, o_fin = jax.lax.fori_loop(
-        0, p, step, ((k, v), m0, l0, o0)
+    acc0 = merge((m0, l0, o0), local_block((k, v), my))  # step 0: local
+    _, (_, l_fin, o_fin) = jax.lax.fori_loop(
+        1, p, step, ((k, v), acc0)
     )
     out = o_fin / jnp.maximum(l_fin, 1e-38)
     return (
@@ -191,13 +201,11 @@ def _ring_zigzag(q, k, v, axis_name, scale, p, my):
 
     perm = [(i, (i + 1) % p) for i in range(p)]
 
-    def step(i, carry):
-        kv, acc_lo, acc_hi = carry
+    def compute(kv, src, acc_lo, acc_hi):
         kb, vb = kv
         kf = kb.astype(jnp.float32).transpose(0, 2, 1, 3)  # [B,Hkv,S,D]
         vf = vb.astype(jnp.float32).transpose(0, 2, 1, 3)
         k_lo, v_lo = kf[..., :blk, :], vf[..., :blk, :]
-        src = (my - i) % p
 
         def b_lt(_):  # src < my: q_lo<-ll full, q_hi<-hl full
             return (
@@ -221,9 +229,15 @@ def _ring_zigzag(q, k, v, axis_name, scale, p, my):
 
         idx = jnp.clip(jnp.sign(src - my), -1, 1) + 1
         lo_c, hi_c = jax.lax.switch(idx, [b_lt, b_eq, b_gt], None)
-        acc_lo = merge(acc_lo, lo_c)
-        acc_hi = merge(acc_hi, hi_c)
+        return merge(acc_lo, lo_c), merge(acc_hi, hi_c)
+
+    def step(i, carry):
+        # rotate first (steps 1..p-1) — p-1 permutes total, no discarded
+        # trailing rotation
+        kv, acc_lo, acc_hi = carry
         kv = jax.tree.map(lambda x: jax.lax.ppermute(x, axis_name, perm), kv)
+        src = (my - i) % p
+        acc_lo, acc_hi = compute(kv, src, acc_lo, acc_hi)
         return kv, acc_lo, acc_hi
 
     def init_acc():
@@ -232,8 +246,9 @@ def _ring_zigzag(q, k, v, axis_name, scale, p, my):
         o0 = m0 * 0.0 + jnp.zeros((dv,), jnp.float32)
         return m0, l0, o0
 
+    acc_lo0, acc_hi0 = compute((k, v), my, init_acc(), init_acc())
     _, acc_lo, acc_hi = jax.lax.fori_loop(
-        0, p, step, ((k, v), init_acc(), init_acc())
+        1, p, step, ((k, v), acc_lo0, acc_hi0)
     )
     outs = []
     for _, l_f, o_f in (acc_lo, acc_hi):

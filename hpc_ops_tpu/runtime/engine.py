@@ -151,6 +151,7 @@ class Engine:
         self.stop_tokens = frozenset(map(int, stop_tokens))
         self._retired: list[int] = []  # finished rids, pages retained (LRU)
         self._resident: set[int] = set()  # rids holding allocator tables
+        self._bh_cache: dict[int, tuple[int, list]] = {}  # rid -> block hashes
         self.prefix_hits = 0
         self.prefix_shared_blocks = 0
         self._children: dict[int, list[int]] = {}  # n-best parent -> kids
@@ -287,7 +288,21 @@ class Engine:
         if rid in self._slot_of:
             return self._slot_of[rid]
         if not self._free_slots:
-            raise RuntimeError("penalty-mask slot pool exhausted")
+            # grow the pool: prefill runs ahead of decode, so the number of
+            # live slots is bounded by queued requests, not max_batch.
+            # The scratch row stays LAST (its id is recomputed per sample
+            # call); the old scratch row becomes a data row — rows are
+            # fully re-seeded on assignment, so its stale bits are inert.
+            old = self._penalty_mask
+            n_old = self._mask_slots
+            n_new = (n_old - 1) * 2 + 1
+            self._penalty_mask = (
+                jnp.zeros((n_new, old.shape[1]), old.dtype)
+                .at[: n_old - 1]
+                .set(old[: n_old - 1])
+            )
+            self._free_slots = list(range(n_old - 1, n_new - 1))
+            self._mask_slots = n_new
         s = self._free_slots.pop()
         self._slot_of[rid] = s
         row = np.zeros(self._penalty_mask.shape[1], np.uint8)
@@ -362,6 +377,7 @@ class Engine:
                 old = self._retired.pop(0)
                 self.alloc.free(old)
                 self._resident.discard(old)
+                self._bh_cache.pop(old, None)
 
     def _written(self, rid: int) -> list:
         """Tokens actually present in rid's KV pages: the prefilled prompt
@@ -372,24 +388,59 @@ class Engine:
             return req.prompt[: req.prefilled]
         return req.tokens[:-1]
 
+    def _block_hashes(self, tokens: list, nfull: int) -> list:
+        """Cumulative hash per full block: h_i = hash(h_{i-1}, block_i)."""
+        hs, h = [], 0
+        bs = self.block_size
+        for i in range(nfull):
+            h = hash((h, tuple(tokens[i * bs : (i + 1) * bs])))
+            hs.append(h)
+        return hs
+
+    def _resident_hashes(self, rid: int) -> list:
+        """Cached cumulative block hashes of rid's written tokens
+        (recomputed only when its written-block count changes)."""
+        w = self._written(rid)
+        nfull = len(w) // self.block_size
+        cached = self._bh_cache.get(rid)
+        if cached is not None and cached[0] == nfull:
+            return cached[1]
+        hs = self._block_hashes(w, nfull)
+        self._bh_cache[rid] = (nfull, hs)
+        return hs
+
     def _match_prefix(self, prompt: list) -> tuple[int | None, int]:
         """Longest full-block prefix of `prompt` already written for a
-        resident request. Returns (parent_rid, num_blocks); sharing is
-        capped at len(prompt)-1 tokens so the suffix prefill always has at
-        least one token (and therefore produces the first-token logits)."""
+        resident request, via cached cumulative block hashes (O(blocks)
+        per candidate; token equality re-verified on the winner to guard
+        hash collisions). Sharing is capped at len(prompt)-1 tokens so the
+        suffix prefill always has at least one token (and therefore
+        produces the first-token logits)."""
         bs = self.block_size
-        cap_tokens = len(prompt) - 1
+        cap_blocks = (len(prompt) - 1) // bs
+        if cap_blocks <= 0:
+            return None, 0
+        want = self._block_hashes(prompt, cap_blocks)
         best, best_k = None, 0
         for cand in self._resident:
             if cand == self._dummy_seq or cand not in self.requests:
                 continue
-            w = self._written(cand)
-            lim = min(len(w), cap_tokens) // bs
+            have = self._resident_hashes(cand)
+            lim = min(len(have), cap_blocks)
             k = 0
-            while k < lim and w[k * bs : (k + 1) * bs] == prompt[k * bs : (k + 1) * bs]:
+            while k < lim and have[k] == want[k]:
                 k += 1
             if k > best_k:
                 best, best_k = cand, k
+        if best is not None:
+            # hash-collision guard: verify the actual tokens of the winner
+            w = self._written(best)
+            while best_k and (
+                w[: best_k * bs] != prompt[: best_k * bs]
+            ):
+                best_k -= 1
+            if best_k == 0:
+                best = None
         return best, best_k
 
     def _prefill_one(self, rid: int) -> bool:
@@ -471,6 +522,7 @@ class Engine:
                 old = self._retired.pop(0)
                 self.alloc.free(old)
                 self._resident.discard(old)
+                self._bh_cache.pop(old, None)
         if src < 0:
             return  # already exclusive
         if self._copy_page_fn is None:
@@ -501,6 +553,7 @@ class Engine:
             else:
                 self.alloc.free(req.rid)
                 self._resident.discard(req.rid)
+                self._bh_cache.pop(req.rid, None)
             if self.repetition_penalty > 0:
                 s = self._slot_of.pop(req.rid, None)
                 if s is not None:

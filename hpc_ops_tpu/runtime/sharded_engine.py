@@ -102,9 +102,11 @@ class ShardedEngine:
         caches = init_cache(
             cfg, num_blocks=num_blocks * self.num_shards, block_size=block_size
         )
-        cache_spec = {"k": P("tp", rows), "v": P("tp", rows)}
+        # kv-head dim over tp, page-pool dim over the row axes — same spec
+        # for split k/v caches and the fused int8 "kv" slab
+        cache_part = P("tp", rows)
         self.caches = [
-            {k: jax.device_put(v, NamedSharding(mesh, cache_spec[k]))
+            {k: jax.device_put(v, NamedSharding(mesh, cache_part))
              for k, v in layer.items()}
             for layer in caches
         ]
@@ -157,9 +159,6 @@ class ShardedEngine:
         self._pending.append(rid)
         return rid
 
-    def _least_loaded_shard(self) -> int:
-        return int(np.argmin([len(a) for a in self._active]))
-
     # ----------------------------------------------------------- data movement
     def _put_rows(self, arr: np.ndarray):
         """Host array with leading dim num_shards*per_shard -> row-sharded."""
@@ -195,11 +194,16 @@ class ShardedEngine:
             s = self._owner.get(rid)
             if s is not None and take[s] is None:
                 take[s] = rid
-        # fresh requests fill the remaining shards in arrival order
+        # fresh requests fill the remaining shards least-loaded first, so
+        # single-request arrivals spread across shards instead of piling
+        # onto shard 0
         fresh = (r for r in self._pending if self._owner.get(r) is None)
-        for s in range(self.num_shards):
-            if take[s] is None:
-                take[s] = next(fresh, None)
+        free = sorted(
+            (s for s in range(self.num_shards) if take[s] is None),
+            key=lambda s: len(self._active[s]),
+        )
+        for s in free:
+            take[s] = next(fresh, None)
         chunks: dict[int, int] = {}
         for rid in take:
             if rid is None:

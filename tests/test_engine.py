@@ -477,3 +477,19 @@ def test_engine_stats(model):
     # fused multi-step: 8 tokens = 1 from prefill + 7 decode -> 2 fused runs
     assert st["decode_dispatches"] == 2, st
     assert st["blocks_free"] == st["blocks_total"] - 1  # dummy page held
+
+
+def test_engine_penalty_slot_pool_grows(model):
+    """More queued requests than penalty-mask slots: the pool grows on
+    demand instead of failing (prefill runs ahead of decode, so live
+    slots are bounded by the queue, not max_batch)."""
+    cfg, weights = model
+    eng = Engine(
+        cfg, weights, num_blocks=128, block_size=16, max_batch=1,
+        temperature=0.9, repetition_penalty=1.2, max_blocks_per_seq=2,
+    )
+    n0 = eng._mask_slots
+    prompts = [[i + 1, i + 2] for i in range(n0 + 3)]
+    outs = eng.run(prompts, max_new=2)
+    assert all(len(o) == 2 for o in outs)
+    assert eng._mask_slots > n0  # pool grew

@@ -185,3 +185,35 @@ def test_sharded_engine_stop_tokens():
                 assert outs[0] == full[0][:3], f"ms={ms}: {outs[0]}"
         finally:
             set_interpret_override(None)
+
+
+def test_sharded_engine_int8_kv():
+    """The quantized serving mode (fused int8 K|V slab) constructs and
+    serves on the hybrid mesh, token-identical to the single-device
+    int8 engine."""
+    from hpc_ops_tpu.models.llama import init_weights, tiny_config
+    from hpc_ops_tpu.parallel.mesh import make_hybrid_mesh
+    from hpc_ops_tpu.runtime.engine import Engine
+    from hpc_ops_tpu.runtime.sharded_engine import ShardedEngine
+
+    devices = _cpu_devices(8)
+    cfg = tiny_config(int8_kv=True, kv_scale=0.02)
+    with jax.default_device(devices[0]):
+        weights = init_weights(jax.random.PRNGKey(1), cfg)
+        prompts = [[1, 2, 3], [7, 8], [9, 10, 11], [21]]
+        set_interpret_override(True)
+        try:
+            single = Engine(
+                cfg, weights, num_blocks=64, block_size=16, max_batch=4,
+                max_blocks_per_seq=4,
+            )
+            want = single.run([list(p) for p in prompts], max_new=4)
+            mesh = make_hybrid_mesh(dcn_dp=2, tp=4, dp=1, devices=devices)
+            eng = ShardedEngine(
+                cfg, weights, mesh, num_blocks=64, block_size=16,
+                max_batch=4, max_blocks_per_seq=4,
+            )
+            got = eng.run([list(p) for p in prompts], max_new=4)
+        finally:
+            set_interpret_override(None)
+    assert got == want, f"sharded int8 {got} != single {want}"
