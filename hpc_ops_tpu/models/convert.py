@@ -158,7 +158,10 @@ def from_hf_mixtral(
         "final_norm": t2j(base.norm.weight),
         "lm_head": t2j(lm_head_w).T,
         "cos_sin": make_cos_sin_cache(
-            cfg.max_position, cfg.head_dim, cfg.rope_base
+            cfg.max_position,
+            cfg.head_dim,
+            cfg.rope_base,
+            rope_scaling=getattr(model.config, "rope_scaling", None),
         ),
     }
 
@@ -180,6 +183,8 @@ def from_hf_llama(model, dtype=jnp.bfloat16, max_position: int | None = None):
         )
 
     base = model.model if hasattr(model, "model") else model
+    has_bias = base.layers[0].self_attn.q_proj.bias is not None
+    cfg = cfg._replace(qkv_bias=has_bias)  # Qwen2-style attention bias
     layers = []
     for hf_layer in base.layers:
         attn = hf_layer.self_attn
@@ -192,19 +197,26 @@ def from_hf_llama(model, dtype=jnp.bfloat16, max_position: int | None = None):
             ],
             axis=1,
         )  # [H, (Hq+2Hkv)*D]
-        layers.append(
-            {
-                "attn_norm": t2j(hf_layer.input_layernorm.weight),
-                "wqkv": wqkv,
-                "wo": t2j(attn.o_proj.weight).T,  # [Hq*D, H]
-                "mlp_norm": t2j(hf_layer.post_attention_layernorm.weight),
-                "w_gate_up": jnp.concatenate(
-                    [t2j(mlp.gate_proj.weight).T, t2j(mlp.up_proj.weight).T],
-                    axis=1,
-                ),  # [H, 2I]
-                "w_down": t2j(mlp.down_proj.weight).T,  # [I, H]
-            }
-        )
+        layer = {
+            "attn_norm": t2j(hf_layer.input_layernorm.weight),
+            "wqkv": wqkv,
+            "wo": t2j(attn.o_proj.weight).T,  # [Hq*D, H]
+            "mlp_norm": t2j(hf_layer.post_attention_layernorm.weight),
+            "w_gate_up": jnp.concatenate(
+                [t2j(mlp.gate_proj.weight).T, t2j(mlp.up_proj.weight).T],
+                axis=1,
+            ),  # [H, 2I]
+            "w_down": t2j(mlp.down_proj.weight).T,  # [I, H]
+        }
+        if has_bias:
+            layer["qkv_bias"] = jnp.concatenate(
+                [
+                    t2j(attn.q_proj.bias),
+                    t2j(attn.k_proj.bias),
+                    t2j(attn.v_proj.bias),
+                ]
+            )  # same q|k|v column order as wqkv
+        layers.append(layer)
 
     if getattr(model.config, "tie_word_embeddings", False):
         lm_head_w = base.embed_tokens.weight
@@ -216,7 +228,10 @@ def from_hf_llama(model, dtype=jnp.bfloat16, max_position: int | None = None):
         "final_norm": t2j(base.norm.weight),
         "lm_head": t2j(lm_head_w).T,  # [H, V]
         "cos_sin": make_cos_sin_cache(
-            cfg.max_position, cfg.head_dim, cfg.rope_base
+            cfg.max_position,
+            cfg.head_dim,
+            cfg.rope_base,
+            rope_scaling=getattr(model.config, "rope_scaling", None),
         ),
     }
     return cfg, weights

@@ -76,6 +76,7 @@ class ModelConfig(NamedTuple):
     # fp8_kv.
     int8_kv: bool = False
     kv_scale: float = 0.05  # static per-tensor K/V scale for int8_kv
+    qkv_bias: bool = False  # Qwen2-style attention-projection bias
     moe: Optional[MoEConfig] = None
     max_position: int = 8192
     # residual-branch gain. 1.0 = raw random-init behavior; trained nets
@@ -287,6 +288,8 @@ def forward_step(
     kv_sc = jnp.full((1,), cfg.kv_scale, jnp.float32)
     for li, layer in enumerate(weights["layers"]):
         qkv = h_normed @ layer["wqkv"]  # [rows, (Hq+2Hkv)/tp * D]
+        if "qkv_bias" in layer:  # Qwen2-style attention bias
+            qkv = qkv + layer["qkv_bias"].astype(qkv.dtype)
         if cfg.int8_kv:
             # quantized serving mode: one fused int8 K|V slab per layer,
             # stored by the fused Pallas kernel (decode) and read by the
@@ -511,6 +514,8 @@ def shard_weights_specs(cfg: ModelConfig):
         "wo": P("tp", None),
         "mlp_norm": P(),
     }
+    if cfg.qkv_bias:
+        layer_spec["qkv_bias"] = P("tp")
     if cfg.moe is None:
         layer_spec.update({"w_gate_up": P(None, "tp"), "w_down": P("tp", None)})
     else:
@@ -636,8 +641,10 @@ def make_sharded_multi_step(mesh, cfg: ModelConfig, num_steps: int, **dm_kw):
 
 def repack_qkv_for_tp(wqkv: jax.Array, cfg: ModelConfig, tp: int) -> jax.Array:
     """Reorder packed [H, (Hq+2Hkv)*D] columns so a tp-split gives each rank
-    its own contiguous [q_heads/tp | k_heads/tp | v_heads/tp] block."""
-    h = cfg.hidden
+    its own contiguous [q_heads/tp | k_heads/tp | v_heads/tp] block.
+    Rows pass through untouched (a [1, cols] bias view repacks the same
+    way)."""
+    h = wqkv.shape[0]
     d = cfg.head_dim
     q, kh = cfg.q_heads, cfg.kv_heads
     wq = wqkv[:, : q * d].reshape(h, tp, q // tp * d)
@@ -661,6 +668,10 @@ def shard_weights_for_tp(weights, cfg: ModelConfig, tp: int):
     layers = []
     for l in weights["layers"]:
         nl = {**l, "wqkv": repack_qkv_for_tp(l["wqkv"], cfg, tp)}
+        if "qkv_bias" in l:
+            nl["qkv_bias"] = repack_qkv_for_tp(
+                l["qkv_bias"][None, :], cfg, tp
+            ).reshape(-1)
         if "w_gate_up" in l:
             nl["w_gate_up"] = repack_gate_up_for_tp(l["w_gate_up"], tp)
         layers.append(nl)

@@ -53,11 +53,46 @@ def can_use_rope_kernel(
     )
 
 
-def make_cos_sin_cache(max_position: int, head_dim: int, base: float = 10000.0):
-    """[max_position, head_dim] table: first half cos(t*f), second half sin."""
+def make_cos_sin_cache(
+    max_position: int,
+    head_dim: int,
+    base: float = 10000.0,
+    rope_scaling: dict | None = None,
+):
+    """[max_position, head_dim] table: first half cos(t*f), second half sin.
+
+    ``rope_scaling`` (HF-config-style dict) supports long-context
+    frequency scaling of checkpoints trained with it:
+      * ``{"rope_type": "linear", "factor": f}`` — all frequencies / f;
+      * ``{"rope_type": "llama3", "factor": f, "low_freq_factor": lo,
+        "high_freq_factor": hi, "original_max_position_embeddings": L}``
+        — Llama-3.1's wavelength-banded rule: high-frequency (short
+        wavelength) components keep their frequency, low-frequency ones
+        divide by f, and the band between interpolates smoothly.
+    """
     inv_freq = 1.0 / (
         base ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
     )
+    if rope_scaling is not None:
+        kind = rope_scaling.get("rope_type") or rope_scaling.get("type")
+        factor = float(rope_scaling["factor"])
+        if kind == "linear":
+            inv_freq = inv_freq / factor
+        elif kind == "llama3":
+            lo_f = float(rope_scaling["low_freq_factor"])
+            hi_f = float(rope_scaling["high_freq_factor"])
+            orig = float(rope_scaling["original_max_position_embeddings"])
+            wavelen = 2.0 * jnp.pi / inv_freq
+            smooth = (orig / wavelen - lo_f) / (hi_f - lo_f)
+            smooth = jnp.clip(smooth, 0.0, 1.0)
+            scaled = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+            inv_freq = jnp.where(
+                wavelen < orig / hi_f,  # high-frequency band: unscaled
+                inv_freq,
+                jnp.where(wavelen > orig / lo_f, inv_freq / factor, scaled),
+            )
+        else:
+            raise ValueError(f"unsupported rope_scaling type: {kind!r}")
     t = jnp.arange(max_position, dtype=jnp.float32)
     freqs = jnp.outer(t, inv_freq)
     return jnp.concatenate([jnp.cos(freqs), jnp.sin(freqs)], axis=-1)

@@ -172,3 +172,125 @@ def test_hf_mixtral_logit_parity():
     print("mixtral cosine min/mean:", c.min(), c.mean(), "top1:", top1)
     assert c.min() > 0.95, f"cosine per position: min {c.min()}"
     assert top1 >= 0.75, f"top-1 agreement {top1}"
+
+
+def test_hf_qwen2_logit_parity():
+    """Qwen2-style models add QKV projection biases (no other structural
+    change vs Llama) — from_hf_llama picks them up and the bias rides the
+    packed q|k|v column order."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    from hpc_ops_tpu.models.convert import from_hf_llama
+    from hpc_ops_tpu.models.llama import forward_step, init_cache
+
+    hf_cfg = Qwen2Config(
+        vocab_size=512,
+        hidden_size=512,
+        intermediate_size=1024,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(5)
+    model = Qwen2ForCausalLM(hf_cfg).eval()
+    assert model.model.layers[0].self_attn.q_proj.bias is not None
+
+    ids = np.random.RandomState(4).randint(0, 512, (1, 20))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(ids)).logits[0].float().numpy()
+
+    cfg, w = from_hf_llama(model)
+    assert cfg.qkv_bias
+    caches = init_cache(cfg, num_blocks=4, block_size=16)
+    n, bucket = ids.shape[1], 32
+    toks = np.zeros(bucket, np.int32)
+    toks[:n] = ids[0]
+    logits, _ = jax.jit(
+        functools.partial(
+            forward_step,
+            cfg=cfg,
+            is_prefill=True,
+            max_seqlens_q=bucket,
+            return_all_logits=True,
+        )
+    )(
+        w,
+        caches,
+        token_ids=jnp.asarray(toks),
+        seq_lens=jnp.asarray([n], jnp.int32),
+        q_index=jnp.asarray([0, n], jnp.int32),
+        block_ids=jnp.asarray([[0, 1, 2, 3]], jnp.int32),
+    )
+    ours = np.asarray(logits, np.float32)[:n]
+    c = _cos(ours, hf_logits)
+    top1 = float((ours.argmax(-1) == hf_logits.argmax(-1)).mean())
+    assert c.min() > 0.99, f"cosine min {c.min()}"
+    assert top1 >= 0.9, f"top-1 {top1}"
+
+
+def test_hf_llama3_rope_scaling_parity():
+    """Llama-3.1-style rope_scaling checkpoints: the converter rebuilds
+    the scaled frequency table and logits match HF's own scaled rope."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from hpc_ops_tpu.models.convert import from_hf_llama
+    from hpc_ops_tpu.models.llama import forward_step, init_cache
+
+    hf_cfg = LlamaConfig(
+        vocab_size=512,
+        hidden_size=512,
+        intermediate_size=1024,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=1,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        rope_scaling={
+            "rope_type": "llama3",
+            "factor": 4.0,
+            "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 64,
+        },
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(9)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    # long enough that scaled vs unscaled rope visibly diverges
+    ids = np.random.RandomState(6).randint(0, 512, (1, 48))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(ids)).logits[0].float().numpy()
+
+    cfg, w = from_hf_llama(model, max_position=256)
+    caches = init_cache(cfg, num_blocks=8, block_size=16)
+    n, bucket = ids.shape[1], 64
+    toks = np.zeros(bucket, np.int32)
+    toks[:n] = ids[0]
+    logits, _ = jax.jit(
+        functools.partial(
+            forward_step,
+            cfg=cfg,
+            is_prefill=True,
+            max_seqlens_q=bucket,
+            return_all_logits=True,
+        )
+    )(
+        w,
+        caches,
+        token_ids=jnp.asarray(toks),
+        seq_lens=jnp.asarray([n], jnp.int32),
+        q_index=jnp.asarray([0, n], jnp.int32),
+        block_ids=jnp.asarray([[0, 1, 2, 3, 4, 5, 6, 7]], jnp.int32),
+    )
+    ours = np.asarray(logits, np.float32)[:n]
+    c = _cos(ours, hf_logits)
+    top1 = float((ours.argmax(-1) == hf_logits.argmax(-1)).mean())
+    assert c.min() > 0.99, f"cosine min {c.min()}"
+    assert top1 >= 0.9, f"top-1 {top1}"
