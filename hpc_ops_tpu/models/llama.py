@@ -452,6 +452,7 @@ def decode_multi(
     sample_seed: int = 0,
     axis_name: Optional[str] = None,
     rank_ep: int = 0,
+    return_logprobs: bool = False,
 ):
     """``num_steps`` decode steps in ONE compiled graph (lax.scan): forward,
     in-graph sampling, cache append, feed the token back — no host round
@@ -466,7 +467,9 @@ def decode_multi(
     temperature>0 draws per-step Gumbel noise from
     ``fold_in(PRNGKey(sample_seed), step)``.
 
-    Returns (tokens [num_steps, B] int32, new_caches).
+    Returns (tokens [num_steps, B] int32, new_caches), or with
+    ``return_logprobs`` ((tokens, logprobs [num_steps, B] f32), new_caches)
+    where logprobs are log-softmax of each sampled token.
     """
     b = seq_lens.shape[0]
     q_index = jnp.arange(b + 1, dtype=jnp.int32)
@@ -496,14 +499,18 @@ def decode_multi(
             ).reshape(-1)
         else:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if return_logprobs:
+            lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            lp = jnp.take_along_axis(lsm, nxt[:, None], axis=-1)[:, 0]
+            return (nxt, lens + 1, caches), (nxt, lp)
         return (nxt, lens + 1, caches), nxt
 
-    (_, _, caches), toks = jax.lax.scan(
+    (_, _, caches), out = jax.lax.scan(
         body,
         (last_tokens.astype(jnp.int32), seq_lens.astype(jnp.int32), caches),
         jnp.arange(num_steps),
     )
-    return toks, caches
+    return out, caches
 
 
 def shard_weights_specs(cfg: ModelConfig):

@@ -64,6 +64,7 @@ class Request:
     n_best: int = 1  # parallel samples sharing this prompt's KV (parent)
     parent: int | None = None  # set on n-best children
     stop: frozenset = frozenset()  # sampling any of these ends the request
+    logprobs: list = field(default_factory=list)  # per-out-token, if enabled
 
     @property
     def tokens(self) -> list:
@@ -101,6 +102,7 @@ class Engine:
         multi_step: int = 1,
         prefix_cache: bool = False,
         stop_tokens=(),
+        logprobs: bool = False,
     ):
         self.cfg = cfg
         self.weights = weights
@@ -149,6 +151,12 @@ class Engine:
         # stop tokens (EOS and friends): a request finishes as soon as it
         # emits one, before exhausting max_new; overridable per request
         self.stop_tokens = frozenset(map(int, stop_tokens))
+        # per-token log-softmax of each sampled token, stored on the
+        # Request (standard serving API surface); speculative decode emits
+        # tokens without a full per-token distribution pass, so the two
+        # are exclusive
+        assert not (logprobs and speculative_k > 0)
+        self.logprobs = logprobs
         self._retired: list[int] = []  # finished rids, pages retained (LRU)
         self._resident: set[int] = set()  # rids holding allocator tables
         self._bh_cache: dict[int, tuple[int, list]] = {}  # rid -> block hashes
@@ -222,6 +230,7 @@ class Engine:
                     cfg=cfg,
                     num_steps=multi_step,
                     temperature=temperature,
+                    return_logprobs=logprobs,
                 )
             )
             if multi_step > 1
@@ -283,6 +292,14 @@ class Engine:
         return rids
 
     # --------------------------------------------------------------- steps
+    def _lp_of(self, logits, toks) -> np.ndarray:
+        """log-softmax of each sampled token, [rows] float."""
+        lsm = jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
+        lp = jnp.take_along_axis(
+            lsm, jnp.asarray(toks, jnp.int32)[:, None], axis=-1
+        )
+        return np.asarray(lp).reshape(-1)
+
     def _assign_slot(self, rid: int) -> int:
         """Give `rid` a penalty-mask row seeded with its prompt tokens."""
         if rid in self._slot_of:
@@ -481,6 +498,10 @@ class Engine:
         if nb == 1:
             tok = int(self._sample(logits.reshape(1, -1), rids=[rid])[0])
             req.out.append(tok)
+            if self.logprobs:
+                req.logprobs.append(
+                    float(self._lp_of(logits.reshape(1, -1), [tok])[0])
+                )
             self._active.append(rid)
             self._finish_if_done(req)
             return True
@@ -495,6 +516,16 @@ class Engine:
             rids=[rid] + kids,
         )
         req.out.append(int(toks[0]))
+        lps = (
+            self._lp_of(
+                jnp.broadcast_to(logits.reshape(1, -1), (nb, logits.size)),
+                toks,
+            )
+            if self.logprobs
+            else None
+        )
+        if lps is not None:
+            req.logprobs.append(float(lps[0]))
         self._active.append(rid)
         self._finish_if_done(req)
         for j, crid in enumerate(kids, start=1):
@@ -505,6 +536,8 @@ class Engine:
             if total % self.block_size:
                 self._cow_last(crid)
             child.out.append(int(toks[j]))
+            if lps is not None:
+                child.logprobs.append(float(lps[j]))
             self._active.append(crid)
             self._finish_if_done(child)
         return True
@@ -581,9 +614,12 @@ class Engine:
             block_ids=jnp.asarray(tables),
         )
         toks = self._sample(logits, rids=rids)
+        lps = self._lp_of(logits, toks) if self.logprobs else None
         for i, rid in enumerate(rids):
             req = self.requests[rid]
             req.out.append(int(toks[i]))
+            if lps is not None:
+                req.logprobs.append(float(lps[i]))
             self._finish_if_done(req)
 
     def _decode_batch_multi(self) -> None:
@@ -617,13 +653,20 @@ class Engine:
                 (self.seed + 0x9E3779B9 * self._sample_calls) % (2**31)
             ),
         )
+        if self.logprobs:
+            toks, lps = toks
+            lps = np.asarray(lps)  # [n, b]
+        else:
+            lps = None
         toks = np.asarray(toks)  # [n, b]
         for i, rid in enumerate(rids):
             req = self.requests[rid]
-            for t in toks[:, i]:
+            for j, t in enumerate(toks[:, i]):
                 if req.done or len(req.out) >= req.max_new:
                     break
                 req.out.append(int(t))
+                if lps is not None:
+                    req.logprobs.append(float(lps[j, i]))
                 self._finish_if_done(req)
             self._finish_if_done(req)
 

@@ -493,3 +493,32 @@ def test_engine_penalty_slot_pool_grows(model):
     outs = eng.run(prompts, max_new=2)
     assert all(len(o) == 2 for o in outs)
     assert eng._mask_slots > n0  # pool grew
+
+
+def test_engine_logprobs(model):
+    """Per-token logprobs: recorded on every path, one per output token,
+    and identical between single-step and fused multi-step greedy (same
+    tokens, same logits)."""
+    cfg, weights = model
+    prompts = [[1, 2, 3, 4], [9, 8]]
+    e1 = Engine(
+        cfg, weights, num_blocks=64, block_size=16, max_batch=2,
+        logprobs=True,
+    )
+    outs = e1.run([list(p) for p in prompts], max_new=5)
+    for rid, out in enumerate(outs):
+        lp = e1.requests[rid].logprobs
+        assert len(lp) == len(out) == 5
+        assert all(v <= 0.0 and np.isfinite(v) for v in lp)
+
+    e2 = Engine(
+        cfg, weights, num_blocks=64, block_size=16, max_batch=2,
+        logprobs=True, multi_step=3,
+    )
+    outs2 = e2.run([list(p) for p in prompts], max_new=5)
+    assert outs2 == outs
+    for rid in range(2):
+        np.testing.assert_allclose(
+            e1.requests[rid].logprobs, e2.requests[rid].logprobs,
+            rtol=2e-3, atol=2e-3,
+        )
