@@ -65,6 +65,10 @@ class Request:
     parent: int | None = None  # set on n-best children
     stop: frozenset = frozenset()  # sampling any of these ends the request
     logprobs: list = field(default_factory=list)  # per-out-token, if enabled
+    # per-request sampling overrides (None -> engine defaults)
+    temperature: float | None = None
+    topk: int | None = None
+    topp: float | None = None
 
     @property
     def tokens(self) -> list:
@@ -239,7 +243,7 @@ class Engine:
 
     # ------------------------------------------------------------- requests
     def add_request(self, prompt_ids, max_new: int = 16, n: int = 1,
-                    stop=None):
+                    stop=None, temperature=None, topk=None, topp=None):
         """Queue a request. With ``n > 1`` (parallel sampling / n-best,
         requires temperature > 0): one prefill serves n continuations — the
         children fork the parent's page table (allocator refcounts) and the
@@ -247,11 +251,20 @@ class Engine:
         page copy), so only divergent KV is ever duplicated. Returns the
         rid (n == 1) or the list of n rids (parent first)."""
         assert n >= 1
-        assert n == 1 or self.temperature > 0.0, (
+        eff_temp = self.temperature if temperature is None else temperature
+        assert n == 1 or eff_temp > 0.0, (
             "n-best sampling requires temperature > 0 (greedy continuations "
             "would be identical)"
         )
         assert n == 1 or self.speculative_k == 0
+        if temperature is not None or topk is not None or topp is not None:
+            # per-request params run through the host sampler each step
+            assert self.multi_step == 1, (
+                "per-request sampling params require multi_step=1 (the "
+                "fused graph bakes the engine-level sampler in)"
+            )
+            assert self.speculative_k == 0
+            assert self.repetition_penalty == 0.0 or eff_temp > 0.0
         # reject up front anything whose KV footprint cannot fit the per-seq
         # page-table width: over-long requests would otherwise fail deep in
         # a decode batch with an opaque broadcast error after KV was already
@@ -274,7 +287,8 @@ class Engine:
         self._next_rid += 1
         prompt = list(map(int, prompt_ids))
         self.requests[rid] = Request(
-            rid, prompt, max_new=max_new, n_best=n, stop=stop_set
+            rid, prompt, max_new=max_new, n_best=n, stop=stop_set,
+            temperature=temperature, topk=topk, topp=topp,
         )
         self._pending.append(rid)
         if n == 1:
@@ -285,7 +299,8 @@ class Engine:
             self._next_rid += 1
             # children are NOT pending — the parent's prefill activates them
             self.requests[crid] = Request(
-                crid, list(prompt), max_new=max_new, parent=rid, stop=stop_set
+                crid, list(prompt), max_new=max_new, parent=rid,
+                stop=stop_set, temperature=temperature, topk=topk, topp=topp,
             )
             rids.append(crid)
         self._children[rid] = rids[1:]
@@ -329,8 +344,21 @@ class Engine:
         return s
 
     def _sample(self, logits, rids=None) -> np.ndarray:
-        if self.temperature <= 0.0:
+        b = logits.shape[0]
+        rows = list(rids or [])[:b] + [None] * (b - len(rids or []))
+
+        def pv(field, default):
+            out = []
+            for r in rows:
+                v = getattr(self.requests[r], field) if r is not None else None
+                out.append(default if v is None else v)
+            return out
+
+        temps = np.asarray(pv("temperature", self.temperature), np.float32)
+        greedy = temps <= 0.0
+        if greedy.all():
             return np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int64)
+        from hpc_ops_tpu.config import SoftmaxPolicy
         from hpc_ops_tpu.ops.sampler import fused_sampler
 
         # fold a step counter into the seed: a fixed seed would replay the
@@ -338,31 +366,48 @@ class Engine:
         # generation toward whatever tokens that one draw favors
         self._sample_calls += 1
         seed = (self.seed + 0x9E3779B9 * self._sample_calls) % (2**31)
+        topks = pv("topk", self.topk)
+        topps = pv("topp", self.topp)
+        use_topk = any(topks)
+        use_topp = any(t > 0 for t in topps)
         kw = {}
-        if self._full_sampler:
+        if self._full_sampler or use_topk or use_topp:
+            policy = self.softmax_policy
+            if use_topp and policy == SoftmaxPolicy.NONE:
+                policy = SoftmaxPolicy.BEFORE_TOPK
+            # a tensor param counts as "enabled" in the sampler even when
+            # all-zero — pass scalars for unused knobs
             kw.update(
-                topk=self.topk,
-                topp=self.topp,
-                softmax_policy=self.softmax_policy,
+                topk=jnp.asarray(topks, jnp.int32) if use_topk else 0,
+                topp=jnp.asarray(topps, jnp.float32) if use_topp else 0.0,
+                softmax_policy=policy,
             )
             if self.repetition_penalty > 0:
-                b = logits.shape[0]
                 scratch = self._mask_slots - 1
                 slots = [
                     self._assign_slot(r) if r is not None else scratch
-                    for r in (rids or [None] * b)
-                ] + [scratch] * (b - len(rids or []))
+                    for r in rows
+                ]
                 kw.update(
                     penalty_mask=self._penalty_mask,
-                    slot_id=jnp.asarray(slots[:b], jnp.int32),
+                    slot_id=jnp.asarray(slots, jnp.int32),
                     repetition_penalty=self.repetition_penalty,
                 )
+        # greedy rows run through the sampler at temp=1 (tensor temps must
+        # be > 0) and are overwritten with the exact argmax below
         toks, new_mask = fused_sampler(
-            logits, temperature=self.temperature, seed=seed, **kw
+            logits,
+            temperature=jnp.asarray(np.where(greedy, 1.0, temps), jnp.float32),
+            seed=seed,
+            **kw,
         )
         if new_mask is not None:
             self._penalty_mask = new_mask
-        return np.asarray(toks).reshape(-1).astype(np.int64)
+        out = np.asarray(toks).reshape(-1)
+        if greedy.any():
+            am = np.asarray(jnp.argmax(logits, axis=-1)).reshape(-1)
+            out = np.where(greedy, am, out)
+        return out.astype(np.int64)
 
     def _prefill_fn(self, bucket: int):
         if bucket not in self._prefill_steps:

@@ -522,3 +522,24 @@ def test_engine_logprobs(model):
             e1.requests[rid].logprobs, e2.requests[rid].logprobs,
             rtol=2e-3, atol=2e-3,
         )
+
+
+def test_engine_per_request_sampling_params(model):
+    """Mixed-parameter batches: a greedy request served alongside sampled
+    requests stays EXACTLY greedy, and per-request topk=1 degenerates to
+    greedy too (deterministic cross-check of the tensor-param path)."""
+    cfg, weights = model
+    prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 5, 6]]
+    pure = Engine(cfg, weights, num_blocks=64, block_size=16, max_batch=4)
+    want = pure.run([list(p) for p in prompts], max_new=5)
+
+    eng = Engine(cfg, weights, num_blocks=64, block_size=16, max_batch=4)
+    r0 = eng.add_request(list(prompts[0]), max_new=5)  # engine default: greedy
+    r1 = eng.add_request(list(prompts[1]), max_new=5, temperature=1.0)
+    r2 = eng.add_request(list(prompts[2]), max_new=5, temperature=1.0, topk=1)
+    while eng.step():
+        pass
+    assert eng.requests[r0].out == want[0]  # greedy row untouched by batch
+    assert eng.requests[r2].out == want[2]  # topk=1 == greedy, exactly
+    assert len(eng.requests[r1].out) == 5
+    assert all(0 <= t < cfg.vocab for t in eng.requests[r1].out)
