@@ -306,6 +306,29 @@ class Engine:
         self._children[rid] = rids[1:]
         return rids
 
+    def cancel(self, rid: int) -> None:
+        """Abort a request: drop it from scheduling and release its KV
+        pages (n-best children of a cancelled parent are cancelled too if
+        still pending activation)."""
+        req = self.requests.get(rid)
+        if req is None or req.done:
+            return
+        req.done = True
+        if rid in self._pending:
+            self._pending.remove(rid)
+        if rid in self._active:
+            self._active.remove(rid)
+        for kid in self._children.pop(rid, []):
+            self.requests[kid].done = True
+        if rid in self._resident:
+            self.alloc.free(rid)
+            self._resident.discard(rid)
+            self._bh_cache.pop(rid, None)
+        if self.repetition_penalty > 0:
+            s = self._slot_of.pop(rid, None)
+            if s is not None:
+                self._free_slots.append(s)
+
     # --------------------------------------------------------------- steps
     def _lp_of(self, logits, toks) -> np.ndarray:
         """log-softmax of each sampled token, [rows] float."""

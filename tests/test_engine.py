@@ -543,3 +543,31 @@ def test_engine_per_request_sampling_params(model):
     assert eng.requests[r2].out == want[2]  # topk=1 == greedy, exactly
     assert len(eng.requests[r1].out) == 5
     assert all(0 <= t < cfg.vocab for t in eng.requests[r1].out)
+
+
+def test_engine_cancel(model):
+    """Cancel drops a request mid-flight and frees its pages; the rest of
+    the batch is unaffected (token-identical to serving it alone)."""
+    cfg, weights = model
+    solo = Engine(cfg, weights, num_blocks=64, block_size=16, max_batch=2)
+    want = solo.run([[1, 2, 3]], max_new=6)[0]
+
+    eng = Engine(cfg, weights, num_blocks=64, block_size=16, max_batch=2)
+    free0 = eng.alloc.num_free
+    keep = eng.add_request([1, 2, 3], max_new=6)
+    kill = eng.add_request([7, 8, 9, 10], max_new=6)
+    eng.step(); eng.step()  # both prefilled
+    eng.step()  # one decode batch
+    eng.cancel(kill)
+    while eng.step():
+        pass
+    assert eng.requests[keep].out == want
+    assert eng.requests[kill].done
+    assert len(eng.requests[kill].out) < 6
+    assert eng.alloc.num_free == free0  # cancelled pages returned
+
+    # cancelling a pending (never-prefilled) request is clean too
+    r3 = eng.add_request([5, 6], max_new=4)
+    eng.cancel(r3)
+    assert not eng.step()  # nothing left to do
+    assert eng.alloc.num_free == free0
