@@ -607,7 +607,10 @@ def make_sharded_step(mesh, cfg: ModelConfig, is_prefill: bool = False, **fw_kw)
     )
 
 
-def make_sharded_multi_step(mesh, cfg: ModelConfig, num_steps: int, **dm_kw):
+def make_sharded_multi_step(
+    mesh, cfg: ModelConfig, num_steps: int, return_logprobs: bool = False,
+    **dm_kw,
+):
     """Sharded counterpart of :func:`decode_multi`: one shard_map'd graph
     runs ``num_steps`` decode iterations over the (…rows…, "tp") mesh with
     in-graph sampling — the multi-host analog of Engine(multi_step=N).
@@ -634,14 +637,18 @@ def make_sharded_multi_step(mesh, cfg: ModelConfig, num_steps: int, **dm_kw):
             num_steps,
             axis_name="tp",
             rank_ep=rank_ep,
+            return_logprobs=return_logprobs,
             **dm_kw,
         )
 
+    out_spec = (
+        (P(None, rows), P(None, rows)) if return_logprobs else P(None, rows)
+    )
     return shard_map(
         step,
         mesh=mesh,
         in_specs=(wspecs, cache_spec, *data_specs),
-        out_specs=(P(None, rows), cache_spec),
+        out_specs=(out_spec, cache_spec),
         check_vma=False,
     )
 

@@ -60,6 +60,7 @@ class ShardedEngine:
         prefill_chunk: int | None = None,
         multi_step: int = 1,
         stop_tokens=(),
+        logprobs: bool = False,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -82,6 +83,7 @@ class ShardedEngine:
         assert multi_step >= 1
         self.multi_step = multi_step
         self.stop_tokens = frozenset(map(int, stop_tokens))
+        self.logprobs = logprobs
         self.num_blocks = num_blocks
         self.max_blocks_per_seq = max_blocks_per_seq or max(num_blocks // 4, 4)
 
@@ -132,7 +134,12 @@ class ShardedEngine:
             make_sharded_step(mesh, cfg, is_prefill=False, max_seqlens_q=1)
         )
         self._decode_multi_step = (
-            jax.jit(make_sharded_multi_step(mesh, cfg, num_steps=multi_step))
+            jax.jit(
+                make_sharded_multi_step(
+                    mesh, cfg, num_steps=multi_step,
+                    return_logprobs=logprobs,
+                )
+            )
             if multi_step > 1
             else None
         )
@@ -242,6 +249,16 @@ class ShardedEngine:
         )
         # prefill's last-row logits come back [num_shards, vocab]
         toks = np.asarray(jnp.argmax(logits, axis=-1)).reshape(-1)
+        lps = None
+        if self.logprobs:
+            lsm = jax.nn.log_softmax(
+                jnp.asarray(logits, jnp.float32), axis=-1
+            )
+            lps = np.asarray(
+                jnp.take_along_axis(
+                    lsm, jnp.asarray(toks.reshape(-1, 1)), axis=-1
+                )
+            ).reshape(-1)
         for s, rid in enumerate(take):
             if rid is None:
                 continue
@@ -251,6 +268,8 @@ class ShardedEngine:
                 continue  # more chunks to go; logits row is a partial prefix
             self._pending.remove(rid)
             req.out.append(int(toks[s]))
+            if lps is not None:
+                req.logprobs.append(float(lps[s]))
             self._active[s].append(rid)
             self._finish_if_done(req)
 
@@ -296,10 +315,22 @@ class ShardedEngine:
             self._put_rows(tables.reshape(self.num_shards * b, -1)),
         )
         toks = np.asarray(jnp.argmax(logits, axis=-1)).reshape(self.num_shards, b)
+        lps = None
+        if self.logprobs:
+            lsm = jax.nn.log_softmax(
+                jnp.asarray(logits, jnp.float32), axis=-1
+            )
+            lps = np.asarray(
+                jnp.take_along_axis(
+                    lsm, jnp.asarray(toks.reshape(-1, 1)), axis=-1
+                )
+            ).reshape(self.num_shards, b)
         for s, rids in enumerate(served):
             for i, rid in enumerate(rids):
                 req = self.requests[rid]
                 req.out.append(int(toks[s, i]))
+                if lps is not None:
+                    req.logprobs.append(float(lps[s, i]))
                 self._finish_if_done(req)
 
     def _decode_round_multi(self) -> None:
@@ -330,14 +361,21 @@ class ShardedEngine:
             self._put_rows(seq_lens.reshape(-1)),
             self._put_rows(tables.reshape(self.num_shards * b, -1)),
         )
+        if self.logprobs:
+            toks, lps = toks
+            lps = np.asarray(lps).reshape(n, self.num_shards, b)
+        else:
+            lps = None
         toks = np.asarray(toks).reshape(n, self.num_shards, b)
         for s, rids in enumerate(served):
             for i, rid in enumerate(rids):
                 req = self.requests[rid]
-                for t in toks[:, s, i]:
+                for j, t in enumerate(toks[:, s, i]):
                     if req.done or len(req.out) >= req.max_new:
                         break
                     req.out.append(int(t))
+                    if lps is not None:
+                        req.logprobs.append(float(lps[j, s, i]))
                     self._finish_if_done(req)
                 self._finish_if_done(req)
 

@@ -217,3 +217,42 @@ def test_sharded_engine_int8_kv():
         finally:
             set_interpret_override(None)
     assert got == want, f"sharded int8 {got} != single {want}"
+
+
+def test_sharded_engine_logprobs():
+    """Per-token logprobs on the sharded engine: one per output token and
+    matching the single-device engine's values (greedy)."""
+    from hpc_ops_tpu.models.llama import init_weights, tiny_config
+    from hpc_ops_tpu.parallel.mesh import make_hybrid_mesh
+    from hpc_ops_tpu.runtime.engine import Engine
+    from hpc_ops_tpu.runtime.sharded_engine import ShardedEngine
+
+    devices = _cpu_devices(8)
+    cfg = tiny_config()
+    with jax.default_device(devices[0]):
+        weights = init_weights(jax.random.PRNGKey(3), cfg)
+        prompts = [[1, 2, 3, 4], [7, 8]]
+        single = Engine(
+            cfg, weights, num_blocks=64, block_size=16, max_batch=2,
+            max_blocks_per_seq=4, logprobs=True,
+        )
+        want = single.run([list(p) for p in prompts], max_new=4)
+        set_interpret_override(True)
+        try:
+            mesh = make_hybrid_mesh(dcn_dp=2, tp=4, dp=1, devices=devices)
+            for ms in (1, 3):
+                eng = ShardedEngine(
+                    cfg, weights, mesh, num_blocks=64, block_size=16,
+                    max_batch=2, max_blocks_per_seq=4, multi_step=ms,
+                    logprobs=True,
+                )
+                outs = eng.run([list(p) for p in prompts], max_new=4)
+                assert outs == want
+                for rid in range(2):
+                    np.testing.assert_allclose(
+                        eng.requests[rid].logprobs,
+                        single.requests[rid].logprobs,
+                        rtol=5e-2, atol=5e-2,
+                    )
+        finally:
+            set_interpret_override(None)
