@@ -25,7 +25,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from hpc_ops_tpu.config import FP8_DTYPE
-from hpc_ops_tpu.models.llama import ModelConfig, MoEConfig
+from hpc_ops_tpu.models.llama import ModelConfig, MoEConfig, quantize_w8
 from hpc_ops_tpu.ops.rope import make_cos_sin_cache
 
 __all__ = ["config_from_hf", "from_hf_llama", "from_hf_mixtral"]
@@ -166,12 +166,20 @@ def from_hf_mixtral(
     }
 
 
-def from_hf_llama(model, dtype=jnp.bfloat16, max_position: int | None = None):
+def from_hf_llama(
+    model,
+    dtype=jnp.bfloat16,
+    max_position: int | None = None,
+    dense_int8: bool = False,
+):
     """Convert a transformers ``LlamaForCausalLM``-style model.
 
     Returns ``(cfg, weights)`` ready for :func:`forward_step` /
     :class:`hpc_ops_tpu.runtime.Engine`. Weights are materialized through
     float32 numpy then cast to ``dtype`` (bf16 by default).
+    ``dense_int8=True`` additionally quantizes the dense projections to
+    the W8A8 serving scheme (per-column int8 weights; see
+    :func:`hpc_ops_tpu.models.llama.quantize_w8`).
     """
     import torch
 
@@ -184,7 +192,7 @@ def from_hf_llama(model, dtype=jnp.bfloat16, max_position: int | None = None):
 
     base = model.model if hasattr(model, "model") else model
     has_bias = base.layers[0].self_attn.q_proj.bias is not None
-    cfg = cfg._replace(qkv_bias=has_bias)  # Qwen2-style attention bias
+    cfg = cfg._replace(qkv_bias=has_bias, dense_int8=dense_int8)
     layers = []
     for hf_layer in base.layers:
         attn = hf_layer.self_attn
@@ -216,6 +224,9 @@ def from_hf_llama(model, dtype=jnp.bfloat16, max_position: int | None = None):
                     t2j(attn.v_proj.bias),
                 ]
             )  # same q|k|v column order as wqkv
+        if dense_int8:
+            for name in ("wqkv", "wo", "w_gate_up", "w_down"):
+                layer[name], layer[name + "_scale"] = quantize_w8(layer[name])
         layers.append(layer)
 
     if getattr(model.config, "tie_word_embeddings", False):

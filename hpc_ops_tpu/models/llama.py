@@ -77,6 +77,12 @@ class ModelConfig(NamedTuple):
     int8_kv: bool = False
     kv_scale: float = 0.05  # static per-tensor K/V scale for int8_kv
     qkv_bias: bool = False  # Qwen2-style attention-projection bias
+    # dense_int8: W8A8 serving for the dense projections (wqkv, wo,
+    # gate_up, down) — int8 weights with per-output-column scales,
+    # per-token dynamic activation scales, s8xs8->s32 on the MXU (v5e:
+    # 265 vs 186 TFLOP/s AND half the weight-streaming bytes, the
+    # binding resource of small-batch dense decode). lm_head stays bf16.
+    dense_int8: bool = False
     moe: Optional[MoEConfig] = None
     max_position: int = 8192
     # residual-branch gain. 1.0 = raw random-init behavior; trained nets
@@ -168,6 +174,11 @@ def init_weights(key, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict:
                 layer["moe_down_scale"] = jnp.full(
                     (m.num_experts,), ds, jnp.float32
                 )
+        if cfg.dense_int8:
+            for name in ("wqkv", "wo") + (
+                ("w_gate_up", "w_down") if cfg.moe is None else ()
+            ):
+                layer[name], layer[name + "_scale"] = quantize_w8(layer[name])
         layers.append(layer)
     return {
         "embed": lin(keys[-2], 1, (cfg.vocab, h)),
@@ -176,6 +187,38 @@ def init_weights(key, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict:
         "layers": layers,
         "cos_sin": make_cos_sin_cache(cfg.max_position, d, cfg.rope_base),
     }
+
+
+def quantize_w8(w: jax.Array):
+    """Per-output-column symmetric int8 weight quantization:
+    w[:, c] ~= w8[:, c] * scale[c]. Returns (int8 codes, f32 scales)."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=0) / 127.0 + 1e-9
+    w8 = jnp.clip(jnp.round(wf / scale[None, :]), -127, 127).astype(jnp.int8)
+    return w8, scale
+
+
+def _mm_w8a8(x, w8, w_scale):
+    """W8A8 matmul: per-token dynamic activation scales, s8 MXU dot,
+    f32 rescale -> bf16. Exactness of the int32 accumulate makes the only
+    error the two quantization roundings."""
+    xf = x.astype(jnp.float32)
+    xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0 + 1e-9
+    x8 = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x8, w8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return (acc.astype(jnp.float32) * xs * w_scale[None, :]).astype(
+        jnp.bfloat16
+    )
+
+
+def _mm(x, layer, name):
+    """Dense projection: bf16 matmul, or W8A8 when the weight is int8."""
+    w = layer[name]
+    if w.dtype == jnp.int8:
+        return _mm_w8a8(x, w, layer[name + "_scale"])
+    return x @ w
 
 
 def init_cache(cfg: ModelConfig, num_blocks: int, block_size: int, tp: int = 1):
@@ -202,11 +245,11 @@ def init_cache(cfg: ModelConfig, num_blocks: int, block_size: int, tp: int = 1):
 
 
 def _mlp_dense(h_normed, layer):
-    gu = h_normed @ layer["w_gate_up"]
+    gu = _mm(h_normed, layer, "w_gate_up")
     i = gu.shape[-1] // 2
     gate = gu[..., :i].astype(jnp.float32)
     act = (gate * jax.nn.sigmoid(gate)).astype(jnp.bfloat16) * gu[..., i:]
-    return act @ layer["w_down"]  # partial over tp (w_down row-sharded)
+    return _mm(act, layer, "w_down")  # partial over tp (w_down row-sharded)
 
 
 def _mlp_moe(h_normed, layer, cfg: ModelConfig, rank_ep):
@@ -287,7 +330,7 @@ def forward_step(
 
     kv_sc = jnp.full((1,), cfg.kv_scale, jnp.float32)
     for li, layer in enumerate(weights["layers"]):
-        qkv = h_normed @ layer["wqkv"]  # [rows, (Hq+2Hkv)/tp * D]
+        qkv = _mm(h_normed, layer, "wqkv")  # [rows, (Hq+2Hkv)/tp * D]
         if "qkv_bias" in layer:  # Qwen2-style attention bias
             qkv = qkv + layer["qkv_bias"].astype(qkv.dtype)
         if cfg.int8_kv:
@@ -385,7 +428,7 @@ def forward_step(
                     cache_layout="HND",
                 )
 
-        attn_partial = attn.reshape(rows, -1) @ layer["wo"]  # partial over tp
+        attn_partial = _mm(attn.reshape(rows, -1), layer, "wo")  # partial over tp
         if cfg.residual_alpha != 1.0:
             attn_partial = attn_partial * cfg.residual_alpha
 
@@ -523,6 +566,14 @@ def shard_weights_specs(cfg: ModelConfig):
     }
     if cfg.qkv_bias:
         layer_spec["qkv_bias"] = P("tp")
+    if cfg.dense_int8:
+        # scales follow their weight's sharded dim: column-sharded weights
+        # shard the per-column scale, row-sharded weights replicate it
+        layer_spec["wqkv_scale"] = P("tp")
+        layer_spec["wo_scale"] = P()
+        if cfg.moe is None:
+            layer_spec["w_gate_up_scale"] = P("tp")
+            layer_spec["w_down_scale"] = P()
     if cfg.moe is None:
         layer_spec.update({"w_gate_up": P(None, "tp"), "w_down": P("tp", None)})
     else:
@@ -686,8 +737,16 @@ def shard_weights_for_tp(weights, cfg: ModelConfig, tp: int):
             nl["qkv_bias"] = repack_qkv_for_tp(
                 l["qkv_bias"][None, :], cfg, tp
             ).reshape(-1)
+        if "wqkv_scale" in l:
+            nl["wqkv_scale"] = repack_qkv_for_tp(
+                l["wqkv_scale"][None, :], cfg, tp
+            ).reshape(-1)
         if "w_gate_up" in l:
             nl["w_gate_up"] = repack_gate_up_for_tp(l["w_gate_up"], tp)
+        if "w_gate_up_scale" in l:
+            nl["w_gate_up_scale"] = repack_gate_up_for_tp(
+                l["w_gate_up_scale"][None, :], tp
+            ).reshape(-1)
         layers.append(nl)
     return {**weights, "layers": layers}
 
@@ -698,6 +757,7 @@ __all__ = [
     "llama3_8b",
     "tiny_config",
     "init_weights",
+    "quantize_w8",
     "init_cache",
     "forward_step",
     "decode_multi",

@@ -294,3 +294,53 @@ def test_hf_llama3_rope_scaling_parity():
     top1 = float((ours.argmax(-1) == hf_logits.argmax(-1)).mean())
     assert c.min() > 0.99, f"cosine min {c.min()}"
     assert top1 >= 0.9, f"top-1 {top1}"
+
+
+def test_hf_llama_dense_int8_parity():
+    """from_hf_llama(dense_int8=True): W8A8 dense projections track the HF
+    fp32 forward (quantization rounding is the only extra error term)."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from hpc_ops_tpu.models.convert import from_hf_llama
+    from hpc_ops_tpu.models.llama import forward_step, init_cache
+
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(
+        LlamaConfig(
+            vocab_size=512,
+            hidden_size=512,
+            intermediate_size=1024,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=1,
+            max_position_embeddings=128,
+            tie_word_embeddings=False,
+        )
+    ).eval()
+    ids = np.random.RandomState(1).randint(0, 512, (1, 24))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(ids)).logits[0].float().numpy()
+
+    cfg, w = from_hf_llama(model, dense_int8=True)
+    assert cfg.dense_int8 and w["layers"][0]["wqkv"].dtype == jnp.int8
+    caches = init_cache(cfg, num_blocks=4, block_size=16)
+    n, bucket = ids.shape[1], 32
+    toks = np.zeros(bucket, np.int32)
+    toks[:n] = ids[0]
+    logits, _ = jax.jit(
+        functools.partial(
+            forward_step, cfg=cfg, is_prefill=True, max_seqlens_q=bucket,
+            return_all_logits=True,
+        )
+    )(
+        w, caches,
+        token_ids=jnp.asarray(toks),
+        seq_lens=jnp.asarray([n], jnp.int32),
+        q_index=jnp.asarray([0, n], jnp.int32),
+        block_ids=jnp.asarray([[0, 1, 2, 3]], jnp.int32),
+    )
+    ours = np.asarray(logits, np.float32)[:n]
+    c = _cos(ours, hf_logits)
+    assert c.min() > 0.98, f"cosine min {c.min()}"

@@ -234,3 +234,55 @@ def test_dense_model_forward_int8_kv():
         den = np.linalg.norm(a, axis=-1) * np.linalg.norm(ref, axis=-1)
         cos = num / np.maximum(den, 1e-9)
         assert cos.min() > 0.98, f"phase {phase}: min cosine {cos.min()}"
+
+
+def test_dense_int8_w8a8():
+    """ModelConfig(dense_int8=True): W8A8 dense projections track the bf16
+    model closely (per-column weight + per-token activation scales; only
+    quantization rounding differs) and serve through the Engine."""
+    import functools
+
+    from hpc_ops_tpu.models.llama import (
+        forward_step, init_cache, init_weights, quantize_w8, tiny_config,
+    )
+    from hpc_ops_tpu.runtime.engine import Engine
+
+    cfg = tiny_config()
+    w = init_weights(jax.random.PRNGKey(4), cfg)
+    cfg8 = tiny_config(dense_int8=True)
+    # quantize the SAME weights (init_weights would draw fresh ones)
+    w8 = {**w, "layers": []}
+    for layer in w["layers"]:
+        nl = dict(layer)
+        for name in ("wqkv", "wo", "w_gate_up", "w_down"):
+            nl[name], nl[name + "_scale"] = quantize_w8(layer[name])
+        w8["layers"].append(nl)
+
+    ids = np.random.RandomState(0).randint(0, cfg.vocab, 24).tolist()
+    outs = {}
+    for tag, c, ww in (("bf16", cfg, w), ("w8a8", cfg8, w8)):
+        caches = init_cache(c, num_blocks=8, block_size=16)
+        toks = np.zeros(32, np.int32)
+        toks[:24] = ids
+        logits, _ = jax.jit(
+            functools.partial(
+                forward_step, cfg=c, is_prefill=True, max_seqlens_q=32,
+                return_all_logits=True,
+            )
+        )(
+            ww, caches,
+            token_ids=jnp.asarray(toks),
+            seq_lens=jnp.asarray([24], jnp.int32),
+            q_index=jnp.asarray([0, 24], jnp.int32),
+            block_ids=jnp.asarray([[0, 1, 2, 3]], jnp.int32),
+        )
+        outs[tag] = np.asarray(logits, np.float32)[:24]
+    a, b = outs["bf16"], outs["w8a8"]
+    cos = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-30
+    )
+    assert cos.min() > 0.99, f"cosine min {cos.min()}"
+
+    eng = Engine(cfg8, w8, num_blocks=64, block_size=16, max_batch=2)
+    served = eng.run([[1, 2, 3], [5, 6]], max_new=4)
+    assert all(len(o) == 4 for o in served)
