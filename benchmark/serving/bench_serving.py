@@ -78,7 +78,12 @@ def main():
     ap.add_argument("--decode-tokens", type=int, default=128,
                     help="decode tokens per request in the timed run")
     ap.add_argument("--multi-steps", type=int, nargs="*", default=[1, 8, 32])
-    ap.add_argument("--schemes", nargs="*", default=["bf16", "int8"])
+    ap.add_argument(
+        "--schemes", nargs="*", default=["bf16", "int8"],
+        choices=["bf16", "int8", "w8a8"],
+        help="bf16 | int8 (int8 fused KV) | w8a8 (int8 KV + int8 dense "
+        "projections — the fully-int8 serving stack)",
+    )
     ap.add_argument("--block-size", type=int, default=16)
     ap.add_argument("--csv", default=None)
     ap.add_argument("--jsonl", default=None)
@@ -93,7 +98,13 @@ def main():
     rng = np.random.default_rng(41)
 
     for scheme in args.schemes:
-        cfg = ModelConfig(**{**base, "int8_kv": scheme == "int8"})
+        cfg = ModelConfig(
+            **{
+                **base,
+                "int8_kv": scheme in ("int8", "w8a8"),
+                "dense_int8": scheme == "w8a8",
+            }
+        )
         weights = init_weights(jax.random.PRNGKey(0), cfg)
         total = args.prompt_len + args.decode_tokens
         for ms in args.multi_steps:

@@ -33,7 +33,7 @@ for i in 1 2 3; do timeout 580 python bench.py; done
 
 # 6. Serving engine throughput: fused multi-step decode + int8 KV (TPU)
 timeout 2400 python benchmark/serving/bench_serving.py \
-  --config mid --batch 8 --multi-steps 1 8 32 \
+  --config mid --batch 8 --multi-steps 1 8 32 --schemes bf16 int8 w8a8 \
   --jsonl results/serving_r2.jsonl
 
 # 7. Prefill tile sweep (tq x kv-chunk) for default selection
