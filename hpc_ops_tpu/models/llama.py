@@ -660,7 +660,7 @@ def make_sharded_step(mesh, cfg: ModelConfig, is_prefill: bool = False, **fw_kw)
 
 def make_sharded_multi_step(
     mesh, cfg: ModelConfig, num_steps: int, return_logprobs: bool = False,
-    **dm_kw,
+    temperature: float = 0.0, **dm_kw,
 ):
     """Sharded counterpart of :func:`decode_multi`: one shard_map'd graph
     runs ``num_steps`` decode iterations over the (…rows…, "tp") mesh with
@@ -674,9 +674,10 @@ def make_sharded_multi_step(
         {"kv": P("tp", rows)} if cfg.int8_kv else {"k": P("tp", rows), "v": P("tp", rows)}
     )
     cache_spec = [one_spec for _ in range(cfg.layers)]
-    data_specs = (P(rows), P(rows), P(rows))  # last_tokens, seq_lens, block_ids
+    # last_tokens, seq_lens, block_ids (row-sharded) + replicated seed
+    data_specs = (P(rows), P(rows), P(rows), P())
 
-    def step(weights, caches, last_tokens, seq_lens, block_ids):
+    def step(weights, caches, last_tokens, seq_lens, block_ids, sample_seed):
         rank_ep = jax.lax.axis_index("tp")
         return decode_multi(
             weights,
@@ -686,6 +687,8 @@ def make_sharded_multi_step(
             seq_lens,
             block_ids,
             num_steps,
+            temperature=temperature,
+            sample_seed=sample_seed,
             axis_name="tp",
             rank_ep=rank_ep,
             return_logprobs=return_logprobs,

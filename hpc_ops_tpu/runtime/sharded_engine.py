@@ -61,6 +61,8 @@ class ShardedEngine:
         multi_step: int = 1,
         stop_tokens=(),
         logprobs: bool = False,
+        temperature: float = 0.0,
+        seed: int = 0,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -84,6 +86,9 @@ class ShardedEngine:
         self.multi_step = multi_step
         self.stop_tokens = frozenset(map(int, stop_tokens))
         self.logprobs = logprobs
+        self.temperature = temperature
+        self.seed = seed
+        self._sample_calls = 0
         self.num_blocks = num_blocks
         self.max_blocks_per_seq = max_blocks_per_seq or max(num_blocks // 4, 4)
 
@@ -137,7 +142,7 @@ class ShardedEngine:
             jax.jit(
                 make_sharded_multi_step(
                     mesh, cfg, num_steps=multi_step,
-                    return_logprobs=logprobs,
+                    return_logprobs=logprobs, temperature=temperature,
                 )
             )
             if multi_step > 1
@@ -177,6 +182,25 @@ class ShardedEngine:
         return self.allocs[shard].table(rid, pad_to=self.max_blocks_per_seq)
 
     # ----------------------------------------------------------------- steps
+    def _next_seed(self) -> int:
+        # advance per sampling dispatch — a fixed seed would replay the
+        # same Gumbel noise every step (see Engine._sample)
+        self._sample_calls += 1
+        return (self.seed + 0x9E3779B9 * self._sample_calls) % (2**31)
+
+    def _sample_rows(self, logits) -> np.ndarray:
+        """Greedy argmax, or per-row Gumbel temperature sampling."""
+        if self.temperature <= 0.0:
+            return np.asarray(jnp.argmax(logits, axis=-1)).reshape(-1)
+        from hpc_ops_tpu.ops.sampler import fused_sampler_temperature_sample
+
+        toks = fused_sampler_temperature_sample(
+            jnp.asarray(logits, jnp.float32),
+            self.temperature,
+            seed=self._next_seed(),
+        )
+        return np.asarray(toks).reshape(-1)
+
     def _prefill_fn(self, bucket: int):
         if bucket not in self._prefill_steps:
             self._prefill_steps[bucket] = jax.jit(
@@ -248,7 +272,7 @@ class ShardedEngine:
             self._put_rows(tables.reshape(self.num_shards, -1)),
         )
         # prefill's last-row logits come back [num_shards, vocab]
-        toks = np.asarray(jnp.argmax(logits, axis=-1)).reshape(-1)
+        toks = self._sample_rows(logits)
         lps = None
         if self.logprobs:
             lsm = jax.nn.log_softmax(
@@ -314,7 +338,7 @@ class ShardedEngine:
             self._put_rows(q_index),
             self._put_rows(tables.reshape(self.num_shards * b, -1)),
         )
-        toks = np.asarray(jnp.argmax(logits, axis=-1)).reshape(self.num_shards, b)
+        toks = self._sample_rows(logits).reshape(self.num_shards, b)
         lps = None
         if self.logprobs:
             lsm = jax.nn.log_softmax(
@@ -360,6 +384,7 @@ class ShardedEngine:
             self._put_rows(tokens.reshape(-1)),
             self._put_rows(seq_lens.reshape(-1)),
             self._put_rows(tables.reshape(self.num_shards * b, -1)),
+            jnp.int32(self._next_seed()),
         )
         if self.logprobs:
             toks, lps = toks

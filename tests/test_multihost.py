@@ -256,3 +256,40 @@ def test_sharded_engine_logprobs():
                     )
         finally:
             set_interpret_override(None)
+
+
+def test_sharded_engine_temperature_sampling():
+    """Temperature sampling on the sharded engine: deterministic for a
+    fixed seed, diverse across steps (no replayed noise), valid tokens,
+    on both decode modes."""
+    from hpc_ops_tpu.models.llama import init_weights, tiny_config
+    from hpc_ops_tpu.parallel.mesh import make_hybrid_mesh
+    from hpc_ops_tpu.runtime.sharded_engine import ShardedEngine
+
+    devices = _cpu_devices(8)
+    cfg = tiny_config()
+    with jax.default_device(devices[0]):
+        weights = init_weights(jax.random.PRNGKey(3), cfg)
+        prompts = [[1, 2, 3], [7, 8]]
+        set_interpret_override(True)
+        try:
+            mesh = make_hybrid_mesh(dcn_dp=2, tp=4, dp=1, devices=devices)
+            outs = {}
+            for ms in (1, 3):
+                runs = []
+                for _ in range(2):
+                    eng = ShardedEngine(
+                        cfg, weights, mesh, num_blocks=64, block_size=16,
+                        max_batch=2, max_blocks_per_seq=4, multi_step=ms,
+                        temperature=1.0, seed=11,
+                    )
+                    runs.append(eng.run([list(p) for p in prompts],
+                                        max_new=8))
+                assert runs[0] == runs[1], f"ms={ms} not deterministic"
+                outs[ms] = runs[0]
+                for o in runs[0]:
+                    assert len(o) == 8
+                    assert all(0 <= t < cfg.vocab for t in o)
+                    assert len(set(o)) >= 3, f"degenerate: {o}"
+        finally:
+            set_interpret_override(None)
