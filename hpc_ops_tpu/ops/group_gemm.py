@@ -211,6 +211,15 @@ def _gg_blockwise_kernel(
     (DeepGEMM's promotion structure, TPU-native). k=128 per dot fills
     the 128x128 systolic array, and ``gk`` dots per grid step amortize
     the step overhead that made the round-1 tk=128 grid slow.
+
+    Scale operand layouts (TPU tiling: the lane dim of every VMEM block
+    must be a multiple of 128, so a per-step [tm, gk] block is illegal):
+    ``sx_ref`` is ONE [tm, 128] block per m-tile holding all <=128 of the
+    row's k-group scales; the 8 scales of step jk are selected with an
+    in-kernel one-hot matmul (tm x 128 x 8 — noise next to the MXU step).
+    ``sw_ref`` is a [1, 8, tn] block of the TRANSPOSED weight-scale array
+    [G, kb_pad8, N] — sublane dim 8 is legal, and each step DMAs exactly
+    its 8 x tn scales.
     """
     t = pl.program_id(0)
     jk = pl.program_id(2)
@@ -223,11 +232,20 @@ def _gg_blockwise_kernel(
 
         tm, tk = x_ref.shape
         tn = w_ref.shape[1]
+        # select this step's gk row-scale columns: s_step[m, gi] =
+        # sx[m, jk*gk + gi]  (one-hot MXU matmul; jk is dynamic so a
+        # static lane slice is unavailable)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (128, gk), 0)
+        cols = jk * gk + jax.lax.broadcasted_iota(jnp.int32, (128, gk), 1)
+        sel = (lanes == cols).astype(jnp.float32)
+        s_step = jax.lax.dot_general(
+            sx_ref[...], sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tm, gk]
+        sw8 = sw_ref[0]  # [gk(=8 sublanes), tn]
         if scheme == "int8":
             x8 = x_ref[...]
             w8 = w_ref[0]
-            sx = sx_ref[...]  # [tm, gk] f32
-            sw = sw_ref[0]  # [tn, gk] f32
             acc = acc_ref[...]
             for gi in range(gk):
                 p = jax.lax.dot_general(
@@ -238,8 +256,8 @@ def _gg_blockwise_kernel(
                 )
                 acc += (
                     p.astype(jnp.float32)
-                    * sx[:, gi : gi + 1]
-                    * sw[:, gi].reshape(1, tn)
+                    * s_step[:, gi : gi + 1]
+                    * sw8[gi].reshape(1, tn)
                 )
             acc_ref[...] = acc
         else:
@@ -248,13 +266,13 @@ def _gg_blockwise_kernel(
                 if x_bits
                 else x_ref[...].astype(jnp.float32)
             )
-            x = (x.reshape(tm, gk, 128) * sx_ref[...][:, :, None]).reshape(tm, tk)
+            x = (x.reshape(tm, gk, 128) * s_step[:, :, None]).reshape(tm, tk)
             w = (
                 e4m3_bits_to_f32_fast(w_ref[0])
                 if w_bits
                 else w_ref[0].astype(jnp.float32)
             )
-            w = (w.reshape(tn, gk, 128) * sw_ref[0][:, :, None]).reshape(tn, tk)
+            w = (w.reshape(tn, gk, 128) * sw8.T[:, :, None]).reshape(tn, tk)
             acc_ref[...] += jax.lax.dot_general(
                 x.astype(jnp.bfloat16),
                 w.astype(jnp.bfloat16),
@@ -335,7 +353,12 @@ def _gg_blockwise_pallas(
     """sx_al: [total_pad, kb] f32 per-(row, k-group) scales;
     sw_compact: [G, N//128, kb] f32 per-(128x128 block) weight scales.
     scheme "fp8": operands are fp8 (or fp8 bits in int8); "int8":
-    operands are int8 codes for the native s8 MXU path."""
+    operands are int8 codes for the native s8 MXU path.
+
+    TPU tiling note: scale blocks cannot be [*, gk] (lane dim must be a
+    multiple of 128), so sx rides as one [tm, 128] padded row block per
+    m-tile (kernel selects the step's columns) and sw is transposed to
+    [G, kb_pad8, N] so the per-step block is a legal [1, 8, tn]."""
     if scheme == "int8":
         assert x_al.dtype == jnp.int8 and weight.dtype == jnp.int8
         xb = wb = False
@@ -344,16 +367,26 @@ def _gg_blockwise_pallas(
         weight, wb = _as_i8_bits(weight)
     total_pad_t, k = x_al.shape
     g, n, _ = weight.shape
-    kb = k // 128
-    # widest k-tile whose scale groups divide evenly (tk = 128*gk)
-    gk = next(d for d in (8, 4, 2, 1) if kb % d == 0)
+    kb = cdiv(k, 128)
+    assert kb <= 128, "blockwise kernel supports K <= 16384"
+    gk = 8  # fixed: 8 scale groups per k-step (tk = 1024)
     tk = 128 * gk
+    kb_p = round_up(kb, gk)
+    kp = kb_p * 128
     np_ = round_up(n, tn)
-    # [G, N//128, kb] -> per-output-column rows [G, N, kb]
-    sw_nk = jnp.repeat(sw_compact.astype(jnp.float32), 128, axis=1)
-    if np_ != n:
-        weight = jnp.pad(weight, ((0, 0), (0, np_ - n), (0, 0)))
-        sw_nk = jnp.pad(sw_nk, ((0, 0), (0, np_ - n), (0, 0)))
+    if kp != k:
+        x_al = jnp.pad(x_al, ((0, 0), (0, kp - k)))
+    if (np_, kp) != (n, k):
+        weight = jnp.pad(weight, ((0, 0), (0, np_ - n), (0, kp - k)))
+    # sx: [rows, kb] -> [rows, 128] (one full-row scale block per m-tile)
+    sx_al = jnp.pad(
+        sx_al.astype(jnp.float32)[:, :kb], ((0, 0), (0, 128 - kb))
+    )
+    # sw: [G, N//128, kb] -> transposed [G, kb_p, N_pad]
+    sw_nk = jnp.repeat(sw_compact.astype(jnp.float32)[:, :, :kb], 128, axis=1)
+    sw_t = jnp.pad(
+        sw_nk.transpose(0, 2, 1), ((0, 0), (0, kb_p - kb), (0, np_ - n))
+    )
     num_tiles = grp.shape[0]
     if num_valid_tiles is None:
         num_valid_tiles = jnp.full((1,), num_tiles, jnp.int32)
@@ -369,7 +402,7 @@ def _gg_blockwise_pallas(
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(num_tiles, np_ // tn, k // tk),
+            grid=(num_tiles, np_ // tn, kp // tk),
             in_specs=[
                 pl.BlockSpec(
                     (tm, tk),
@@ -386,17 +419,15 @@ def _gg_blockwise_pallas(
                     ),
                 ),
                 pl.BlockSpec(
-                    (tm, gk),
-                    lambda t, jn, jk, grp_r, row_r, nvt_r: (
-                        row_r[t], pin(jk, t, nvt_r)
-                    ),
+                    (tm, 128),
+                    lambda t, jn, jk, grp_r, row_r, nvt_r: (row_r[t], 0),
                 ),
                 pl.BlockSpec(
-                    (1, tn, gk),
+                    (1, gk, tn),
                     lambda t, jn, jk, grp_r, row_r, nvt_r: (
                         pin(grp_r[t], t, nvt_r),
-                        pin(jn, t, nvt_r),
                         pin(jk, t, nvt_r),
+                        pin(jn, t, nvt_r),
                     ),
                 ),
             ],
@@ -411,7 +442,7 @@ def _gg_blockwise_pallas(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(grp, row_blk, num_valid_tiles, x_al, weight, sx_al, sw_nk)
+    )(grp, row_blk, num_valid_tiles, x_al, weight, sx_al, sw_t)
     return out[:, :n]
 
 
