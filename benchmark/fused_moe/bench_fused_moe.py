@@ -163,6 +163,11 @@ def main():
         "(route / gemm1 / act / gemm2 / reduce) to locate the bottleneck",
     )
     ap.add_argument("--dtype", default="fp8", choices=["fp8", "int8"])
+    ap.add_argument(
+        "--fuse-act", action="store_true", dest="fuse_act",
+        help="int8 only: pre-interleave gate/up weights and fuse "
+        "silu*up*quant into the gate-up GEMM epilogue (serving fast path)",
+    )
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--inner", type=int, default=8)
@@ -216,6 +221,7 @@ def main():
                 )
                 continue
             if args.blockwise:
+                fuse_act = False
                 xs = jnp.ones((s, h // 128), jnp.float32)
                 wgu_s = jnp.ones(
                     (e_local, 2 * i_local // 128, -(-h // 128)), jnp.float32
@@ -238,11 +244,18 @@ def main():
                 gu_scale = jnp.full((e_local,), 1e-3 if args.dtype == "int8" else 1.0, jnp.float32)
                 dn_scale = jnp.ones((e_local,), jnp.float32)
                 am_scale = jnp.ones((1,), jnp.float32)
+                fuse_act = args.fuse_act and args.dtype == "int8"
+                w_gu_run = w_gu
+                if fuse_act:
+                    from hpc_ops_tpu.ops.moe import interleave_gate_up
+
+                    w_gu_run = jax.jit(interleave_gate_up)(w_gu)
                 fn = lambda x, w_gu, w_dn, ti, ts: fuse_moe_pertensor_fp8(  # noqa: E731
                     x, w_gu, w_dn, gu_scale, dn_scale, am_scale,
                     ti, ts, rank_ep=0, num_expert_total=e_total,
+                    gate_up_interleaved=fuse_act,
                 )
-                fargs = (x, w_gu, w_dn, topk_ids, topk_scale)
+                fargs = (x, w_gu_run, w_dn, topk_ids, topk_scale)
             # chained differential timing: perturb x with a data-dependent
             # zero so XLA cannot fold the repeats
             def body(carry, fn=fn):
@@ -291,6 +304,7 @@ def main():
                     f"blockwise_{args.dtype}"
                     if args.blockwise
                     else f"pertensor_{args.dtype}"
+                    + ("_fusedact" if fuse_act else "")
                 ),
                 latency_us=round(sec * 1e6, 1),
                 tflops=round(flops / sec / 1e12, 2),

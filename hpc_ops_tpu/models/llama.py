@@ -55,7 +55,15 @@ class MoEConfig(NamedTuple):
     # weight scales + per-(row,128-group) activation scales with int8
     # codes — the deepseek-class fine-grained scheme on the MXU's native
     # s8 path (requires hidden and 2*expert_intermediate % 128 == 0).
+    # "pertensor_int8": per-expert int8 weights with the gate-up weight
+    # stored INTERLEAVED (interleave_gate_up) so the gate-up GEMM fuses
+    # silu*up*quant into its epilogue and the down GEMM runs the aligned
+    # block-DMA path — the TPU serving fast path (no bf16 intermediate,
+    # no separate activation launch, no row gather in the down GEMM).
     scheme: str = "pertensor_fp8"
+    # pertensor_int8 only: |silu(gate)*up| clip range mapped onto int8
+    # (codes saturate beyond it; recalibrate per checkpoint if needed)
+    act_clip: float = 8.0
 
 
 class ModelConfig(NamedTuple):
@@ -163,6 +171,25 @@ def init_weights(key, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict:
 
                 layer["moe_gate_up"], layer["moe_gate_up_scale"] = q_block(gw)
                 layer["moe_down"], layer["moe_down_scale"] = q_block(dw)
+            elif m.scheme == "pertensor_int8":
+                from hpc_ops_tpu.ops.moe import interleave_gate_up
+
+                def q_pt(wm):
+                    s = jnp.max(jnp.abs(wm), axis=(1, 2)) / 127.0 + 1e-12
+                    w8 = jnp.clip(
+                        jnp.round(wm / s[:, None, None]), -127, 127
+                    ).astype(jnp.int8)
+                    return w8, s
+
+                g8, gs8 = q_pt(gw)
+                d8, ds8 = q_pt(dw)
+                act_scale = jnp.asarray([127.0 / m.act_clip], jnp.float32)
+                layer["moe_gate_up"] = interleave_gate_up(g8)
+                layer["moe_gate_up_scale"] = gs8
+                layer["moe_down"] = d8
+                # fold the activation dequant into the down-GEMM scale
+                layer["moe_down_scale"] = ds8 / act_scale[0]
+                layer["moe_act_scale"] = act_scale
             else:
                 gs = jnp.max(jnp.abs(gw)) / 448.0
                 ds = jnp.max(jnp.abs(dw)) / 448.0
@@ -257,6 +284,26 @@ def _mlp_moe(h_normed, layer, cfg: ModelConfig, rank_ep):
     router_logits = h_normed.astype(jnp.float32) @ layer["router"].astype(jnp.float32)
     topk_scale, topk_ids = jax.lax.top_k(router_logits, m.topk)
     topk_scale = jax.nn.softmax(topk_scale, axis=-1)
+    if m.scheme == "pertensor_int8":
+        from hpc_ops_tpu.ops.moe import fuse_moe_pertensor_int8
+
+        xf = h_normed.astype(jnp.float32)
+        x_amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6)
+        x_scale = x_amax / 127.0
+        x8 = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+        return fuse_moe_pertensor_int8(
+            x8,
+            layer["moe_gate_up"],
+            layer["moe_down"],
+            layer["moe_gate_up_scale"] * x_scale,
+            layer["moe_down_scale"],
+            layer["moe_act_scale"],
+            topk_ids.astype(jnp.int32),
+            topk_scale,
+            rank_ep,
+            m.num_experts,
+            gate_up_interleaved=True,
+        )
     if m.scheme == "blockwise_int8":
         from hpc_ops_tpu.ops.moe import fuse_moe_blockwise_int8
         from hpc_ops_tpu.ops.quant import blockwise_int8_quant
@@ -591,6 +638,8 @@ def shard_weights_specs(cfg: ModelConfig):
                 "moe_down_scale": scale_spec,
             }
         )
+        if cfg.moe.scheme == "pertensor_int8":
+            layer_spec["moe_act_scale"] = P()
     return {
         "embed": P(),
         "final_norm": P(),

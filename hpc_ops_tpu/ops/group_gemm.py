@@ -454,7 +454,8 @@ def _gg_scatter_kernel(
     #            in both trailing dims, satisfying DMA tiling rules)
     w_ref,  # [1, tn, tk] VMEM block
     scale_ref,  # [G] SMEM
-    o_ref,  # [tm, tn] VMEM block
+    am_ref,  # [1] SMEM activation quant scale (act_fuse only)
+    o_ref,  # [tm, tn] VMEM block ([tm, tn//2] when act_fuse)
     xbuf,  # [2, tm, Kb, 128] VMEM scratch (double-buffered row gather)
     sem,
     acc_ref,
@@ -463,6 +464,8 @@ def _gg_scatter_kernel(
     kbt: int,  # K-tile in lane-groups of 128 (tk = kbt * 128)
     x_bits: bool = False,
     w_bits: bool = False,
+    act_fuse: bool = False,
+    use_bf16_mul: bool = True,
 ):
     """Scatter grouped GEMM (reference op #9,
     src/group_gemm/cp_async/entry.cc group_gemm_fp8_scatter): token rows are
@@ -475,6 +478,14 @@ def _gg_scatter_kernel(
     (reference behavior for off-rank tokens). Weights stream in (tn, tk)
     blocks — 8-bit types occupy 32 bits/element in VMEM on generations
     without native fp8, so a full-K weight block would blow the VMEM budget.
+
+    ``act_fuse``: the MoE gate-up epilogue. The weight was pre-interleaved
+    (``interleave_gate_up``) so each n-block holds tn//2 gate rows then the
+    matching tn//2 up rows; the epilogue computes
+    ``round(silu(gate)*up*am_ref[0])`` -> int8 and writes a [tm, tn//2]
+    block. This collapses the reference's separate act_mul_and_quant launch
+    (src/fuse_moe/fuse_moe.cu k3) into the GEMM and never materializes the
+    bf16 gate_up intermediate in HBM.
     """
     t = pl.program_id(0)
     jn = pl.program_id(1)
@@ -552,15 +563,42 @@ def _gg_scatter_kernel(
         @pl.when(jk == pl.num_programs(2) - 1)
         def _():
             sc = scale_ref[grp_ref[t]]
-            o_ref[...] = (acc_ref[...] * sc).astype(o_ref.dtype)
+            if act_fuse:
+                # match act_mul_and_quant's numerics exactly: the unfused
+                # pipeline writes the GEMM output as bf16, so round the
+                # dequantized halves through bf16 before the activation
+                accs = (acc_ref[...] * sc).astype(jnp.bfloat16)
+                h2 = accs.shape[1] // 2
+                gate = accs[:, :h2].astype(jnp.float32)
+                act = gate * jax.nn.sigmoid(gate)
+                if use_bf16_mul:
+                    prod = (
+                        act.astype(jnp.bfloat16) * accs[:, h2:]
+                    ).astype(jnp.float32)
+                else:
+                    prod = act * accs[:, h2:].astype(jnp.float32)
+                y = prod * am_ref[0]
+                if o_ref.dtype == jnp.int8:
+                    o_ref[...] = jnp.clip(
+                        jnp.round(y), -127, 127
+                    ).astype(jnp.int8)
+                else:
+                    o_ref[...] = y.astype(o_ref.dtype)
+            else:
+                o_ref[...] = (acc_ref[...] * sc).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tn", "tk", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tm", "tn", "tk", "interpret", "act_fuse", "use_bf16_mul", "out_dtype"
+    ),
+)
 def _gg_scatter_pallas(
     x, weight, y_scale, row_idx, grp, tm, tn, tk=1024, interpret=False,
-    num_valid_tiles=None,
+    num_valid_tiles=None, act_fuse=False, act_scale=None, use_bf16_mul=True,
+    out_dtype=jnp.bfloat16,
 ):
-    assert tk % 1024 == 0, "tk must keep the k-tile sublane offset 8-aligned"
     x, xb = _as_i8_bits(x)
     weight, wb = _as_i8_bits(weight)
     total, k = x.shape
@@ -568,13 +606,24 @@ def _gg_scatter_pallas(
     # row slabs are DMA'd as [Kb, 128] views; Kb must respect the dtype's
     # sublane packing (4 sublanes/tile-row for 8-bit types) -> K % 512.
     # K that fits one k-step runs un-tiled (pl.ds(0, kb) is always legal),
-    # so e.g. K=1536 pads only to 1536 instead of 2048.
+    # so e.g. K=1536 pads only to 1536 instead of 2048 (a single [tn, 1536]
+    # weight block is well inside VMEM).
     kp = round_up(k, 512)
-    if kp <= max(tk, 1024):
+    if kp <= max(tk, 2048):
         tk = kp
     else:
         kp = round_up(k, tk)
+    assert kp == tk or tk % 1024 == 0, (
+        "multi-step k-tiles must keep the sublane offset 8-aligned"
+    )
     np_ = round_up(n, tn)
+    if act_fuse:
+        assert n % tn == 0 and tn % 256 == 0, (
+            "act_fuse needs gate/up pairs to tile n-blocks exactly"
+        )
+        assert act_scale is not None
+    else:
+        act_scale = jnp.zeros((1,), jnp.float32)
     if kp != k:
         x = jnp.pad(x, ((0, 0), (0, kp - k)))
         weight = jnp.pad(weight, ((0, 0), (0, 0), (0, kp - k)))
@@ -598,9 +647,22 @@ def _gg_scatter_pallas(
             jnp.where(act, jk, 0),
         )
 
+    if act_fuse:
+        # [tm, tn//2] int8 blocks; one extra trash m-tile so the result can
+        # feed the aligned (row_blk-indexed) grouped GEMM directly
+        to = tn // 2
+        out_rows = (num_tiles + 1) * tm
+        out_cols = np_ // 2
+        out_dt = out_dtype if out_dtype != jnp.bfloat16 else jnp.int8
+    else:
+        to = tn
+        out_rows = num_tiles * tm
+        out_cols = np_
+        out_dt = jnp.bfloat16
     out = pl.pallas_call(
         functools.partial(
-            _gg_scatter_kernel, tm=tm, kbt=kbt, x_bits=xb, w_bits=wb
+            _gg_scatter_kernel, tm=tm, kbt=kbt, x_bits=xb, w_bits=wb,
+            act_fuse=act_fuse, use_bf16_mul=use_bf16_mul,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -609,9 +671,10 @@ def _gg_scatter_pallas(
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, tn, tk), w_map),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec(
-                (tm, tn), lambda t, jn, jk, row_r, grp_r, nvt_r: (t, jn)
+                (tm, to), lambda t, jn, jk, row_r, grp_r, nvt_r: (t, jn)
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, tm, kb, 128), x.dtype),
@@ -619,16 +682,16 @@ def _gg_scatter_pallas(
                 pltpu.VMEM((tm, tn), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((num_tiles * tm, np_), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((out_rows, out_cols), out_dt),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(
         row_idx, grp, num_valid_tiles, x.reshape(total, kb, 128), weight,
-        y_scale.astype(jnp.float32),
+        y_scale.astype(jnp.float32), act_scale.reshape(1).astype(jnp.float32),
     )
-    return out[:, :n]
+    return out if act_fuse else out[:, :n]
 
 
 def group_gemm_fp8_scatter(
@@ -655,7 +718,7 @@ def group_gemm_fp8_scatter(
     The reference constrains this path to N_tp <= 512 (hpc/fuse_moe.py:133)
     because the token gather re-runs per n-tile; same economics here.
     """
-    tm = _pick_tm(num_seq_per_group_avg)
+    tm = _pick_tm(num_seq_per_group_avg, x.shape[1])
     if impl == "ref":
         xg = jnp.where(
             (row_indices >= 0)[:, None], x[jnp.maximum(row_indices, 0)], 0
@@ -673,7 +736,7 @@ def group_gemm_fp8_scatter(
     )
 
 
-def _pick_tm(num_seq_per_group_avg: int) -> int:
+def _pick_tm(num_seq_per_group_avg: int, k: int | None = None) -> int:
     if num_seq_per_group_avg <= 32:
         return 32
     if num_seq_per_group_avg <= 64:
@@ -681,8 +744,14 @@ def _pick_tm(num_seq_per_group_avg: int) -> int:
     if num_seq_per_group_avg <= 128:
         return 128
     # large groups: weights re-stream once per m-tile, so doubling the
-    # m-tile halves the dominant W traffic (decode-shape tiles stay small)
-    return 256
+    # m-tile halves the dominant W traffic (decode-shape tiles stay small).
+    # The scatter kernel's double-buffered row gather costs 2*tm*K bytes of
+    # VMEM (~16MB/core), which caps the tile for wide K.
+    tm = 256 if num_seq_per_group_avg <= 384 else 512
+    if k is not None:
+        while tm > 256 and 2 * tm * round_up(k, 1024) > 8 * 1024 * 1024:
+            tm //= 2
+    return tm
 
 
 # --------------------------------------------------------------- public API
@@ -715,7 +784,7 @@ def group_gemm_pertensor_fp8(
         # (src/group_gemm/cp_async/entry.cc: total_tokens / num_group);
         # undersized tiles multiply the weight-block traffic
         num_seq_per_group_avg = max(total // max(g, 1), 1)
-    tm = _pick_tm(num_seq_per_group_avg)
+    tm = _pick_tm(num_seq_per_group_avg, k)
     total_tiles_max = cdiv(total, tm) + g
     seqlens = seqlens.astype(jnp.int32)
     cu = cu_seqlens.astype(jnp.int32)

@@ -203,6 +203,7 @@ def fuse_moe_pertensor_fp8(
     *,
     num_seq_per_group_avg: int | None = None,
     impl: str = "auto",
+    gate_up_interleaved: bool = False,
 ):
     """Per-tensor-scale FP8 fused MoE forward.
 
@@ -210,14 +211,22 @@ def fuse_moe_pertensor_fp8(
     [E_local, H, I] fp8; gate_up_scale/down_scale: [E_local] f32;
     act_and_mul_scale: [1] f32; topk_ids/topk_scale: [S, K].
     Returns [S, H] bf16.
+
+    ``gate_up_interleaved=True`` (int8 weights only): gate_up_weight was
+    pre-shuffled with :func:`interleave_gate_up` — the gate-up GEMM then
+    computes silu(gate)*up*act_and_mul_scale -> int8 in its epilogue (no
+    bf16 intermediate or separate activation launch) and the down GEMM
+    consumes the tile-aligned result with plain block DMAs (no row
+    gather). This is the serving fast path; the default keeps the
+    reference's 5-stage layout (plain [gate; up] weight rows).
     """
     e_local = gate_up_weight.shape[0]
     if num_seq_per_group_avg is None:
         s_, k_ = topk_ids.shape
         # expected rows per LOCAL expert: off-rank tokens are dropped, so
-        # divide by the GLOBAL expert count (s*k*(e_local/e_total)/e_local)
+        # divide by the GLOBAL expert count (s*k*(e_local/e_total)/e_total)
         num_seq_per_group_avg = max(s_ * k_ // max(num_expert_total, 1), 1)
-    tm = _pick_tm(num_seq_per_group_avg)
+    tm = _pick_tm(num_seq_per_group_avg, x.shape[1])
 
     if impl in ("auto", "scatter"):
         # Low-latency scatter pipeline (reference cp_async fuse_moe,
@@ -229,9 +238,32 @@ def fuse_moe_pertensor_fp8(
             topk_ids, e_local, rank_ep, tm
         )
         nvt = cu_tiles[-1]  # tiles holding real rows; the rest are skipped
+        tn_gu = min(512, gate_up_weight.shape[1])
+        if (
+            gate_up_interleaved
+            and down_weight.dtype == jnp.int8
+            and gate_up_weight.shape[1] % tn_gu == 0
+        ):
+            down_in = _gg_scatter_pallas(
+                x, gate_up_weight, gate_up_scale, row_idx, grp,
+                tm, tn_gu, interpret=interp, num_valid_tiles=nvt,
+                act_fuse=True, act_scale=act_and_mul_scale,
+                use_bf16_mul=use_bf16_mul, out_dtype=jnp.int8,
+            )  # [(nt+1)*tm, I] int8, trash tile appended
+            nt = grp.shape[0]
+            ar = jnp.arange(nt, dtype=jnp.int32)
+            row_blk = jnp.where(ar < nvt, ar, nt)
+            i_sz = down_weight.shape[2]
+            down = _gg_pertensor_pallas(
+                down_in, down_weight, down_scale, grp, row_blk,
+                tm, min(512, down_weight.shape[1]),
+                min(2048, ((i_sz + 511) // 512) * 512),
+                interpret=interp, num_valid_tiles=nvt,
+            )
+            return reduce(down, topk_pos, topk_scale, shared_output)
         gate_up = _gg_scatter_pallas(
             x, gate_up_weight, gate_up_scale, row_idx, grp,
-            tm, min(512, gate_up_weight.shape[1]), interpret=interp,
+            tm, tn_gu, interpret=interp,
             num_valid_tiles=nvt,
         )
         down_in = act_mul_and_quant(
@@ -500,6 +532,23 @@ def _naive_group_gemm(xg, w, g: GatherResult, scale, tm):
     return out.astype(jnp.bfloat16)
 
 
+def interleave_gate_up(w, tn: int = 512):
+    """Pre-shuffle [E, 2I, K] gate-up weights for the fused-act GEMM.
+
+    Output n-block j (tn rows) holds gate rows [j*tn/2, (j+1)*tn/2) followed
+    by the matching up rows, so the GEMM epilogue can apply
+    silu(gate)*up on its own accumulator tile. One-time transform — do it
+    at weight-load, never in the hot path.
+    """
+    e, n2, k = w.shape
+    i = n2 // 2
+    h2 = min(tn, n2) // 2
+    assert i % h2 == 0, (i, tn)
+    wg = w[:, :i].reshape(e, i // h2, h2, k)
+    wu = w[:, i:].reshape(e, i // h2, h2, k)
+    return jnp.stack([wg, wu], axis=2).reshape(e, n2, k)
+
+
 def count_and_build_indices(topk_ids, num_expert: int, rank_ep: int,
                             num_seq_per_group_avg: int | None = None):
     """Routing metadata without token materialization (reference
@@ -517,6 +566,7 @@ def count_and_build_indices(topk_ids, num_expert: int, rank_ep: int,
 __all__ = [
     "count_and_gather",
     "count_and_build_indices",
+    "interleave_gate_up",
     "reduce",
     "fuse_moe",
     "fuse_moe_pertensor_fp8",

@@ -93,6 +93,27 @@ def test_moe_model_blockwise_int8():
         assert cos.min() > 0.97, f"phase {phase}: min cosine {cos.min()}"
 
 
+def test_moe_model_pertensor_int8():
+    """MoE scheme="pertensor_int8" (interleaved gate-up + fused act
+    epilogue, the serving fast path) must track the pertensor-fp8 model."""
+    cfg_pt = tiny_config(moe=True)
+    cfg_i8 = cfg_pt._replace(
+        moe=cfg_pt.moe._replace(scheme="pertensor_int8")
+    )
+    outs = {}
+    for name, cfg in (("pt", cfg_pt), ("i8", cfg_i8)):
+        logits_p, logits_d, _ = run_prefill_then_decode(cfg, seed=4)
+        outs[name] = (
+            np.asarray(logits_p, np.float32), np.asarray(logits_d, np.float32)
+        )
+        assert np.isfinite(outs[name][1]).all()
+    for phase, (a, ref) in enumerate(zip(outs["i8"], outs["pt"])):
+        num = (a * ref).sum(-1)
+        den = np.linalg.norm(a, axis=-1) * np.linalg.norm(ref, axis=-1)
+        cos = num / np.maximum(den, 1e-9)
+        assert cos.min() > 0.97, f"phase {phase}: min cosine {cos.min()}"
+
+
 def test_decode_matches_incremental_prefill():
     """Decoding token t+1 after prefill must equal prefilling t+1 tokens."""
     cfg = tiny_config()
@@ -133,7 +154,9 @@ def test_decode_matches_incremental_prefill():
     )
 
 
-@pytest.mark.parametrize("moe", [False, True, "blockwise_int8"])
+@pytest.mark.parametrize(
+    "moe", [False, True, "blockwise_int8", "pertensor_int8"]
+)
 def test_sharded_step_tp_dp(moe):
     """Full forward step sharded over a 2x4 (dp, tp) host mesh vs single-dev."""
     cpus = jax.devices("cpu")
@@ -142,8 +165,8 @@ def test_sharded_step_tp_dp(moe):
     set_interpret_override(True)
     try:
         cfg = tiny_config(moe=bool(moe))
-        if moe == "blockwise_int8":
-            cfg = cfg._replace(moe=cfg.moe._replace(scheme="blockwise_int8"))
+        if isinstance(moe, str):
+            cfg = cfg._replace(moe=cfg.moe._replace(scheme=moe))
         tp, dp = 4, 2
         mesh = make_mesh(tp=tp, dp=dp, devices=cpus)
         key = jax.random.PRNGKey(7)

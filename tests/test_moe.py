@@ -337,3 +337,72 @@ def test_fuse_moe_int8_vs_ref():
     err = np.abs(np.asarray(out, np.float32) - acc)
     rel = err.max() / (np.abs(acc).max() + 1e-9)
     assert rel < 0.08, f"int8 MoE vs fp32 oracle rel err {rel}"
+
+
+def test_fuse_moe_int8_fused_act_epilogue():
+    """gate_up_interleaved=True (fused silu*up*quant in the gate-up GEMM
+    epilogue + aligned down GEMM) matches the unfused scatter pipeline."""
+    import numpy as np
+    from hpc_ops_tpu.ops.moe import (
+        fuse_moe_pertensor_int8,
+        interleave_gate_up,
+    )
+    from hpc_ops_tpu.ops.quant import scaled_int8_quant
+
+    rng = np.random.RandomState(7)
+    s, h, i, e, k = 96, 256, 128, 8, 2
+    xf = jnp.asarray(rng.randn(s, h), jnp.float32) * 0.3
+    gu = jnp.asarray(rng.randn(e, 2 * i, h), jnp.float32) * 0.05
+    dw = jnp.asarray(rng.randn(e, h, i), jnp.float32) * 0.05
+    topk_ids = jnp.asarray(rng.randint(0, e, (s, k)), jnp.int32)
+    topk_scale = jnp.asarray(rng.rand(s, k), jnp.float32)
+
+    x8, xs = scaled_int8_quant(xf)
+    gu8s = [scaled_int8_quant(gu[j]) for j in range(e)]
+    gu8 = jnp.stack([a for a, _ in gu8s])
+    gus = jnp.concatenate([b for _, b in gu8s])
+    dw8s = [scaled_int8_quant(dw[j]) for j in range(e)]
+    dw8 = jnp.stack([a for a, _ in dw8s])
+    dws = jnp.concatenate([b for _, b in dw8s])
+
+    act_scale = jnp.asarray([127.0 / 0.2], jnp.float32)
+    gate_up_scale = xs.reshape(()) * gus
+    down_scale = dws / act_scale.reshape(())
+
+    base = fuse_moe_pertensor_int8(
+        x8, gu8, dw8, gate_up_scale, down_scale, act_scale,
+        topk_ids, topk_scale, 0, e,
+    )
+    fused = fuse_moe_pertensor_int8(
+        x8, interleave_gate_up(gu8), dw8, gate_up_scale, down_scale,
+        act_scale, topk_ids, topk_scale, 0, e, gate_up_interleaved=True,
+    )
+    # identical int8 math modulo the epilogue's rounding point: codes can
+    # differ by at most 1, i.e. 1/act_scale in activation units
+    assert_allclose(
+        np.asarray(fused, np.float32),
+        np.asarray(base, np.float32),
+        atol=2.5 * float(np.abs(np.asarray(dw8)).sum(axis=1).max())
+        / float(act_scale[0]) * float(dws.max()),
+        rtol=0.05,
+        name="int8_moe_fused_act_vs_unfused",
+    )
+
+    # EP window: fused path drops off-rank tokens identically
+    e_local = e // 2
+    base_ep = fuse_moe_pertensor_int8(
+        x8, gu8[e_local:], dw8[e_local:], gate_up_scale[e_local:],
+        down_scale[e_local:], act_scale, topk_ids, topk_scale, 1, e,
+    )
+    fused_ep = fuse_moe_pertensor_int8(
+        x8, interleave_gate_up(gu8[e_local:]), dw8[e_local:],
+        gate_up_scale[e_local:], down_scale[e_local:], act_scale,
+        topk_ids, topk_scale, 1, e, gate_up_interleaved=True,
+    )
+    assert_allclose(
+        np.asarray(fused_ep, np.float32),
+        np.asarray(base_ep, np.float32),
+        atol=0.05,
+        rtol=0.05,
+        name="int8_moe_fused_act_vs_unfused_ep",
+    )
