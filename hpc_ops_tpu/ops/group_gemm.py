@@ -466,6 +466,7 @@ def _gg_scatter_kernel(
     w_bits: bool = False,
     act_fuse: bool = False,
     use_bf16_mul: bool = True,
+    single_k: bool = False,  # grid has one k-step (kp == tk)
 ):
     """Scatter grouped GEMM (reference op #9,
     src/group_gemm/cp_async/entry.cc group_gemm_fp8_scatter): token rows are
@@ -535,10 +536,16 @@ def _gg_scatter_kernel(
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         _, tm_, kb, _ = xbuf.shape
-        # kbt is a multiple of 8 so the dynamic sublane offset is provably
-        # tile-aligned for the vector load
-        off = pl.multiple_of(jk * kbt, kbt)
-        xk = xbuf[t % 2, :, pl.ds(off, kbt), :].reshape(tm_, kbt * 128)
+        if single_k:
+            # one k-step: jk == 0 always, but Mosaic can only prove the
+            # sublane offset aligned if it is the literal 0 (kbt need not
+            # be a multiple of 8 here, e.g. K=1536 -> kbt=12)
+            xk = xbuf[t % 2, :, pl.ds(0, kbt), :].reshape(tm_, kbt * 128)
+        else:
+            # multi-step k-tiles keep tk % 1024 == 0, so kbt % 8 == 0 and
+            # the dynamic sublane offset is provably tile-aligned
+            off = pl.multiple_of(jk * kbt, kbt)
+            xk = xbuf[t % 2, :, pl.ds(off, kbt), :].reshape(tm_, kbt * 128)
         if x_bits or w_bits:
             acc_ref[...] += jax.lax.dot_general(
                 _e4m3_bf16(xk) if x_bits else xk.astype(jnp.bfloat16),
@@ -603,17 +610,20 @@ def _gg_scatter_pallas(
     weight, wb = _as_i8_bits(weight)
     total, k = x.shape
     g, n, _ = weight.shape
-    # row slabs are DMA'd as [Kb, 128] views; Kb must respect the dtype's
-    # sublane packing (4 sublanes/tile-row for 8-bit types) -> K % 512.
-    # K that fits one k-step runs un-tiled (pl.ds(0, kb) is always legal),
-    # so e.g. K=1536 pads only to 1536 instead of 2048 (a single [tn, 1536]
-    # weight block is well inside VMEM).
-    kp = round_up(k, 512)
-    if kp <= max(tk, 2048):
-        tk = kp
+    # Row slabs are DMA'd as whole [Kb, 128] views, and Mosaic requires the
+    # sublane extent of any sliced view to be a multiple of 8 -> the
+    # gathered-x buffer pads K to a 1024 multiple (kp_x). The WEIGHT and the
+    # dot keep the tighter 512-multiple K (kp_w): for e.g. K=1536 the kernel
+    # gathers (16,128) slabs but statically lane-slices the register to
+    # 1536 before the dot — no extra MACs, no weight padding; only the row
+    # gather moves the pad bytes.
+    kp_w = round_up(k, 512)
+    if kp_w <= max(tk, 2048):
+        tk = kp_w
+        kp_x = round_up(k, 1024)
     else:
-        kp = round_up(k, tk)
-    assert kp == tk or tk % 1024 == 0, (
+        kp_w = kp_x = round_up(k, tk)
+    assert kp_w == tk or tk % 1024 == 0, (
         "multi-step k-tiles must keep the sublane offset 8-aligned"
     )
     np_ = round_up(n, tn)
@@ -624,13 +634,14 @@ def _gg_scatter_pallas(
         assert act_scale is not None
     else:
         act_scale = jnp.zeros((1,), jnp.float32)
-    if kp != k:
-        x = jnp.pad(x, ((0, 0), (0, kp - k)))
-        weight = jnp.pad(weight, ((0, 0), (0, 0), (0, kp - k)))
+    if kp_x != k:
+        x = jnp.pad(x, ((0, 0), (0, kp_x - k)))
+    if kp_w != k:
+        weight = jnp.pad(weight, ((0, 0), (0, 0), (0, kp_w - k)))
     if np_ != n:
         weight = jnp.pad(weight, ((0, 0), (0, np_ - n), (0, 0)))
     num_tiles = grp.shape[0]
-    kb = kp // 128
+    kb = kp_x // 128
     kbt = tk // 128
     if num_valid_tiles is None:
         num_valid_tiles = jnp.full((1,), num_tiles, jnp.int32)
@@ -663,10 +674,11 @@ def _gg_scatter_pallas(
         functools.partial(
             _gg_scatter_kernel, tm=tm, kbt=kbt, x_bits=xb, w_bits=wb,
             act_fuse=act_fuse, use_bf16_mul=use_bf16_mul,
+            single_k=(kp_w == tk),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(num_tiles, np_ // tn, kp // tk),
+            grid=(num_tiles, np_ // tn, kp_w // tk),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, tn, tk), w_map),

@@ -220,8 +220,19 @@ def rope_norm_store_kv(
     else:
         num_kv_heads, qk_dim = key_cache.shape[2], key_cache.shape[3]
     v_dim = value_cache.shape[3]
-    if impl == "pallas" and can_use_rope_kernel(
-        qkv.shape[0], key_cache.dtype, qkv.dtype, cache_layout, store_to_cache
+    itp = interpret_default() if interpret is None else interpret
+    # Mosaic DMA legality: a single token row is a leading-dim slice of the
+    # NHD cache viewed [S, hkv, d] (legal), but a *sublane*-dim slice of the
+    # head-major HND cache [hkv, S, d] (illegal — slice shapes on the last
+    # two dims must be tile-aligned, HBM refs included). HND therefore only
+    # runs the fused kernel in interpret mode; compiled TPU falls back to
+    # the XLA scatter.
+    if (
+        impl == "pallas"
+        and (cache_layout == "NHD" or itp)
+        and can_use_rope_kernel(
+            qkv.shape[0], key_cache.dtype, qkv.dtype, cache_layout, store_to_cache
+        )
     ):
         return _rope_store_pallas(
             key_cache,
@@ -239,7 +250,7 @@ def rope_norm_store_kv(
             v_dim,
             cache_layout,
             zero_tails,
-            interpret_default() if interpret is None else interpret,
+            itp,
         )
     q, k, v, m = _rope_norm_core(
         qkv,
@@ -309,8 +320,8 @@ def _rope_store_pallas(
         head_major = True
     else:  # NHD
         nb, bs, h, _ = key_cache.shape
-        kflat = key_cache.reshape(nb * bs, h * qk_dim)
-        vflat = value_cache.reshape(nb * bs, h * v_dim)
+        kflat = key_cache.reshape(nb * bs, h, qk_dim)
+        vflat = value_cache.reshape(nb * bs, h, v_dim)
         head_major = False
     slots = flat_slot_ids(m.positions, m.req_ids, kvcache_indices, bs, m.valid)
     # contract: rows are all real tokens, so slots are in range; the clip
@@ -404,8 +415,15 @@ def rope_norm_store_kv_int8(
     bad = (phys < 0) | ~m.valid
     oob = jnp.int32(2**31 - 1)
 
-    use_pallas = impl == "pallas" and can_use_rope_kernel(
-        rows, jnp.bfloat16, qkv.dtype, "HND", True
+    itp = interpret_default() if interpret is None else interpret
+    # The fused K|V slab is head-major, so a token row is a sublane-dim
+    # slice — Mosaic forbids that DMA shape (see rope_norm_store_kv); the
+    # fused kernel path is interpret-only until the cache moves to a
+    # slot-leading layout.
+    use_pallas = (
+        impl == "pallas"
+        and itp
+        and can_use_rope_kernel(rows, jnp.bfloat16, qkv.dtype, "HND", True)
     )
     if use_pallas:
         from hpc_ops_tpu.ops.rope_kernel import rope_store_rows
@@ -431,7 +449,7 @@ def rope_norm_store_kv_int8(
             head_major=True,
             k_scale_inv=k_inv,
             v_scale_inv=v_inv,
-            interpret=interpret_default() if interpret is None else interpret,
+            interpret=itp,
         )
         return (
             q_out.reshape(rows, q.shape[1], d),

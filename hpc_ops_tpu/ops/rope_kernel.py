@@ -76,8 +76,10 @@ def _rope_store_kernel(
 
     cs = cs_ref[...]
     h2 = d // 2
-    c = cs[:, None, :h2]
-    s = cs[:, None, h2:]
+    # basic-slice + reshape only: combining None-axis insertion with a lane
+    # slice (cs[:, None, :h2]) lowers to a Mosaic gather, which fails on TPU
+    c = cs[:, :h2].reshape(RT, 1, h2)
+    s = cs[:, h2:].reshape(RT, 1, h2)
 
     def rot(t):
         t1 = t[..., :h2]
@@ -85,7 +87,7 @@ def _rope_store_kernel(
         return jnp.concatenate([t1 * c - t2 * s, t2 * c + t1 * s], axis=-1)
 
     def norm(t, w_ref):
-        w = w_ref[0][None, None, :]
+        w = w_ref[...].reshape(1, 1, d)
         var = jnp.mean(t * t, axis=-1, keepdims=True)
         return t * jax.lax.rsqrt(var + _NORM_EPS) * w
 
@@ -101,12 +103,17 @@ def _rope_store_kernel(
         # symmetric per-tensor int8: y = clip(round(x / s), ±127)
         k = jnp.clip(jnp.round(k * sc_ref[0, 0]), -127, 127)
         vf = jnp.clip(jnp.round(vf * sc_ref[0, 1]), -127, 127)
-    if head_major:
-        k_scr[...] = k.transpose(1, 0, 2).astype(cache_dtype)
-        v_scr[...] = vf.transpose(1, 0, 2).astype(cache_dtype)
-    else:
-        k_scr[...] = k.reshape(RT, hkv * d).astype(cache_dtype)
-        v_scr[...] = vf.reshape(RT, hkv * dv).astype(cache_dtype)
+    # Scratch keeps the token index in the LEADING (untiled) memref dim and
+    # a per-token view that is the FULL trailing (hkv, d) tile pair — the
+    # same shape discipline as MultiPageCopy's buf_ref.at[slot, i]. Any
+    # per-token view that slices a *tiled* dim to length 1 (token in the
+    # sublane dim, or an interposed size-1 dim that Mosaic pads to the
+    # sublane tile) is rejected by Mosaic ("slice shape along dimension i
+    # must be aligned to tiling"). The HBM side of a DMA accepts arbitrary
+    # strided views, including integer-squeezed dynamic indices
+    # (.at[:, sk, :]), so both cache layouts scatter from the same scratch.
+    k_scr[...] = k.astype(cache_dtype)
+    v_scr[...] = vf.astype(cache_dtype)
 
     base = i * RT
     copies = []
@@ -114,21 +121,15 @@ def _rope_store_kernel(
         sk = slot_k_ref[base + r]
         sv = slot_v_ref[base + r]
         if head_major:
+            # cache view [hkv, S, d]: one strided descriptor per token
             copies.append(
-                pltpu.make_async_copy(
-                    k_scr.at[:, pl.ds(r, 1), :],
-                    k_out_ref.at[:, pl.ds(sk, 1), :],
-                    sem,
-                )
+                pltpu.make_async_copy(k_scr.at[r], k_out_ref.at[:, sk, :], sem)
             )
             copies.append(
-                pltpu.make_async_copy(
-                    v_scr.at[:, pl.ds(r, 1), :],
-                    v_out_ref.at[:, pl.ds(sv, 1), :],
-                    sem,
-                )
+                pltpu.make_async_copy(v_scr.at[r], v_out_ref.at[:, sv, :], sem)
             )
         else:
+            # cache view [S, hkv, d]: a token's row is one contiguous run
             copies.append(
                 pltpu.make_async_copy(k_scr.at[r], k_out_ref.at[sk], sem)
             )
@@ -180,7 +181,7 @@ def rope_store_rows(
 ):
     """Run the fused kernel. caches are flat views:
 
-    rows mode:       kflat [S, hkv*d],  vflat [S, hkv*dv]
+    rows mode:       kflat [S, hkv, d], vflat [S, hkv, dv]
     head_major mode: kflat [hkv, S, d], vflat [hkv, S, dv]
     fused (single cache): kvflat [hkv, S, d]; slot_k/slot_v both index it.
 
@@ -203,16 +204,10 @@ def rope_store_rows(
     else:
         sc = jnp.zeros((1, 128), jnp.float32)
 
-    if head_major:
-        scr = [
-            pltpu.VMEM((hkv, rt, d), cache_dtype),
-            pltpu.VMEM((hkv, rt, dv), cache_dtype),
-        ]
-    else:
-        scr = [
-            pltpu.VMEM((rt, hkv * d), cache_dtype),
-            pltpu.VMEM((rt, hkv * dv), cache_dtype),
-        ]
+    scr = [
+        pltpu.VMEM((rt, hkv, d), cache_dtype),
+        pltpu.VMEM((rt, hkv, dv), cache_dtype),
+    ]
 
     hidden = qkv.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
