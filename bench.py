@@ -90,9 +90,10 @@ def timed(make_run_n, args):
             t0 = time.perf_counter()
             _ = np.asarray(f(*args)[:1, :1, :4])
             times[n].append(time.perf_counter() - t0)
-    return float(
-        (np.median(times[2 * INNER]) - np.median(times[INNER])) / INNER
-    )
+    # difference of MINIMA: the tunneled host sees bursty external
+    # interference that inflates random trials; the min is the clean run
+    # (median differencing has produced negative latencies under bursts)
+    return float((min(times[2 * INNER]) - min(times[INNER])) / INNER)
 
 
 def bench_ours():

@@ -67,13 +67,23 @@ def build_inputs(kv_lens, hkv, g, dtype, rng):
     if dtype == "fp8":
         k_pages = (k * 16).astype(jnp.float8_e4m3fn)
         v_pages = (v * 16).astype(jnp.float8_e4m3fn)
-    elif dtype == "int8":
-        # fused int8 serving layout (the framework's quantized fast path)
+    elif dtype in ("int8", "int8_nhd"):
+        # fused int8 serving layouts (the framework's quantized fast path):
+        # "int8" = head-major FUSED [H, nb, 2bs, D]; "int8_nhd" = the
+        # slot-leading NHD_FUSED slab [nb, 2bs, H*D] (one DMA per page for
+        # ALL heads — the engine's native layout)
         from hpc_ops_tpu.ops.quant import quantize_kv_fused_int8
 
         kf = k.astype(jnp.bfloat16)
         vf = v.astype(jnp.bfloat16)
         k_pages, ks, vs = quantize_kv_fused_int8(kf, vf)
+        if dtype == "int8_nhd":
+            from hpc_ops_tpu.ops.attention.paging import (
+                pack_kv_fused_nhd,
+                unpack_kv_fused,
+            )
+
+            k_pages = pack_kv_fused_nhd(*unpack_kv_fused(k_pages))
         v_pages = (ks, vs)  # carried to the caller via the v slot
     else:
         k_pages = k.astype(jnp.bfloat16)
@@ -91,7 +101,7 @@ def build_inputs(kv_lens, hkv, g, dtype, rng):
         * int(kv_lens.sum())
         * hkv
         * HEAD_DIM
-        * (1 if dtype in ("fp8", "int8") else 2)
+        * (1 if dtype in ("fp8", "int8", "int8_nhd") else 2)
     )
     return q, k_pages, v_pages, block_ids, seq_lens, kv_bytes
 
@@ -100,7 +110,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cases", nargs="*", default=list(SCENARIOS))
     ap.add_argument("--methods", nargs="*", default=["grid", "taskmap"])
-    ap.add_argument("--dtypes", nargs="*", default=["bf16", "fp8", "int8"])
+    ap.add_argument(
+        "--dtypes", nargs="*", default=["bf16", "fp8", "int8"],
+        help="bf16 | fp8 | int8 (head-major FUSED) | int8_nhd (NHD_FUSED)",
+    )
     ap.add_argument("--kv-heads", type=int, default=8)
     ap.add_argument("--gqa", type=int, default=4)
     ap.add_argument("--warmup", type=int, default=2)
@@ -130,10 +143,11 @@ def main():
             q, kp, vp, block_ids, seq_lens, kv_bytes = build_inputs(
                 kv_lens, args.kv_heads, args.gqa, dtype, rng
             )
-            if dtype == "int8":
+            if dtype in ("int8", "int8_nhd"):
                 kp, (ks, vs) = kp, vp
                 kw = dict(
-                    new_kv_included=True, cache_layout="FUSED",
+                    new_kv_included=True,
+                    cache_layout="FUSED" if dtype == "int8" else "NHD_FUSED",
                     kscale=ks, vscale=vs,
                 )
                 vp = None
@@ -146,7 +160,7 @@ def main():
                         vscale=jnp.float32(1 / 16.0),
                     )
             for method in args.methods:
-                if method == "taskmap" and dtype == "int8":
+                if method == "taskmap" and dtype in ("int8", "int8_nhd"):
                     # the task kernel consumes split pages; unpacking the
                     # fused layout per call would time the copy, not the op
                     continue
@@ -205,7 +219,7 @@ def main():
                     )
                 gbps = kv_bytes / sec / 1e9
                 eff = (
-                    kv_bytes * (2 if dtype in ("fp8", "int8") else 1)
+                    kv_bytes * (2 if dtype in ("fp8", "int8", "int8_nhd") else 1)
                     / sec / 1e9
                 )
                 rep.add(

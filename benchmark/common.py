@@ -134,7 +134,7 @@ def time_fn(
 
 
 def time_chain(body: Callable[[Any], Any], init: Any, *,
-               inner: int = 10, trials: int = 5) -> float:
+               inner: int = 10, trials: int = 7) -> float:
     """Differential chained timing — the trustworthy mode on this host.
 
     ``body(carry) -> carry`` is one op invocation whose inputs depend on the
@@ -143,6 +143,12 @@ def time_chain(body: Callable[[Any], Any], init: Any, *,
     one jit and returns (t_2N - t_N) / N: the fixed ~30ms dispatch+readback
     overhead cancels exactly, unlike ``time_fn``'s subtraction, which is
     noise-dominated below ~50ms true latency.
+
+    The estimator is the difference of per-chain MINIMA, not medians: the
+    tunneled host sees bursty external interference (other tenants, the
+    compile helper), which inflates a random subset of trials — the minimum
+    is the interference-free run, while a median differencing can go
+    negative when bursts land asymmetrically (observed: -16µs "latencies").
     """
     import numpy as np
 
@@ -162,7 +168,7 @@ def time_chain(body: Callable[[Any], Any], init: Any, *,
             _sync(f(init))
             times[n].append(time.perf_counter() - t0)
     return float(
-        (median(times[2 * inner]) - median(times[inner])) / inner
+        (min(times[2 * inner]) - min(times[inner])) / inner
     )
 
 

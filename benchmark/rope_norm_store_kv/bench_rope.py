@@ -64,9 +64,11 @@ def main():
         )
         # chain calls inside one jit with the cache as loop carry — the
         # realistic serving pattern (in-place cache updates); separate
-        # dispatches pay a full functional cache copy per call
+        # dispatches pay a full functional cache copy per call. The op is
+        # tens of µs, so the inner chain must be long enough for the 2N-N
+        # differential to clear this host's ±ms readback noise.
         import time as _t
-        inner = 10
+        inner = 50
 
         def mk(n, impl):
             @jax.jit

@@ -14,7 +14,9 @@ projections end in the fused collective-norm, which is the only cross-chip
 communication per layer. ``dp`` shards the batch.
 
 Caches live natively in the HND page layout ([H_kv, blocks, block_size, D])
-so the attention kernels DMA whole (head, page) slabs.
+so the attention kernels DMA whole (head, page) slabs; the int8 serving mode
+uses the slot-leading NHD_FUSED slab ([blocks, 2*bs, H_kv*D]) so one DMA per
+page covers all heads and the fused Pallas store is legal on compiled TPU.
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ from hpc_ops_tpu.ops.attention.decode import attention_decode
 from hpc_ops_tpu.ops.attention.prefill import attention_with_kvcache_prefill
 from hpc_ops_tpu.ops.moe import fuse_moe_pertensor_fp8
 from hpc_ops_tpu.ops.normalization import rmsnorm_ref
-from hpc_ops_tpu.ops.attention.paging import unpack_kv_fused
+from hpc_ops_tpu.ops.attention.paging import unpack_kv_fused_nhd
 from hpc_ops_tpu.ops.rope import (
     make_cos_sin_cache,
     rope_norm_store_kv,
@@ -78,10 +80,11 @@ class ModelConfig(NamedTuple):
     norm_eps: float = 1e-5
     fp8_kv: bool = False
     # int8_kv: the TPU-native quantized serving mode — KV pages hold
-    # symmetric int8 codes in the FUSED K|V page layout (pack_kv_fused)
-    # with one static per-tensor scale each; decode rides the fused int8
-    # Pallas kernel (the headline bench path). Mutually exclusive with
-    # fp8_kv.
+    # symmetric int8 codes in the slot-leading fused K|V layout
+    # (pack_kv_fused_nhd, NHD_FUSED) with one static per-tensor scale each;
+    # decode rides the NHD-fused int8 Pallas kernel (one descriptor per
+    # page for all heads) and stores run the fused Pallas RoPE+quant+store.
+    # Mutually exclusive with fp8_kv.
     int8_kv: bool = False
     kv_scale: float = 0.05  # static per-tensor K/V scale for int8_kv
     qkv_bias: bool = False  # Qwen2-style attention-projection bias
@@ -250,13 +253,14 @@ def _mm(x, layer, name):
 
 def init_cache(cfg: ModelConfig, num_blocks: int, block_size: int, tp: int = 1):
     """Paged caches per layer: HND [Hkv/tp, blocks, bs, D] k/v pairs, or a
-    single fused int8 slab [Hkv/tp, blocks, 2*bs, D] when cfg.int8_kv."""
+    single slot-leading fused int8 slab [blocks, 2*bs, (Hkv/tp)*D]
+    (NHD_FUSED) when cfg.int8_kv."""
     hkv = cfg.kv_heads // tp
     if cfg.int8_kv:
         return [
             {
                 "kv": jnp.zeros(
-                    (hkv, num_blocks, 2 * block_size, cfg.head_dim), jnp.int8
+                    (num_blocks, 2 * block_size, hkv * cfg.head_dim), jnp.int8
                 )
             }
             for _ in range(cfg.layers)
@@ -381,9 +385,12 @@ def forward_step(
         if "qkv_bias" in layer:  # Qwen2-style attention bias
             qkv = qkv + layer["qkv_bias"].astype(qkv.dtype)
         if cfg.int8_kv:
-            # quantized serving mode: one fused int8 K|V slab per layer,
-            # stored by the fused Pallas kernel (decode) and read by the
-            # FUSED int8 decode / dequantizing HND prefill kernels.
+            # quantized serving mode: one slot-leading fused int8 K|V slab
+            # per layer (NHD_FUSED, [nb, 2*bs, Hkv*D]). Decode stores run
+            # the fused Pallas RoPE+quant+store kernel (legal on compiled
+            # TPU only in slot-leading layouts) and decode reads move ONE
+            # DMA descriptor per page for all heads.
+            hkv_shard = caches[li]["kv"].shape[2] // cfg.head_dim
             q, kv_new = rope_norm_store_kv_int8(
                 caches[li]["kv"],
                 qkv,
@@ -395,10 +402,12 @@ def forward_step(
                 kv_sc,
                 kv_sc,
                 impl="xla" if is_prefill else "pallas",
+                cache_layout="NHD_FUSED",
+                num_kv_heads=hkv_shard,
             )
             new_caches.append({"kv": kv_new})
             if is_prefill:
-                k_hnd, v_hnd = unpack_kv_fused(kv_new)
+                k_hnd, v_hnd = unpack_kv_fused_nhd(kv_new, hkv_shard)
                 attn = attention_with_kvcache_prefill(
                     q, k_hnd, v_hnd,
                     q_index, block_ids, seq_lens, max_seqlens_q,
@@ -410,7 +419,7 @@ def forward_step(
                     q, kv_new, None, block_ids, seq_lens,
                     mtp=mtp, new_kv_included=True,
                     kscale=kv_sc, vscale=kv_sc,
-                    cache_layout="FUSED",
+                    cache_layout="NHD_FUSED",
                 )
         elif cfg.fp8_kv:
             q, q_scale, _, k_new, v_new = rope_norm_store_kv_fp8(
@@ -668,8 +677,12 @@ def make_sharded_step(mesh, cfg: ModelConfig, is_prefill: bool = False, **fw_kw)
     rows = row_axes if len(row_axes) > 1 else row_axes[0]
     # caches: KV heads sharded over tp, page pool sharded over the row axes
     # (each row shard owns its requests' pages; block_ids are shard-local).
+    # The int8 NHD_FUSED slab is slot-leading [nb, 2*bs, Hkv*D]: pages on
+    # the row axes, heads in the lane dim over tp.
     one_spec = (
-        {"kv": P("tp", rows)} if cfg.int8_kv else {"k": P("tp", rows), "v": P("tp", rows)}
+        {"kv": P(rows, None, "tp")}
+        if cfg.int8_kv
+        else {"k": P("tp", rows), "v": P("tp", rows)}
     )
     cache_spec = [one_spec for _ in range(cfg.layers)]
     data_specs = (
@@ -720,7 +733,7 @@ def make_sharded_multi_step(
     row_axes = tuple(a for a in mesh.axis_names if a != "tp")
     rows = row_axes if len(row_axes) > 1 else row_axes[0]
     one_spec = (
-        {"kv": P("tp", rows)} if cfg.int8_kv else {"k": P("tp", rows), "v": P("tp", rows)}
+        {"kv": P(rows, None, "tp")} if cfg.int8_kv else {"k": P("tp", rows), "v": P("tp", rows)}
     )
     cache_spec = [one_spec for _ in range(cfg.layers)]
     # last_tokens, seq_lens, block_ids (row-sharded) + replicated seed

@@ -446,6 +446,228 @@ def _decode_fused_pallas(
     )
 
 
+def _decode_nhd_fused_kernel(
+    # scalar prefetch
+    kv_lens_ref,  # [B]
+    block_tbl_ref,  # [B * max_blocks]
+    scale_ref,  # [1] f32
+    # inputs
+    q_ref,  # [1, Hkv, SGP, D] VMEM bf16 — every kv head of request b
+    kv_pages_ref,  # [nb, 2*bs, Hkv*D] ANY — slot-leading fused pages
+    # outputs
+    o_ref,  # [1, Hkv, SGP, D]
+    # scratch
+    kv_buf,  # [2, pcb, 2*bs, Hkv*D]
+    sems,  # DMA sems (2,)
+    m_scr,  # [Hkv*SGP, LANES]
+    l_scr,  # [Hkv*SGP, LANES]
+    acc_scr,  # [Hkv*SGP, Dv]
+    buf_idx_ref,
+    *,
+    sq: int,
+    pcb: int,
+    page_size: int,
+    max_blocks: int,
+    batch: int,
+    num_kv_heads: int,
+    d: int,
+    num_t: int,
+    kv_e4m3: bool = False,
+):
+    """Slot-leading fused decode: one DMA descriptor per page moves K|V rows
+    of ALL kv heads (pack_kv_fused_nhd). The head-major fused kernel still
+    pays one descriptor per (page, head); at int8 slab sizes the pipeline is
+    descriptor-ISSUE-bound (~21ns issue vs ~20ns transfer of a 16KB slab),
+    so hkv x fewer descriptors makes the read purely transfer-bound. The
+    grid is (batch,) — all heads of a request share the chunk's slabs — so
+    short-KV work also pays hkv x fewer grid steps. Layout + kernel are a
+    TPU redesign of the reference's split per-head caches
+    (hpc/attention.py:341-380).
+    """
+    b = pl.program_id(0)
+    ck = pcb * page_size
+    hkv = num_kv_heads
+
+    kv_len = kv_lens_ref[b]
+    t_max = jnp.maximum((kv_len + ck - 1) // ck, 1)
+
+    def start_copy(bi, ti, slot):
+        need = jnp.clip(
+            (kv_lens_ref[bi] + page_size - 1) // page_size - ti * pcb, 1, pcb
+        )
+        return MultiPageCopy(
+            kv_pages_ref,
+            kv_buf,
+            sems.at[slot],
+            block_tbl_ref,
+            head=None,
+            page_start=bi * max_blocks + ti * pcb,
+            num_pages=pcb,
+            slot=slot,
+            num_valid=need,
+        )
+
+    @pl.when(b == 0)
+    def _():
+        kv_buf[...] = jnp.zeros_like(kv_buf)  # no NaN bits in un-DMA'd tails
+        buf_idx_ref[0] = 0
+        start_copy(0, 0, 0).start()
+
+    m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    sgp = q_ref.shape[2]
+
+    def body(t, _, slot=None):
+        if slot is None:
+            slot = buf_idx_ref[0]
+            next_slot = 1 - slot
+            is_last_t = t == t_max - 1
+            pb = jnp.where(is_last_t, b + 1, b)
+            pt = jnp.where(is_last_t, 0, t + 1)
+            buf_idx_ref[0] = next_slot
+        else:
+            next_slot = 1 - slot
+            pb, pt = b + 1, 0
+
+        @pl.when(pb < batch)
+        def _():
+            start_copy(pb, pt, next_slot).start()
+
+        start_copy(b, t, slot).wait()
+
+        # shared mask geometry for every head
+        kpos = t * ck + jax.lax.broadcasted_iota(jnp.int32, (sgp, ck), 1)
+        if sq == 1:
+            keep = kpos < kv_len
+        else:
+            row = jax.lax.broadcasted_iota(jnp.int32, (sgp, ck), 0)
+            keep = kpos <= kv_len - sq + row % sq
+
+        for h in range(hkv):  # static: per-head lane slice of the slabs
+            kh = _upk(
+                kv_buf[slot, :, :page_size, pl.ds(h * d, d)].reshape(ck, d),
+                kv_e4m3,
+            )
+            q = (
+                q_ref[0, h].astype(jnp.float32) * scale_ref[0]
+            ).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = jnp.where(keep, s, MASK_VALUE)
+
+            r0 = h * sgp
+            m_prev = m_scr[pl.ds(r0, sgp), :]
+            l_prev = l_scr[pl.ds(r0, sgp), :]
+            m_curr = jnp.broadcast_to(
+                jnp.max(s, axis=1, keepdims=True), m_prev.shape
+            )
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            l_scr[pl.ds(r0, sgp), :] = alpha * l_prev + jnp.broadcast_to(
+                jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+            )
+            m_scr[pl.ds(r0, sgp), :] = m_next
+
+            vh = _upk(
+                kv_buf[slot, :, page_size:, pl.ds(h * d, d)].reshape(ck, d),
+                kv_e4m3,
+            )
+            o_curr = jax.lax.dot(
+                p.astype(jnp.bfloat16), vh, preferred_element_type=jnp.float32
+            )
+            acc_scr[pl.ds(r0, sgp), :] = (
+                acc_scr[pl.ds(r0, sgp), :] * alpha[:, :1] + o_curr
+            )
+        return ()
+
+    if num_t == 1:
+        body(0, (), slot=jax.lax.rem(b, 2))
+    else:
+        jax.lax.fori_loop(0, t_max, body, (), unroll=False)
+
+    for h in range(hkv):
+        l = l_scr[pl.ds(h * sgp, sgp), :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, h] = (acc_scr[pl.ds(h * sgp, sgp), :] * l_inv).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sq", "num_kv_heads", "pages_per_compute_block", "interpret"),
+)
+def _decode_nhd_fused_pallas(
+    q4,  # [B, Hkv, SGP, D] bf16
+    kv_pages,  # [nb, 2*bs, Hkv*D]
+    block_ids,
+    kv_lens,
+    scale,
+    sq: int,
+    num_kv_heads: int,
+    pages_per_compute_block: int,
+    interpret: bool = False,
+):
+    b, hkv, sgp, d = q4.shape
+    kv_pages, kv_e4m3 = _kv_bits(kv_pages)
+    nb, bs2, hd = kv_pages.shape
+    bs = bs2 // 2
+    max_blocks = block_ids.shape[1]
+    pcb = pages_per_compute_block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hkv, sgp, d), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hkv, sgp, d), lambda bi, *_: (bi, 0, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, pcb, bs2, hd), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((hkv * sgp, _LANES), jnp.float32),
+            pltpu.VMEM((hkv * sgp, _LANES), jnp.float32),
+            pltpu.VMEM((hkv * sgp, d), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_nhd_fused_kernel,
+        sq=sq,
+        pcb=pcb,
+        page_size=bs,
+        max_blocks=max_blocks,
+        batch=b,
+        num_kv_heads=hkv,
+        d=d,
+        num_t=cdiv(max_blocks, pcb),
+        kv_e4m3=kv_e4m3,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, sgp, d), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        kv_lens,
+        jnp.pad(block_ids.reshape(-1), (0, pcb)),
+        scale,
+        q4,
+        kv_pages,
+    )
+
+
 def _decode_fused_packed_kernel(
     # scalar prefetch
     kv_lens_ref,  # [B]
@@ -1283,6 +1505,8 @@ def attention_decode(
     hq, d = q.shape[1], q.shape[2]
     if cache_layout == "NHD":
         hkv = kcache.shape[2]
+    elif cache_layout == "NHD_FUSED":  # [nb, 2*bs, Hkv*D], vcache unused
+        hkv = kcache.shape[2] // d
     else:  # "HND" or "FUSED" ([Hkv, nb, 2*bs, D], vcache unused)
         hkv = kcache.shape[0]
     g = hq // hkv
@@ -1325,6 +1549,11 @@ def attention_decode(
 
             kcache, vcache = unpack_kv_fused(kcache)
             cache_layout = "HND"
+        elif cache_layout == "NHD_FUSED":
+            from hpc_ops_tpu.ops.attention.paging import unpack_kv_fused_nhd
+
+            kcache, vcache = unpack_kv_fused_nhd(kcache, hkv)
+            cache_layout = "HND"
         if cache_layout == "HND":
             kcache_n = jnp.transpose(kcache, (1, 2, 0, 3))
             vcache_n = jnp.transpose(vcache, (1, 2, 0, 3))
@@ -1361,6 +1590,41 @@ def attention_decode(
 
     sgp = max(round_up(g * sq, 8), 8)
     q4 = _pack_q(qf, b, sq, hkv, g, d, sgp)
+
+    if cache_layout == "NHD_FUSED":
+        kv_pages = kcache  # [nb, 2*bs, Hkv*D]
+        page_size = kv_pages.shape[1] // 2
+        dv = d
+        if task_map is None:
+            if pages_per_compute_block is None:
+                # slab = 2*bs x Hkv*D for ALL heads; size the double buffer
+                # to ~4MB of VMEM
+                slab = kv_pages.shape[1] * kv_pages.shape[2] * (
+                    1 if kv_pages.dtype == jnp.int8 else 2
+                )
+                pages_per_compute_block = max(
+                    1, min(block_ids.shape[1], (4 << 20) // (2 * slab))
+                )
+            o4 = _decode_nhd_fused_pallas(
+                q4,
+                kv_pages,
+                jnp.maximum(block_ids.astype(jnp.int32), 0),
+                kv_lens,
+                scale_arr,
+                sq,
+                hkv,
+                pages_per_compute_block,
+                interpret=interpret_default(),
+            )
+            out = _unpack_o(o4, b, sq, hkv, g, dv)
+            if is_fp8 and vscale is not None:
+                out = out * vscale.reshape(()).astype(jnp.float32)
+            return out.astype(jnp.bfloat16)
+        # task-map mode reads split per-head pages; unpack (one repack)
+        from hpc_ops_tpu.ops.attention.paging import unpack_kv_fused_nhd
+
+        kcache, vcache = unpack_kv_fused_nhd(kcache, hkv)
+        cache_layout = "HND"
 
     fused = cache_layout == "FUSED"
     if fused:

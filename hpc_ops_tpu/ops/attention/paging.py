@@ -44,6 +44,36 @@ def unpack_kv_fused(kv_pages: jax.Array):
     return kv_pages[:, :, :bs], kv_pages[:, :, bs:]
 
 
+def pack_kv_fused_nhd(k_pages: jax.Array, v_pages: jax.Array) -> jax.Array:
+    """[H, nb, bs, D] x2 -> slot-leading fused [nb, 2*bs, H*D].
+
+    The NHD-fused layout: one page slab holds K rows [0:bs] and V rows
+    [bs:2bs] for ALL kv heads (a token's row is [H*D] contiguous). Two wins
+    over the head-major fused layout:
+
+    * decode reads ONE descriptor per page for every head (8x fewer
+      descriptors at hkv=8) — the issue-rate bottleneck disappears and the
+      int8 read becomes purely transfer-bound;
+    * the slot dim leads, so the fused Pallas RoPE+quant+store kernel's
+      per-token DMA is a legal leading-dim slice (Mosaic forbids the
+      sublane-dim token slices a head-major cache would need).
+    """
+    h, nb, bs, d = k_pages.shape
+    k = jnp.transpose(k_pages, (1, 2, 0, 3)).reshape(nb, bs, h * d)
+    v = jnp.transpose(v_pages, (1, 2, 0, 3)).reshape(nb, bs, h * d)
+    return jnp.concatenate([k, v], axis=1)
+
+
+def unpack_kv_fused_nhd(kv_pages: jax.Array, num_kv_heads: int):
+    """NHD-fused [nb, 2*bs, H*D] -> ([H, nb, bs, D], [H, nb, bs, D])."""
+    nb, bs2, hd = kv_pages.shape
+    bs = bs2 // 2
+    d = hd // num_kv_heads
+    k = kv_pages[:, :bs].reshape(nb, bs, num_kv_heads, d)
+    v = kv_pages[:, bs:].reshape(nb, bs, num_kv_heads, d)
+    return jnp.transpose(k, (2, 0, 1, 3)), jnp.transpose(v, (2, 0, 1, 3))
+
+
 class MultiPageCopy:
     """One async DMA per KV page: HBM pages -> VMEM slab.
 
@@ -74,11 +104,16 @@ class MultiPageCopy:
         # NHD layout costs O(touched pages) with no cache transpose. The
         # per-row contiguous run shrinks to D*dtype bytes (256B bf16), which
         # trades a little HBM burst efficiency for zero repacking.
+        # head=None: pages_ref is slot-leading ([nb, rows, H*D], the
+        # NHD-fused layout) and one descriptor moves the page's rows for
+        # ALL heads — the full contiguous slab.
         self._copies = []
         self._num_valid = num_valid
         for i in range(num_pages):
             phys = block_tbl_ref[page_start + i]
-            if nhd_lane_dim is not None:
+            if head is None:
+                src = pages_ref.at[phys]
+            elif nhd_lane_dim is not None:
                 src = pages_ref.at[
                     phys, :, pl.ds(head * nhd_lane_dim, nhd_lane_dim)
                 ]

@@ -369,6 +369,8 @@ def rope_norm_store_kv_int8(
     qk_norm_policy: int = 0,
     impl: str = "auto",
     interpret: bool | None = None,
+    cache_layout: str = "FUSED",
+    num_kv_heads: int | None = None,
 ):
     """RoPE + optional QK-norm + symmetric int8 quant + fused-page KV store.
 
@@ -386,9 +388,20 @@ def rope_norm_store_kv_int8(
     :func:`rope_norm_store_kv`; "auto"/"xla" use a scatter formulation
     that tolerates padded rows.
 
+    ``cache_layout="NHD_FUSED"``: kv_cache is the slot-leading fused slab
+    [nb, 2*bs, Hkv*D] (pack_kv_fused_nhd; pass ``num_kv_heads``). Because
+    a token row is a leading-dim slice there, the Pallas store kernel is
+    legal on compiled TPU — this is the serving engine's store fast path.
+
     Returns (q_rot [rows, Hq, D] bf16, new_kv_cache int8).
     """
-    h, nb, bs2, d = kv_cache.shape
+    if cache_layout == "NHD_FUSED":
+        assert num_kv_heads is not None, "NHD_FUSED needs num_kv_heads"
+        nb, bs2, hd = kv_cache.shape
+        h = num_kv_heads
+        d = hd // h
+    else:
+        h, nb, bs2, d = kv_cache.shape
     bs = bs2 // 2
     rows, hidden = qkv.shape
     v_dim = d
@@ -416,19 +429,23 @@ def rope_norm_store_kv_int8(
     oob = jnp.int32(2**31 - 1)
 
     itp = interpret_default() if interpret is None else interpret
-    # The fused K|V slab is head-major, so a token row is a sublane-dim
-    # slice — Mosaic forbids that DMA shape (see rope_norm_store_kv); the
-    # fused kernel path is interpret-only until the cache moves to a
-    # slot-leading layout.
+    nhd = cache_layout == "NHD_FUSED"
+    # Head-major FUSED: a token row is a sublane-dim slice — Mosaic forbids
+    # that DMA shape (see rope_norm_store_kv), so the fused kernel path is
+    # interpret-only there. NHD_FUSED keeps the slot dim leading, so the
+    # kernel's per-token DMA is legal on compiled TPU.
     use_pallas = (
         impl == "pallas"
-        and itp
+        and (nhd or itp)
         and can_use_rope_kernel(rows, jnp.bfloat16, qkv.dtype, "HND", True)
     )
     if use_pallas:
         from hpc_ops_tpu.ops.rope_kernel import rope_store_rows
 
-        kvflat = kv_cache.reshape(h, nb * bs2, d)
+        if nhd:
+            kvflat = kv_cache.reshape(nb * bs2, h, d)
+        else:
+            kvflat = kv_cache.reshape(h, nb * bs2, d)
         # contract: all rows real -> slots in range; clip bounds a
         # malformed call's blast radius (see rope_norm_store_kv)
         sk = jnp.clip(slot_k, 0, nb * bs2 - 1 - bs)
@@ -446,7 +463,7 @@ def rope_norm_store_kv_int8(
             d=d,
             dv=v_dim,
             qk_norm_policy=qk_norm_policy,
-            head_major=True,
+            head_major=not nhd,
             k_scale_inv=k_inv,
             v_scale_inv=v_inv,
             interpret=itp,
@@ -460,13 +477,22 @@ def rope_norm_store_kv_int8(
     v_q = jnp.clip(jnp.round(v.astype(jnp.float32) * v_inv), -127, 127).astype(
         jnp.int8
     )
-    kvflat = kv_cache.reshape(h, nb * bs2, d)
-    kvflat = kvflat.at[:, jnp.where(bad, oob, slot_k), :].set(
-        k_q.transpose(1, 0, 2), mode="drop"
-    )
-    kvflat = kvflat.at[:, jnp.where(bad, oob, slot_k + bs), :].set(
-        v_q.transpose(1, 0, 2), mode="drop"
-    )
+    if nhd:
+        kvflat = kv_cache.reshape(nb * bs2, h * d)
+        kvflat = kvflat.at[jnp.where(bad, oob, slot_k)].set(
+            k_q.reshape(rows, h * d), mode="drop"
+        )
+        kvflat = kvflat.at[jnp.where(bad, oob, slot_k + bs)].set(
+            v_q.reshape(rows, h * d), mode="drop"
+        )
+    else:
+        kvflat = kv_cache.reshape(h, nb * bs2, d)
+        kvflat = kvflat.at[:, jnp.where(bad, oob, slot_k), :].set(
+            k_q.transpose(1, 0, 2), mode="drop"
+        )
+        kvflat = kvflat.at[:, jnp.where(bad, oob, slot_k + bs), :].set(
+            v_q.transpose(1, 0, 2), mode="drop"
+        )
     q_out = jnp.where(m.valid[:, None, None], q, 0.0).astype(jnp.bfloat16)
     return q_out, kvflat.reshape(kv_cache.shape)
 

@@ -627,9 +627,16 @@ class Engine:
         if src < 0:
             return  # already exclusive
         if self._copy_page_fn is None:
+            def copy_one(v, s, d):
+                # page dim: 0 for the slot-leading NHD_FUSED slab (3-D),
+                # 1 for HND k/v pairs and head-major fused slabs (4-D)
+                if v.ndim == 3:
+                    return v.at[d].set(v[s])
+                return v.at[:, d].set(v[:, s])
+
             def copy(caches, s, d):
                 return [
-                    {k: v.at[:, d].set(v[:, s]) for k, v in layer.items()}
+                    {k: copy_one(v, s, d) for k, v in layer.items()}
                     for layer in caches
                 ]
 

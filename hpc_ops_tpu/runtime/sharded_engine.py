@@ -109,11 +109,15 @@ class ShardedEngine:
         caches = init_cache(
             cfg, num_blocks=num_blocks * self.num_shards, block_size=block_size
         )
-        # kv-head dim over tp, page-pool dim over the row axes — same spec
-        # for split k/v caches and the fused int8 "kv" slab
-        cache_part = P("tp", rows)
+        # kv heads over tp, page-pool dim over the row axes. Split k/v
+        # caches are head-leading 4-D [Hkv, nb, bs, D]; the int8 NHD_FUSED
+        # slab is slot-leading 3-D [nb, 2*bs, Hkv*D] (heads live in the
+        # lane dim).
+        def cache_part(v):
+            return P(rows, None, "tp") if v.ndim == 3 else P("tp", rows)
+
         self.caches = [
-            {k: jax.device_put(v, NamedSharding(mesh, cache_part))
+            {k: jax.device_put(v, NamedSharding(mesh, cache_part(v)))
              for k, v in layer.items()}
             for layer in caches
         ]

@@ -265,6 +265,64 @@ def test_attention_decode_fused_int8():
                     name="fused_int8")
 
 
+@pytest.mark.parametrize(
+    "kv_lens,mtp",
+    [
+        ([33], 0),
+        ([128, 17, 255, 64], 0),
+        ([40, 300], 2),  # draft rows
+        ([1100, 40], 0),  # multi-chunk fori path
+    ],
+)
+def test_attention_decode_nhd_fused_layout_bf16(kv_lens, mtp):
+    """NHD_FUSED (slot-leading, all heads per page slab) matches NHD."""
+    from hpc_ops_tpu.ops.attention.paging import nhd_to_hnd, pack_kv_fused_nhd
+
+    sq = mtp + 1
+    q, kc, vc, block_ids, kv_lens_np = make_decode_case(23, kv_lens, sq=sq)
+    want = attention_decode(
+        q, kc, vc, block_ids, jnp.asarray(kv_lens_np), mtp=mtp, new_kv_included=True
+    )
+    kv_fused = pack_kv_fused_nhd(nhd_to_hnd(kc), nhd_to_hnd(vc))
+    out = attention_decode(
+        q, kv_fused, None, block_ids, jnp.asarray(kv_lens_np), mtp=mtp,
+        new_kv_included=True, cache_layout="NHD_FUSED",
+    )
+    assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2, name="nhd_fused_vs_nhd",
+    )
+
+
+def test_attention_decode_nhd_fused_int8():
+    """int8 NHD_FUSED cache matches the fp32 oracle within int8 tolerance."""
+    from hpc_ops_tpu.ops.attention.paging import (
+        nhd_to_hnd,
+        pack_kv_fused_nhd,
+        unpack_kv_fused,
+    )
+    from hpc_ops_tpu.ops.quant import quantize_kv_fused_int8
+
+    kv_lens = [100, 37, 260]
+    q, kc, vc, block_ids, kv_lens_np = make_decode_case(7, kv_lens, sq=1)
+    want = np_decode_ref(
+        np.asarray(q, np.float32),
+        np.asarray(kc, np.float32),
+        np.asarray(vc, np.float32),
+        np.asarray(block_ids),
+        kv_lens_np,
+        1,
+    )
+    kv_i8, ks, vs = quantize_kv_fused_int8(nhd_to_hnd(kc), nhd_to_hnd(vc))
+    kv_i8_nhd = pack_kv_fused_nhd(*unpack_kv_fused(kv_i8))
+    out = attention_decode(
+        q, kv_i8_nhd, None, block_ids, jnp.asarray(kv_lens_np),
+        new_kv_included=True, cache_layout="NHD_FUSED", kscale=ks, vscale=vs,
+    )
+    assert_allclose(np.asarray(out, np.float32), want, atol=8e-2, rtol=8e-2,
+                    name="nhd_fused_int8")
+
+
 def test_attention_decode_fp8_tailrow_kscale():
     """Reference serving-layout parity: per-token K scales packed into the
     tail rows of the cache pages (hpc/attention.py:458-462; packing per

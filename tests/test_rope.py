@@ -376,6 +376,47 @@ def test_rope_norm_store_kv_int8_fused(impl, req_lens, q_lens):
             assert np.array_equal(kv_new[:, pg], np.asarray(kv_cache, np.int32)[:, pg])
 
 
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_rope_norm_store_kv_int8_nhd_fused(impl):
+    """NHD_FUSED (slot-leading [nb, 2bs, Hkv*D]) store matches the
+    head-major FUSED store repacked — both impls."""
+    from hpc_ops_tpu.ops.attention.paging import (
+        pack_kv_fused_nhd,
+        unpack_kv_fused,
+    )
+    from hpc_ops_tpu.ops.rope import rope_norm_store_kv_int8
+
+    req_lens = [34, 8, 17, 21, 40, 12, 9, 30]
+    c = make_case(29, req_lens, [1] * 8)
+    hkv, dqk, blk = c["hkv"], c["dqk"], c["blk"]
+    k_scale = jnp.array([0.011], jnp.float32)
+    v_scale = jnp.array([0.017], jnp.float32)
+    rng = np.random.RandomState(6)
+    kv_cache = jnp.asarray(
+        rng.randint(-5, 5, (hkv, c["total_blocks"], 2 * blk, dqk)), jnp.int8
+    )
+    kv_cache_nhd = pack_kv_fused_nhd(*unpack_kv_fused(kv_cache))
+
+    common = dict(
+        k_scale=k_scale, v_scale=v_scale, qk_norm_policy=0, impl=impl,
+    )
+    q_hm, kv_hm = rope_norm_store_kv_int8(
+        kv_cache, c["qkv"], c["cos_sin"], c["num_seqlen"], c["q_index"],
+        c["kv_idx"], False, **common,
+    )
+    q_nhd, kv_nhd = rope_norm_store_kv_int8(
+        kv_cache_nhd, c["qkv"], c["cos_sin"], c["num_seqlen"], c["q_index"],
+        c["kv_idx"], False, cache_layout="NHD_FUSED", num_kv_heads=hkv,
+        **common,
+    )
+    assert kv_nhd.shape == kv_cache_nhd.shape
+    np.testing.assert_array_equal(np.asarray(q_nhd), np.asarray(q_hm))
+    np.testing.assert_array_equal(
+        np.asarray(kv_nhd),
+        np.asarray(pack_kv_fused_nhd(*unpack_kv_fused(kv_hm))),
+    )
+
+
 def test_rope_int8_store_feeds_fused_decode():
     """e2e: int8 fused store -> attention_decode(cache_layout="FUSED")
     matches a bf16-cache decode within int8 quantization tolerance."""
