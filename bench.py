@@ -55,7 +55,7 @@ TRIALS = 5
 LOGICAL_KV_BYTES = 2 * B * KV_LEN * HKV * D * 2  # bf16-equivalent
 
 
-def build_inputs(page, dtype):
+def build_inputs(page, dtype, layout="FUSED"):
     hq = HKV * G
     nb_per = KV_LEN // page
     nb = B * nb_per
@@ -67,6 +67,13 @@ def build_inputs(page, dtype):
         from hpc_ops_tpu.ops.quant import quantize_kv_fused_int8
 
         kv_fused, ks, vs = quantize_kv_fused_int8(k_pages, v_pages)
+        if layout == "NHD_FUSED":
+            from hpc_ops_tpu.ops.attention.paging import (
+                pack_kv_fused_nhd,
+                unpack_kv_fused,
+            )
+
+            kv_fused = pack_kv_fused_nhd(*unpack_kv_fused(kv_fused))
         k_pages, v_pages = kv_fused, None
         kw = dict(kscale=ks, vscale=vs)
     else:
@@ -100,15 +107,22 @@ def bench_ours():
     from hpc_ops_tpu.ops.attention.decode import attention_decode
 
     best = None
-    for page in (128, 256):
-        args, kw = build_inputs(page, jnp.int8)
+    # head-major FUSED (one DMA per page per head) and slot-leading
+    # NHD_FUSED (one DMA per page for ALL heads — the serving layout)
+    for page, layout in (
+        (128, "FUSED"),
+        (256, "FUSED"),
+        (128, "NHD_FUSED"),
+        (256, "NHD_FUSED"),
+    ):
+        args, kw = build_inputs(page, jnp.int8, layout)
 
-        def make(n, kw=kw):
+        def make(n, kw=kw, layout=layout):
             def run_n(q, kv_fused, _v, block_ids, seq_lens):
                 def body(_, q_c):
                     out = attention_decode(
                         q_c, kv_fused, None, block_ids, seq_lens,
-                        new_kv_included=True, cache_layout="FUSED", **kw,
+                        new_kv_included=True, cache_layout=layout, **kw,
                     )
                     return out.astype(q_c.dtype).reshape(q_c.shape)
 

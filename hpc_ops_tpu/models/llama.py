@@ -34,7 +34,6 @@ from hpc_ops_tpu.ops.attention.decode import attention_decode
 from hpc_ops_tpu.ops.attention.prefill import attention_with_kvcache_prefill
 from hpc_ops_tpu.ops.moe import fuse_moe_pertensor_fp8
 from hpc_ops_tpu.ops.normalization import rmsnorm_ref
-from hpc_ops_tpu.ops.attention.paging import unpack_kv_fused_nhd
 from hpc_ops_tpu.ops.rope import (
     make_cos_sin_cache,
     rope_norm_store_kv,
@@ -407,12 +406,13 @@ def forward_step(
             )
             new_caches.append({"kv": kv_new})
             if is_prefill:
-                k_hnd, v_hnd = unpack_kv_fused_nhd(kv_new, hkv_shard)
+                # all-heads prefill reads the fused slab in place — no
+                # O(cache) unpack per chunk per layer
                 attn = attention_with_kvcache_prefill(
-                    q, k_hnd, v_hnd,
+                    q, kv_new, None,
                     q_index, block_ids, seq_lens, max_seqlens_q,
                     kscale=kv_sc, vscale=kv_sc,
-                    cache_layout="HND",
+                    cache_layout="NHD_FUSED",
                 )
             else:
                 attn = attention_decode(

@@ -695,6 +695,253 @@ def _prefill_pallas(
     )
 
 
+def _prefill_nhd_fused_kernel(
+    # scalar prefetch
+    q_starts_ref,  # [B] tq-aligned row offset of each request in q_hbm
+    q_lens_ref,  # [B]
+    kv_lens_ref,  # [B]
+    block_tbl_ref,  # [B*max_blocks]
+    # inputs
+    q_hbm_ref,  # [Hq, total_q_pad, D] ANY
+    kv_pages_ref,  # [nb, 2*bs, Hkv*D] ANY — slot-leading fused pages
+    # outputs
+    o_hbm_ref,  # [Hq, total_q_pad, D] ANY (bf16)
+    # scratch
+    q_buf,  # [Hq, TQ, D] bf16
+    kv_buf,  # [2, pcb, 2*bs, Hkv*D]
+    acc_buf,  # [Hq, TQ, D] f32
+    m_buf,  # [Hq, TQ, LANES] f32
+    l_buf,
+    o_stage,  # [Hq, TQ, D] bf16
+    q_sem,
+    kv_sems,  # (2,)
+    o_sem,
+    *,
+    tq: int,
+    pcb: int,
+    page_size: int,
+    max_blocks: int,
+    num_kv_heads: int,
+    group: int,
+    d: int,
+    kv_e4m3: bool = False,
+):
+    """All-heads prefill over the slot-leading fused cache (NHD_FUSED): one
+    DMA per page moves K|V rows of every kv head, and every head's q tile
+    attends from the same chunk buffer. This is the serving engine's
+    chunked-prefill read path — the per-head HND kernel would need the int8
+    slab unpacked (an O(cache) repack per chunk per layer).
+
+    KV traffic is (q_len/tq) x the prefix bytes — identical to the per-head
+    kernel — but descriptors are hkv x fewer and the q-tile loop is shared.
+    """
+    b = pl.program_id(0)
+    tqi = pl.program_id(1)
+    ck = pcb * page_size
+    hq = num_kv_heads * group
+
+    q_start = q_starts_ref[b]
+    q_len = q_lens_ref[b]
+    kv_len = kv_lens_ref[b]
+    kv_off = kv_len - q_len
+
+    tile_active = tqi * tq < q_len
+
+    @pl.when(tile_active)
+    def _():
+        row0 = pl.multiple_of(q_start + tqi * tq, tq)
+        for hg in range(hq):
+            pltpu.make_async_copy(
+                q_hbm_ref.at[hg, pl.ds(row0, tq), :], q_buf.at[hg], q_sem
+            ).start()
+
+        kv_hi = jnp.minimum(kv_len, kv_off + (tqi + 1) * tq)
+        num_kv_tiles = jnp.maximum((kv_hi + ck - 1) // ck, 1)
+
+        def start_kv(j, slot):
+            return MultiPageCopy(
+                kv_pages_ref,
+                kv_buf,
+                kv_sems.at[slot],
+                block_tbl_ref,
+                head=None,
+                page_start=b * max_blocks + j * pcb,
+                num_pages=pcb,
+                slot=slot,
+            )
+
+        start_kv(0, 0).start()
+
+        m_buf[...] = jnp.full_like(m_buf, -jnp.inf)
+        l_buf[...] = jnp.zeros_like(l_buf)
+        acc_buf[...] = jnp.zeros_like(acc_buf)
+
+        for hg in range(hq):
+            pltpu.make_async_copy(
+                q_hbm_ref.at[hg, pl.ds(row0, tq), :], q_buf.at[hg], q_sem
+            ).wait()
+
+        def body(j, _):
+            slot = j % 2
+
+            @pl.when(j + 1 < num_kv_tiles)
+            def _():
+                start_kv(j + 1, (j + 1) % 2).start()
+
+            start_kv(j, slot).wait()
+
+            def update(masked: bool):
+                if masked:
+                    kpos = j * ck + jax.lax.broadcasted_iota(
+                        jnp.int32, (tq, ck), 1
+                    )
+                    qpos = kv_off + tqi * tq + jax.lax.broadcasted_iota(
+                        jnp.int32, (tq, ck), 0
+                    )
+                    mask = (kpos <= qpos) & (kpos < kv_len)
+                for h in range(num_kv_heads):
+                    k = _upk(
+                        kv_buf[
+                            slot, :, :page_size, pl.ds(h * d, d)
+                        ].reshape(ck, d),
+                        kv_e4m3,
+                    )
+                    v = _upk(
+                        kv_buf[
+                            slot, :, page_size:, pl.ds(h * d, d)
+                        ].reshape(ck, d),
+                        kv_e4m3,
+                    )
+                    for g in range(group):
+                        hg = h * group + g
+                        s = jax.lax.dot_general(
+                            q_buf[hg],
+                            k,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        if masked:
+                            s = jnp.where(mask, s, MASK_VALUE)
+                        m_prev = m_buf[hg]
+                        l_prev = l_buf[hg]
+                        m_curr = jnp.broadcast_to(
+                            jnp.max(s, axis=1, keepdims=True), m_prev.shape
+                        )
+                        m_next = jnp.maximum(m_prev, m_curr)
+                        alpha = jnp.exp(m_prev - m_next)
+                        p = jnp.exp(s - m_next[:, :1])
+                        l_buf[hg] = alpha * l_prev + jnp.broadcast_to(
+                            jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+                        )
+                        m_buf[hg] = m_next
+                        o_curr = jax.lax.dot(
+                            p.astype(jnp.bfloat16),
+                            v,
+                            preferred_element_type=jnp.float32,
+                        )
+                        acc_buf[hg] = acc_buf[hg] * alpha[:, :1] + o_curr
+
+            interior = ((j + 1) * ck <= kv_off + tqi * tq + 1) & (
+                (j + 1) * ck <= kv_len
+            )
+
+            @pl.when(interior)
+            def _():
+                update(masked=False)
+
+            @pl.when(jnp.logical_not(interior))
+            def _():
+                update(masked=True)
+
+            return ()
+
+        jax.lax.fori_loop(0, num_kv_tiles, body, (), unroll=False)
+
+        for hg in range(hq):
+            l = l_buf[hg][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_stage[hg] = (acc_buf[hg] * l_inv).astype(o_stage.dtype)
+            pltpu.make_async_copy(
+                o_stage.at[hg], o_hbm_ref.at[hg, pl.ds(row0, tq), :], o_sem
+            ).start()
+        for hg in range(hq):
+            pltpu.make_async_copy(
+                o_stage.at[hg], o_hbm_ref.at[hg, pl.ds(row0, tq), :], o_sem
+            ).wait()
+
+
+def _prefill_nhd_fused_pallas(
+    q_t,  # [Hq, total_q_pad, D] bf16 pre-scaled, per-request tq-aligned rows
+    kv_pages,  # [nb, 2*bs, Hkv*D]
+    q_starts,
+    q_lens,
+    kv_lens,
+    block_ids,
+    num_kv_heads: int,
+    tq: int,
+    pages_per_compute_block: int,
+    max_q_tiles: int,
+    interpret: bool = False,
+):
+    hq, total_q_pad, d = q_t.shape
+    kv_pages, kv_e4m3 = _kv_bits(kv_pages)
+    nb, bs2, hd = kv_pages.shape
+    bs = bs2 // 2
+    hkv = num_kv_heads
+    group = hq // hkv
+    b = kv_lens.shape[0]
+    pcb = pages_per_compute_block
+    max_blocks = block_ids.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, max_q_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((hq, tq, d), jnp.bfloat16),
+            pltpu.VMEM((2, pcb, bs2, hd), kv_pages.dtype),
+            pltpu.VMEM((hq, tq, d), jnp.float32),
+            pltpu.VMEM((hq, tq, _LANES), jnp.float32),
+            pltpu.VMEM((hq, tq, _LANES), jnp.float32),
+            pltpu.VMEM((hq, tq, d), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _prefill_nhd_fused_kernel,
+        tq=tq,
+        pcb=pcb,
+        page_size=bs,
+        max_blocks=max_blocks,
+        num_kv_heads=hkv,
+        group=group,
+        d=d,
+        kv_e4m3=kv_e4m3,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hq, total_q_pad, d), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        q_starts,
+        q_lens,
+        kv_lens,
+        jnp.pad(block_ids.reshape(-1), (0, pcb)),
+        q_t,
+        kv_pages,
+    )
+
+
 def attention_with_kvcache_prefill(
     q,
     kcache,
@@ -722,7 +969,10 @@ def attention_with_kvcache_prefill(
 
     q: [total_q, Hq, D] bf16, or fp8 with qscale [B, Hq, max_q_pad]
     (per-token-per-head). Caches NHD [nb, bs, Hkv, D] (or HND with
-    cache_layout="HND"). block_mask enables the block-sparse path.
+    cache_layout="HND"; or the slot-leading fused slab [nb, 2*bs, Hkv*D]
+    with cache_layout="NHD_FUSED" and vcache=None — the serving engine's
+    quantized layout, read in place by an all-heads kernel with no cache
+    repack). block_mask enables the block-sparse path.
     """
     if tq is None:
         # sparse requires q-tile == mask tile; dense long prefills run
@@ -734,16 +984,36 @@ def attention_with_kvcache_prefill(
             if block_mask is not None
             else (256 if max_seqlens_q >= 2048 else 128)
         )
+        if cache_layout == "NHD_FUSED":
+            # the all-heads kernel's q/acc/m/l scratch scales with Hq, not
+            # the GQA group — clamp tq so the scratch stays within ~8MB
+            hq_all, d_all = q.shape[1], q.shape[2]
+            while tq > 64 and hq_all * tq * (8 * d_all + 1024) > (8 << 20):
+                tq //= 2
+    fused_nhd = cache_layout == "NHD_FUSED"
     if cache_layout == "NHD":
         k_pages = nhd_to_hnd(kcache)
         v_pages = nhd_to_hnd(vcache)
         kcache_n, vcache_n = kcache, vcache
+    elif fused_nhd:
+        # slot-leading fused slab [nb, 2*bs, Hkv*D] (pack_kv_fused_nhd);
+        # vcache unused. The oracle path reads NHD VIEWS of the slab —
+        # slice + reshape, no transpose.
+        d_q = q.shape[-1]
+        nb_f, bs2_f, hd_f = kcache.shape
+        hkv_f = hd_f // d_q
+        bs_f = bs2_f // 2
+        kv_slab = kcache
+        kcache_n = kv_slab[:, :bs_f].reshape(nb_f, bs_f, hkv_f, d_q)
+        vcache_n = kv_slab[:, bs_f:].reshape(nb_f, bs_f, hkv_f, d_q)
+        k_pages = v_pages = None
     else:
         k_pages, v_pages = kcache, vcache
         kcache_n = jnp.transpose(kcache, (1, 2, 0, 3))
         vcache_n = jnp.transpose(vcache, (1, 2, 0, 3))
 
-    is_fp8 = k_pages.dtype != jnp.bfloat16
+    hkv = hkv_f if fused_nhd else k_pages.shape[0]
+    is_fp8 = (kv_slab if fused_nhd else k_pages).dtype != jnp.bfloat16
     pertoken_k = is_fp8 and QuantType(quant_type) in (
         QuantType.QPERTOKEN_PERHEAD_KPERTOKEN_PERHEAD_VPERHEAD,
         QuantType.QPERTOKEN_PERHEAD_KPERTOKEN_PERHEAD_VPERHEAD_QKHADAMARD,
@@ -757,7 +1027,9 @@ def attention_with_kvcache_prefill(
     )
 
     sparse = block_mask is not None
-    if sparse and (mask_tile_q != tq or mask_tile_kv % k_pages.shape[2]):
+    if sparse and (
+        fused_nhd or mask_tile_q != tq or mask_tile_kv % k_pages.shape[2]
+    ):
         # the Pallas sparse kernel requires q-tile == mask tile_m and
         # page-aligned kv mask tiles; anything else runs the oracle path
         sparse = False
@@ -819,7 +1091,7 @@ def attention_with_kvcache_prefill(
         axis=1,
     )
 
-    page_size = k_pages.shape[2]
+    page_size = bs_f if fused_nhd else k_pages.shape[2]
     if pages_per_compute_block is None:
         if sparse:
             # one mask column per compute chunk: larger chunks are active if
@@ -833,6 +1105,12 @@ def attention_with_kvcache_prefill(
             pages_per_compute_block = max(
                 1, min(2048 // page_size, block_ids.shape[1])
             )
+            if fused_nhd:
+                # slabs carry ALL heads: cap the double buffer at ~2MB
+                slab = kcache.shape[1] * kcache.shape[2] * kcache.dtype.itemsize
+                pages_per_compute_block = max(
+                    1, min(pages_per_compute_block, (1 << 20) // slab)
+                )
 
     max_q_tiles = max_q_pad // tq
     max_blocks_tbl = block_ids.shape[1]
@@ -843,8 +1121,8 @@ def attention_with_kvcache_prefill(
         ~3% of the fp8 K traffic) so the kernel can scale logits per kv
         column; mirrors the decode QuantType-0 gather."""
         if not pertoken_fast:
-            return jnp.zeros((b, k_pages.shape[0], 1, 128), jnp.float32)
-        hkv_g = k_pages.shape[0]
+            return jnp.zeros((b, hkv, 1, 128), jnp.float32)
+        hkv_g = hkv
         ck_ = pcb_ * page_size
         n_ck = cdiv(max_blocks_tbl, pcb_)
         ks = kscale.astype(jnp.float32).reshape(
@@ -929,6 +1207,20 @@ def attention_with_kvcache_prefill(
             pertoken_ks=pertoken_fast,
             interpret=interpret_default(),
         )
+    elif fused_nhd:
+        o_t = _prefill_nhd_fused_pallas(
+            q_t,
+            kv_slab,
+            q_starts,
+            q_lens,
+            seqlens_kvcache.astype(jnp.int32),
+            jnp.maximum(block_ids.astype(jnp.int32), 0),
+            hkv,
+            tq,
+            pages_per_compute_block,
+            max_q_tiles,
+            interpret=interpret_default(),
+        )
     else:
         o_t = _prefill_pallas(
             q_t,
@@ -963,7 +1255,7 @@ def attention_with_kvcache_prefill(
         else:
             # QuantType-0 per-kv-head V scale: out = P @ (V_fp8 * vs[h]) =
             # (P @ V_fp8) * vs[h] — exact, folded per q-head group
-            group_ = hq // k_pages.shape[0]
+            group_ = hq // hkv
             vs_q = jnp.repeat(vs, group_)  # [Hq]
             out = (out.astype(jnp.float32) * vs_q[None, :, None]).astype(
                 jnp.bfloat16

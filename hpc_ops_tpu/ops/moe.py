@@ -173,17 +173,27 @@ def reduce(x, topk_pos, topk_scale, shared_output=None):
     """Top-k weighted combine (hpc/fuse_moe.py:88-130):
     out[s] = sum_k topk_scale[s,k] * x[topk_pos[s,k]] (+ shared_output[s]).
     topk_pos < 0 contributes zero. Returns [S, H] bf16.
+
+    Accumulates one gathered [S, H] slice at a time: the one-shot
+    [S, K, H] f32 gather+einsum formulation materializes a K x H x 4B
+    intermediate (536MB at 4K tokens x top-8 x 4096) and re-reads it — it
+    measured ~9% of HBM bandwidth and dominated the fused-MoE pipeline at
+    large token counts (results/moe_r2_stages.jsonl).
     """
     s, k = topk_pos.shape
-    safe = jnp.maximum(topk_pos, 0)
-    rows = x[safe.reshape(-1)].reshape(s, k, x.shape[-1]).astype(jnp.float32)
-    # select-then-multiply: unwritten GEMM rows may hold garbage (even NaN),
-    # and NaN * 0 would poison the sum — zero dropped rows explicitly.
-    rows = jnp.where((topk_pos >= 0)[..., None], rows, 0.0)
-    w = jnp.where(topk_pos >= 0, topk_scale.astype(jnp.float32), 0.0)
-    out = jnp.einsum("skh,sk->sh", rows, w)
-    if shared_output is not None:
-        out = out + shared_output.astype(jnp.float32)
+    h = x.shape[-1]
+    out = (
+        jnp.zeros((s, h), jnp.float32)
+        if shared_output is None
+        else shared_output.astype(jnp.float32)
+    )
+    for j in range(k):
+        pos = topk_pos[:, j]
+        rows = x[jnp.maximum(pos, 0)].astype(jnp.float32)
+        w = jnp.where(pos >= 0, topk_scale[:, j].astype(jnp.float32), 0.0)
+        # select-then-multiply: unwritten GEMM rows may hold garbage (even
+        # NaN), and NaN * 0 would poison the sum — the where discards it.
+        out = out + jnp.where((pos >= 0)[:, None], rows * w[:, None], 0.0)
     return out.astype(jnp.bfloat16)
 
 

@@ -344,3 +344,113 @@ def test_blocksparse_prefill_pallas_vs_ref(seed):
         rtol=4e-2,
         name="sparse_pallas_vs_ref",
     )
+
+
+@pytest.mark.parametrize(
+    "q_lens,kv_extra",
+    [
+        ([64], [0]),
+        ([33, 129, 7], [0, 0, 0]),
+        ([16, 40], [70, 9]),  # chunked prefill: kv history before q
+    ],
+)
+def test_paged_prefill_nhd_fused_bf16(q_lens, kv_extra):
+    """All-heads NHD_FUSED prefill (slot-leading fused slab, read in place)
+    matches the NHD path."""
+    from hpc_ops_tpu.ops.attention.paging import nhd_to_hnd, pack_kv_fused_nhd
+
+    rng = np.random.RandomState(43)
+    hq, hkv, d, bs = 8, 2, 128, 16
+    kv_lens = [q + e for q, e in zip(q_lens, kv_extra)]
+    total_q = sum(q_lens)
+    q = rng.randn(total_q, hq, d).astype(np.float32)
+    ks = [rng.randn(L, hkv, d).astype(np.float32) for L in kv_lens]
+    vs = [rng.randn(L, hkv, d).astype(np.float32) for L in kv_lens]
+
+    q_bf = jnp.asarray(q, jnp.bfloat16)
+    kcache, vcache, block_ids = build_paged(ks, vs, bs)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(q_lens)]), jnp.int32)
+
+    kw = dict(tq=64)
+    want = attention_with_kvcache_prefill(
+        q_bf,
+        jnp.asarray(kcache, jnp.bfloat16),
+        jnp.asarray(vcache, jnp.bfloat16),
+        cu_q,
+        jnp.asarray(block_ids),
+        jnp.asarray(kv_lens, jnp.int32),
+        max(q_lens),
+        **kw,
+    )
+    kv_slab = pack_kv_fused_nhd(
+        nhd_to_hnd(jnp.asarray(kcache, jnp.bfloat16)),
+        nhd_to_hnd(jnp.asarray(vcache, jnp.bfloat16)),
+    )
+    out = attention_with_kvcache_prefill(
+        q_bf,
+        kv_slab,
+        None,
+        cu_q,
+        jnp.asarray(block_ids),
+        jnp.asarray(kv_lens, jnp.int32),
+        max(q_lens),
+        cache_layout="NHD_FUSED",
+        **kw,
+    )
+    assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2, name="nhd_fused_prefill",
+    )
+
+
+def test_paged_prefill_nhd_fused_int8():
+    """int8 fused-slab prefill with per-tensor scales matches the dequantized
+    bf16 NHD path within int8 tolerance."""
+    from hpc_ops_tpu.ops.attention.paging import nhd_to_hnd, pack_kv_fused_nhd
+
+    rng = np.random.RandomState(44)
+    hq, hkv, d, bs = 8, 2, 128, 16
+    q_lens, kv_lens = [16, 40], [86, 49]
+    total_q = sum(q_lens)
+    q = rng.randn(total_q, hq, d).astype(np.float32)
+    ks = [(rng.randn(L, hkv, d) * 0.3).astype(np.float32) for L in kv_lens]
+    vs = [(rng.randn(L, hkv, d) * 0.3).astype(np.float32) for L in kv_lens]
+
+    q_bf = jnp.asarray(q, jnp.bfloat16)
+    kcache, vcache, block_ids = build_paged(ks, vs, bs)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(q_lens)]), jnp.int32)
+
+    sc = 0.02
+    k8 = np.clip(np.round(kcache / sc), -127, 127).astype(np.int8)
+    v8 = np.clip(np.round(vcache / sc), -127, 127).astype(np.int8)
+
+    want = attention_with_kvcache_prefill(
+        q_bf,
+        jnp.asarray(k8.astype(np.float32) * sc, jnp.bfloat16),
+        jnp.asarray(v8.astype(np.float32) * sc, jnp.bfloat16),
+        cu_q,
+        jnp.asarray(block_ids),
+        jnp.asarray(kv_lens, jnp.int32),
+        max(q_lens),
+        tq=64,
+    )
+    kv_slab = pack_kv_fused_nhd(
+        nhd_to_hnd(jnp.asarray(k8)), nhd_to_hnd(jnp.asarray(v8))
+    )
+    out = attention_with_kvcache_prefill(
+        q_bf,
+        kv_slab,
+        None,
+        cu_q,
+        jnp.asarray(block_ids),
+        jnp.asarray(kv_lens, jnp.int32),
+        max(q_lens),
+        kscale=jnp.float32(sc),
+        vscale=jnp.float32(sc),
+        cache_layout="NHD_FUSED",
+        tq=64,
+    )
+    assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want, np.float32),
+        atol=6e-2, rtol=6e-2, name="nhd_fused_prefill_int8",
+    )

@@ -249,7 +249,10 @@ def test_dense_model_forward_int8_kv():
         if name == "i8":
             assert set(caches[0]) == {"kv"}
             assert caches[0]["kv"].dtype == jnp.int8
-            assert caches[0]["kv"].shape == (cfg.kv_heads, b * 2 + 1, 2 * bs, cfg.head_dim)
+            # slot-leading NHD_FUSED slab: [nb, 2*bs, hkv*d]
+            assert caches[0]["kv"].shape == (
+                b * 2 + 1, 2 * bs, cfg.kv_heads * cfg.head_dim
+            )
 
     for phase, (a, ref) in enumerate(zip(outs["i8"], outs["bf"])):
         assert np.isfinite(a).all()
