@@ -50,7 +50,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 B, KV_LEN, HKV, G, D = 64, 4096, 8, 4, 128
-INNER = 20  # timed as the difference between 2*INNER and INNER chains
+INNER = 64  # timed as the difference between 2*INNER and INNER chains;
+# sized so the differential signal (INNER x ~0.7-1.3ms/call) is >=45ms —
+# bursty tunnel interference has swallowed few-ms signals whole and
+# produced impossible (>HBM-spec) rows at INNER=20
 TRIALS = 5
 LOGICAL_KV_BYTES = 2 * B * KV_LEN * HKV * D * 2  # bf16-equivalent
 

@@ -204,6 +204,7 @@ def main():
                     sec = time_chain(
                         body, init,
                         inner=args.inner, trials=max(args.iters // 2, 3),
+                        hint_sec=kv_bytes / (peak * 1e9),
                     )
                 except Exception as exc:
                     rep.add(bench="attention_decode", case=case, dtype=dtype,
@@ -234,6 +235,10 @@ def main():
                     hbm_gbps=round(gbps, 1),
                     effective_gbps=round(eff, 1),
                     frac_of_peak=round(gbps / peak, 4),
+                    # physical bytes/s above the HBM spec is impossible:
+                    # the row is an estimator artifact (burst interference
+                    # swallowing part of the differential signal)
+                    **({"suspect": True} if gbps > 1.05 * peak else {}),
                 )
     rep.flush()
 

@@ -134,7 +134,9 @@ def time_fn(
 
 
 def time_chain(body: Callable[[Any], Any], init: Any, *,
-               inner: int = 10, trials: int = 7) -> float:
+               inner: int = 10, trials: int = 7,
+               hint_sec: float | None = None,
+               min_signal_sec: float = 0.04) -> float:
     """Differential chained timing — the trustworthy mode on this host.
 
     ``body(carry) -> carry`` is one op invocation whose inputs depend on the
@@ -149,8 +151,18 @@ def time_chain(body: Callable[[Any], Any], init: Any, *,
     compile helper), which inflates a random subset of trials — the minimum
     is the interference-free run, while a median differencing can go
     negative when bursts land asymmetrically (observed: -16µs "latencies").
+
+    ``hint_sec`` — caller's speed-of-light estimate of ONE call (bytes/peak
+    or flops/peak). When given, ``inner`` is raised so the differential
+    signal (inner x hint) is at least ``min_signal_sec``: with a ~30ms and
+    *bursty* dispatch floor, a few-ms signal can be swallowed whole by
+    asymmetric interference (observed: a 13ms true signal measured as
+    2.1ms -> an impossible 3x-of-HBM-peak row). 40ms of signal makes the
+    worst observed burst a <30% error instead of a 6x one.
     """
-    import numpy as np
+    if hint_sec is not None and hint_sec > 0:
+        need = int(-(-min_signal_sec // hint_sec))
+        inner = max(inner, min(need, 512))
 
     def make(n):
         def run(init):

@@ -136,7 +136,11 @@ def _stage_rows(rep, args, model, s, h, i_local, e_local, e_total, topk,
     }
     for name, (body, init) in stages.items():
         try:
-            sec = time_chain(body, init, inner=args.inner, trials=trials)
+            sec = time_chain(
+                body, init, inner=args.inner, trials=trials,
+                hint_sec=(stage_bytes.get(name, 0)
+                          / (peak_hbm_gbps() * 1e9)) or None,
+            )
         except Exception as exc:  # pragma: no cover - shape/env specific
             rep.add(bench="fused_moe_stage", model=model, tokens=s,
                     stage=name, error=str(exc)[:120])

@@ -123,6 +123,7 @@ def main():
                 sec = time_chain(
                     body, (xx, seqlens, cu),
                     inner=args.inner, trials=max(args.iters // 2, 3),
+                    hint_sec=flops / (peak_bf16_tflops() * 1e12),
                 )
             except Exception as exc:  # pragma: no cover
                 rep.add(bench="group_gemm", scheme=scheme, groups=g_num,
@@ -151,7 +152,8 @@ def main():
             return a + dep
 
         sec_b = time_chain(
-            dense_body, xb, inner=args.inner, trials=max(args.iters // 2, 3)
+            dense_body, xb, inner=args.inner, trials=max(args.iters // 2, 3),
+            hint_sec=flops / (peak_bf16_tflops() * 1e12),
         )
         rep.add(
             bench="group_gemm", scheme="dense_bf16_xla", groups=g_num,
