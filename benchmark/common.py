@@ -45,6 +45,16 @@ PEAK_BF16_TFLOPS = {
     "TPU v6 lite": 918.0,
 }
 
+# Native s8xs8->s32 MXU peak (v5e/v6e run int8 at ~2x bf16 rate; v4/v5p
+# have no native s8 speedup over bf16).
+PEAK_INT8_TFLOPS = {
+    "TPU v5 lite": 394.0,
+    "TPU v5p": 459.0,
+    "TPU v5": 459.0,
+    "TPU v4": 275.0,
+    "TPU v6 lite": 1836.0,
+}
+
 
 def device_kind() -> str:
     return jax.devices()[0].device_kind
@@ -64,6 +74,14 @@ def peak_bf16_tflops() -> float:
         if kind.startswith(k):
             return PEAK_BF16_TFLOPS[k]
     return 197.0
+
+
+def peak_int8_tflops() -> float:
+    kind = device_kind()
+    for k in sorted(PEAK_INT8_TFLOPS, key=len, reverse=True):
+        if kind.startswith(k):
+            return PEAK_INT8_TFLOPS[k]
+    return 394.0
 
 
 def _sync(tree) -> None:
@@ -133,10 +151,32 @@ def time_fn(
     return max(raw - overhead, 0.05 * raw)
 
 
+class ChainTime(float):
+    """``time_chain`` result: a float (seconds/iter) carrying measurement-
+    quality metadata so benches can tag untrustworthy rows instead of
+    committing physically impossible numbers (round-2 postmortem: a
+    swallowed differential shipped a ``latency_us: 0.0 / frac_peak: 1920``
+    row and >1.0-of-HBM-peak decode rows)."""
+
+    suspect: bool = False
+    reason: str = ""
+    inner: int = 0
+    signal_sec: float = 0.0
+
+    def __new__(cls, value, *, suspect=False, reason="", inner=0,
+                signal_sec=0.0):
+        self = super().__new__(cls, value)
+        self.suspect = suspect
+        self.reason = reason
+        self.inner = inner
+        self.signal_sec = signal_sec
+        return self
+
+
 def time_chain(body: Callable[[Any], Any], init: Any, *,
                inner: int = 10, trials: int = 7,
                hint_sec: float | None = None,
-               min_signal_sec: float = 0.04) -> float:
+               min_signal_sec: float = 0.04) -> ChainTime:
     """Differential chained timing — the trustworthy mode on this host.
 
     ``body(carry) -> carry`` is one op invocation whose inputs depend on the
@@ -164,24 +204,46 @@ def time_chain(body: Callable[[Any], Any], init: Any, *,
         need = int(-(-min_signal_sec // hint_sec))
         inner = max(inner, min(need, 512))
 
-    def make(n):
-        def run(init):
-            return jax.lax.fori_loop(0, n, lambda i, c: body(c), init)
+    def measure(inner, trials):
+        def make(n):
+            def run(init):
+                return jax.lax.fori_loop(0, n, lambda i, c: body(c), init)
 
-        return jax.jit(run)
+            return jax.jit(run)
 
-    runs = {n: make(n) for n in (inner, 2 * inner)}
-    for f in runs.values():
-        _sync(f(init))
-    times = {n: [] for n in runs}
-    for _ in range(trials):
-        for n, f in runs.items():
-            t0 = time.perf_counter()
+        runs = {n: make(n) for n in (inner, 2 * inner)}
+        for f in runs.values():
             _sync(f(init))
-            times[n].append(time.perf_counter() - t0)
-    return float(
-        (min(times[2 * inner]) - min(times[inner])) / inner
-    )
+        times = {n: [] for n in runs}
+        for _ in range(trials):
+            for n, f in runs.items():
+                t0 = time.perf_counter()
+                _sync(f(init))
+                times[n].append(time.perf_counter() - t0)
+        diff = min(times[2 * inner]) - min(times[inner])
+        return diff / inner, min(times[2 * inner])
+
+    sec, t2n = measure(inner, trials)
+    if sec <= 0 and inner < 512:
+        # Differential swallowed by bursty interference — retry once with a
+        # 4x longer chain before giving up.
+        inner = min(inner * 4, 512)
+        sec, t2n = measure(inner, trials)
+    if sec <= 0:
+        # Still non-positive: report an *upper bound* (total 2N-chain wall
+        # time over 2N iters still contains the dispatch floor) and mark the
+        # row suspect — never emit a 0/negative latency.
+        return ChainTime(t2n / (2 * inner), suspect=True,
+                         reason="nonpositive_differential", inner=inner,
+                         signal_sec=sec * inner)
+    signal = sec * inner
+    # Signal below half the target floor — either the op is far faster than
+    # the caller's speed-of-light hint (impossible → mis-measured), the
+    # inner cap bound (capped=True), or no hint was given for a tiny op.
+    weak = signal < 0.5 * min_signal_sec
+    return ChainTime(sec, suspect=weak,
+                     reason="weak_signal" if weak else "", inner=inner,
+                     signal_sec=signal)
 
 
 def trace_fn(fn: Callable[..., Any], args: tuple, trace_dir: str,
@@ -212,8 +274,27 @@ class Reporter:
     jsonl_path: str | None = None
     rows: list = field(default_factory=list)
 
-    def add(self, **row) -> None:
+    # Row fields that are fractions of a *physical* peak; >1.05 is a
+    # measurement artifact by definition (quantized caches report
+    # bf16-equivalent "effective" rates separately and may exceed 1.0).
+    _FRAC_FIELDS = ("frac_of_peak", "frac_peak", "frac_peak_bw",
+                    "frac_peak_flops")
+
+    def add(self, _time: float | None = None, **row) -> None:
+        """Add a row. Pass the raw ``time_chain`` result as ``_time`` to
+        propagate its suspect flag; rows whose frac-of-peak fields exceed
+        the physical limit are flagged regardless."""
         row.setdefault("device", device_kind())
+        if _time is not None and getattr(_time, "suspect", False):
+            row["suspect"] = True
+            row["suspect_reason"] = getattr(_time, "reason", "timing")
+        for f in self._FRAC_FIELDS:
+            v = row.get(f)
+            if isinstance(v, (int, float)) and v > 1.05:
+                row["suspect"] = True
+                row["suspect_reason"] = (
+                    row.get("suspect_reason", "") + f"+{f}>{v}"
+                ).lstrip("+")
         self.rows.append(row)
         line = " ".join(f"{k}={v}" for k, v in row.items())
         print(line, flush=True)

@@ -278,9 +278,12 @@ def main():
                     xn = (xc.astype(jnp.float32) + dep).astype(xc.dtype)
                 return (xn, *rest)
 
+            # weight-streaming lower bound as the signal hint so the headline
+            # rows get the same swallowed-signal protection as the stages
             sec = time_chain(
                 body, fargs, inner=args.inner,
                 trials=max(args.iters // 2, 3),
+                hint_sec=(w_gu.size + w_dn.size) / (peak_hbm_gbps() * 1e9),
             )
             if args.trace:
                 from common import trace_fn
@@ -298,6 +301,7 @@ def main():
             flops = eff_tokens * (2 * h * 2 * i_local + 2 * i_local * h)
             w_bytes = w_gu.size + w_dn.size  # fp8: 1 byte/elt
             rep.add(
+                _time=sec,
                 bench="fused_moe",
                 model=model,
                 tokens=s,

@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
-from common import Reporter, peak_bf16_tflops, time_chain, time_fn
+from common import (
+    Reporter, peak_bf16_tflops, peak_int8_tflops, time_chain, time_fn,
+)
 
 # (groups, avg_rows_per_group, N, K)
 SHAPES = [
@@ -120,16 +122,23 @@ def main():
                         ).astype(xc.dtype)
                     return (xn, sl, cu)
 
+                # int8 schemes run the s8 MXU at ~2x bf16 rate — use the
+                # int8 peak for the signal hint so inner isn't undersized
+                peak_tf = (
+                    peak_int8_tflops() if "int8" in scheme
+                    else peak_bf16_tflops()
+                )
                 sec = time_chain(
                     body, (xx, seqlens, cu),
                     inner=args.inner, trials=max(args.iters // 2, 3),
-                    hint_sec=flops / (peak_bf16_tflops() * 1e12),
+                    hint_sec=flops / (peak_tf * 1e12),
                 )
             except Exception as exc:  # pragma: no cover
                 rep.add(bench="group_gemm", scheme=scheme, groups=g_num,
                         error=str(exc)[:120])
                 continue
             rep.add(
+                _time=sec,
                 bench="group_gemm",
                 scheme=scheme,
                 groups=g_num,
@@ -138,7 +147,7 @@ def main():
                 k=k,
                 latency_us=round(sec * 1e6, 1),
                 tflops=round(flops / sec / 1e12, 2),
-                frac_peak=round(flops / sec / 1e12 / peak_bf16_tflops(), 4),
+                frac_peak=round(flops / sec / 1e12 / peak_tf, 4),
             )
 
         # dense-XLA bf16 upper-bound baseline: one [total,K]x[K,N] matmul

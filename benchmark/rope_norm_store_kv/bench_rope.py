@@ -99,10 +99,12 @@ def main():
                     samples[n].append(_t.perf_counter() - t0)
             # difference of MINIMA (not medians): bursty interference
             # inflates random trials; the min is the clean run
-            sec = max(
-                (min(samples[2 * inner]) - min(samples[inner])) / inner,
-                1e-9,
-            )
+            diff = (min(samples[2 * inner]) - min(samples[inner])) / inner
+            suspect = diff <= 0
+            # never emit a 0/negative latency (round-2 shipped a
+            # latency_us=0.0 / frac_peak=1920 row from exactly this clamp):
+            # fall back to the 2N-chain upper bound and mark the row
+            sec = diff if diff > 0 else min(samples[2 * inner]) / (2 * inner)
             bytes_moved = (
                 rows * (hq + 2 * hkv) * D * 2  # qkv read
                 + rows * hq * D * 2  # q write
@@ -114,6 +116,9 @@ def main():
                 latency_us=round(sec * 1e6, 1),
                 gbps=round(bytes_moved / sec / 1e9, 2),
                 frac_peak=round(bytes_moved / sec / 1e9 / peak_hbm_gbps(), 4),
+                **({"suspect": True,
+                    "suspect_reason": "nonpositive_differential"}
+                   if suspect else {}),
             )
     rep.flush()
 

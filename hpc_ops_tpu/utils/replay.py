@@ -94,6 +94,10 @@ class TraceHook:
                     return out
 
                 wrapper.__name__ = n
+                # preserve the defining module so nested hooks (e.g. a test's
+                # own TraceHook under the suite-wide HPC_SANITIZER hook) can
+                # resolve and re-wrap this function
+                wrapper.__module__ = m.__name__
                 return wrapper
 
             setattr(mod, name, make_wrapper(fn, mod, name))
