@@ -224,6 +224,7 @@ def main():
                     / sec / 1e9
                 )
                 rep.add(
+                    _time=sec,
                     bench="attention_decode",
                     case=case,
                     dtype=dtype,

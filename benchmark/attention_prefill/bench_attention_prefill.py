@@ -4,12 +4,19 @@ Mirrors the reference's prefill benches: varlen batches, causal GQA,
 head_dim 128; the sparse rows report speedup of block-sparse over dense at
 a given keep-ratio (reference README: 3.16x at ~0.2 density on 32K).
 
+All rows use chained differential timing (benchmark/common.time_chain) — the
+only trustworthy mode behind this host's ~30ms dispatch floor. The splash
+baseline runs JAX's production splash-attention kernel with TUNED block
+sizes (512x1024; its 128x128 defaults run ~10x below its real speed, which
+made the round-2 baseline rows implausible).
+
 Usage: python benchmark/attention_prefill/bench_attention_prefill.py
 """
 
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 
@@ -21,7 +28,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
-from common import Reporter, peak_bf16_tflops, time_fn
+from common import Reporter, peak_bf16_tflops, time_chain
 
 BLOCK_SIZE = 64
 HEAD_DIM = 128
@@ -35,14 +42,28 @@ CASES = {
 }
 
 
+def _chain(fn, q, rest, *, inner, trials, hint_sec):
+    """time_chain with a data-dependent q feedback so XLA can't fold."""
+
+    def body(carry):
+        qc = carry
+        out = fn(qc, *rest)
+        dep = (out[0, 0, 0].astype(jnp.float32) > 1e30).astype(qc.dtype)
+        return qc + dep
+
+    return time_chain(body, q, inner=inner, trials=trials, hint_sec=hint_sec)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cases", nargs="*", default=list(CASES))
     ap.add_argument("--kv-heads", type=int, default=8)
     ap.add_argument("--gqa", type=int, default=4)
     ap.add_argument("--sparse-keep", type=float, default=0.2)
-    ap.add_argument("--warmup", type=int, default=2)
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--inner", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--skip-sparse", action="store_true")
+    ap.add_argument("--skip-splash", action="store_true")
     ap.add_argument("--csv", default=None)
     ap.add_argument("--jsonl", default=None)
     args = ap.parse_args()
@@ -50,12 +71,14 @@ def main():
     from hpc_ops_tpu.ops.attention.prefill import (
         attention_with_kvcache_blocksparse_prefill_fp8,
         attention_with_kvcache_prefill_bf16,
+        attention_with_kvcache_prefill_fp8,
     )
 
     rep = Reporter(csv_path=args.csv, jsonl_path=args.jsonl)
     rng = np.random.default_rng(41)
     hkv, g = args.kv_heads, args.gqa
     hq = hkv * g
+    trials = max(args.iters // 2, 3)
 
     for case in args.cases:
         lens = np.asarray(CASES[case], np.int64)
@@ -83,16 +106,19 @@ def main():
         block_ids = jnp.asarray(tbl)
         seq_kv = jnp.asarray(lens, jnp.int32)
 
+        # causal flops: 2 ops (qk + pv) * 2 flops, ~half the square
+        flops = sum(2 * 2 * int(l) * int(l) * hq * HEAD_DIM / 2 for l in lens)
+        hint = flops / (peak_bf16_tflops() * 1e12)
+
         fn = lambda q, kc, vc, cu, bi, skv: (  # noqa: E731
             attention_with_kvcache_prefill_bf16(q, kc, vc, cu, bi, skv, max_q)
         )
-        sec = time_fn(
-            fn, (q, kc, vc, cu, block_ids, seq_kv),
-            warmup=args.warmup, iters=args.iters,
+        sec = _chain(
+            fn, q, (kc, vc, cu, block_ids, seq_kv),
+            inner=args.inner, trials=trials, hint_sec=hint,
         )
-        # causal flops: 2 ops (qk + pv) * 2 flops, ~half the square
-        flops = sum(2 * 2 * int(l) * int(l) * hq * HEAD_DIM / 2 for l in lens)
         rep.add(
+            _time=sec,
             bench="attention_prefill", case=case, dtype="bf16", mode="dense",
             batch=b, total_q=total_q,
             latency_us=round(sec * 1e6, 1),
@@ -101,10 +127,11 @@ def main():
         )
 
         # external baseline: JAX's production splash-attention kernel on
-        # the same shapes (non-paged packed MHA, causal) — the strongest
+        # the same shapes (non-paged packed MQA, causal) — the strongest
         # available stock TPU prefill kernel (reference benches against
-        # FlashInfer/FA3 the same way, README.md:171)
-        if len(set(lens.tolist())) == 1:
+        # FlashInfer/FA3 the same way, README.md:171). Block sizes tuned:
+        # the 128x128 defaults leave it ~10x below its real speed.
+        if len(set(lens.tolist())) == 1 and not args.skip_splash:
             try:
                 from jax.experimental.pallas.ops.tpu.splash_attention import (
                     splash_attention_kernel as sak,
@@ -114,51 +141,88 @@ def main():
                 L = int(lens[0])
                 qs = jnp.transpose(
                     q.reshape(b, L, hq, HEAD_DIM), (0, 2, 1, 3)
-                )
+                ).reshape(b, hkv, g, L, HEAD_DIM)
                 ks_ = jnp.transpose(
                     kc.reshape(b, L, hkv, HEAD_DIM), (0, 2, 1, 3)
                 )
                 vs_ = jnp.transpose(
                     vc.reshape(b, L, hkv, HEAD_DIM), (0, 2, 1, 3)
                 )
-                mask = sam.MultiHeadMask(
-                    [sam.CausalMask((L, L)) for _ in range(hq)]
-                )
-                kernel = sak.make_splash_mqa_single_device(
-                    mask=sam.MultiHeadMask(
-                        [sam.CausalMask((L, L)) for _ in range(hkv)]
+                best = None
+                for bq, bkv in ((512, 1024), (256, 512)):
+                    if bq > L or bkv > L:
+                        continue
+                    blocks = sak.BlockSizes(
+                        block_q=bq, block_kv=bkv, block_kv_compute=bkv // 2,
                     )
-                )
+                    kernel = sak.make_splash_mqa_single_device(
+                        mask=sam.MultiHeadMask(
+                            [sam.CausalMask((L, L)) for _ in range(hkv)]
+                        ),
+                        block_sizes=blocks,
+                    )
 
-                def splash_fn(qs, ks_, vs_):
-                    qg = qs.reshape(b, hkv, g, L, HEAD_DIM)
-                    outs = []
-                    for bi_ in range(b):
-                        outs.append(
-                            jax.vmap(kernel)(
-                                qg[bi_] * (HEAD_DIM ** -0.5), ks_[bi_], vs_[bi_]
-                            )
-                        )
-                    return jnp.stack(outs)
+                    # vmap over (batch, kv_head): each call sees q [g, L, D]
+                    mapped = jax.vmap(jax.vmap(kernel))
 
-                sec_b = time_fn(
-                    splash_fn, (qs, ks_, vs_),
-                    warmup=args.warmup, iters=args.iters,
-                )
-                rep.add(
-                    bench="attention_prefill", case=case, dtype="bf16",
-                    mode="baseline_splash", batch=b, total_q=total_q,
-                    latency_us=round(sec_b * 1e6, 1),
-                    tflops=round(flops / sec_b / 1e12, 2),
-                    ours_vs_splash=round(sec_b / sec, 3),
-                )
+                    def splash_fn(qs, ks_, vs_, mapped=mapped):
+                        return mapped(qs * (HEAD_DIM ** -0.5), ks_, vs_)
+
+                    sec_b = _chain(
+                        splash_fn, qs, (ks_, vs_),
+                        inner=args.inner, trials=trials, hint_sec=hint,
+                    )
+                    if best is None or sec_b < best[0]:
+                        best = (sec_b, bq, bkv)
+                if best is not None:
+                    sec_b, bq, bkv = best
+                    rep.add(
+                        _time=sec_b,
+                        bench="attention_prefill", case=case, dtype="bf16",
+                        mode="baseline_splash", batch=b, total_q=total_q,
+                        block_q=bq, block_kv=bkv,
+                        latency_us=round(sec_b * 1e6, 1),
+                        tflops=round(flops / sec_b / 1e12, 2),
+                        frac_peak=round(
+                            flops / sec_b / 1e12 / peak_bf16_tflops(), 4
+                        ),
+                        ours_vs_splash=round(sec_b / sec, 3),
+                    )
             except Exception as exc:
                 rep.add(bench="attention_prefill", case=case,
                         mode="baseline_splash", error=str(exc)[:160])
 
-        # block-sparse fp8: causal diagonal + random keep
-        kc8 = kc.astype(jnp.float8_e4m3fn)
-        vc8 = vc.astype(jnp.float8_e4m3fn)
+        if args.skip_sparse:
+            continue
+
+        # block-sparse fp8 vs dense fp8 (same path/dtype, fp8 as int8 bits)
+        kc8 = jax.lax.bitcast_convert_type(
+            kc.astype(jnp.float8_e4m3fn), jnp.int8
+        )
+        vc8 = jax.lax.bitcast_convert_type(
+            vc.astype(jnp.float8_e4m3fn), jnp.int8
+        )
+        one = jnp.ones((), jnp.float32)
+        qscale = jnp.ones((b, hq, max_q), jnp.float32)
+        q8 = q.astype(jnp.float8_e4m3fn)
+
+        fn_fp8 = lambda q8, kc8, vc8, cu, bi, skv, qs_: (  # noqa: E731
+            attention_with_kvcache_prefill_fp8(
+                q8, kc8, vc8, qs_, one, one, cu, bi, skv, max_q
+            )
+        )
+        sec_d8 = _chain(
+            fn_fp8, q8, (kc8, vc8, cu, block_ids, seq_kv, qscale),
+            inner=args.inner, trials=trials, hint_sec=hint,
+        )
+        rep.add(
+            _time=sec_d8,
+            bench="attention_prefill", case=case, dtype="fp8", mode="dense",
+            batch=b, total_q=total_q,
+            latency_us=round(sec_d8 * 1e6, 1),
+            tflops=round(flops / sec_d8 / 1e12, 2),
+        )
+
         tile_m = 128
         n_tm = -(-max_q // tile_m)
         # one mask per KV head, shared by its GQA group (heads of one group
@@ -172,27 +236,29 @@ def main():
                 mask[i, :, tm_i, diag] = True
                 mask[i, :, tm_i, :2] = True  # attention sinks
         block_mask = jnp.asarray(mask.astype(np.uint8))
-        one = jnp.ones((), jnp.float32)
-        qs = jnp.ones((b, hq, max_q), jnp.float32)
-        q8 = q.astype(jnp.float8_e4m3fn)
+        keep_frac = float(mask.mean())
 
-        fn_sparse = lambda q8, kc8, vc8, cu, bi, skv, qs: (  # noqa: E731
+        fn_sparse = lambda q8, kc8, vc8, cu, bi, skv, qs_: (  # noqa: E731
             attention_with_kvcache_blocksparse_prefill_fp8(
-                q8, kc8, vc8, qs, one, one, cu, bi, skv, max_q,
+                q8, kc8, vc8, qs_, one, one, cu, bi, skv, max_q,
                 block_mask=block_mask, mask_tile_q=128,
                 mask_tile_kv=BLOCK_SIZE,
             )
         )
         try:
-            sec_sp = time_fn(
-                fn_sparse, (q8, kc8, vc8, cu, block_ids, seq_kv, qs),
-                warmup=args.warmup, iters=args.iters,
+            sec_sp = _chain(
+                fn_sparse, q8, (kc8, vc8, cu, block_ids, seq_kv, qscale),
+                inner=args.inner, trials=trials,
+                hint_sec=hint * max(keep_frac, 0.05),
             )
             rep.add(
+                _time=sec_sp,
                 bench="attention_prefill", case=case, dtype="fp8",
                 mode=f"sparse{args.sparse_keep}", batch=b, total_q=total_q,
+                keep_frac=round(keep_frac, 3),
                 latency_us=round(sec_sp * 1e6, 1),
-                speedup_vs_dense=round(sec / sec_sp, 2),
+                speedup_vs_dense_fp8=round(sec_d8 / sec_sp, 2),
+                speedup_vs_dense_bf16=round(sec / sec_sp, 2),
             )
         except Exception as exc:  # pragma: no cover
             import traceback

@@ -59,13 +59,13 @@ def _prefill_kernel(
     # outputs
     o_hbm_ref,  # [Hq, total_q_pad, D] ANY (bf16)
     # scratch
-    q_buf,  # [G, TQ, D] bf16
+    q_buf,  # [G*TQ, D] bf16 — the GQA group stacked row-major
     k_buf,  # [2, pcb, bs, D]
     v_buf,
-    acc_buf,  # [G, TQ, D] f32
-    m_buf,  # [G, TQ, LANES] f32
+    acc_buf,  # [G*TQ, D] f32
+    m_buf,  # [G*TQ, LANES] f32 (log2 domain)
     l_buf,
-    o_stage,  # [G, TQ, D] bf16 staging for output DMA
+    o_stage,  # [G*TQ, D] bf16 staging for output DMA
     q_sem,
     kv_sems,  # (2, 2)
     o_sem,
@@ -75,13 +75,34 @@ def _prefill_kernel(
     page_size: int,
     max_blocks: int,
     group: int,
+    skv: int,
     pertoken_ks: bool,
     kv_e4m3: bool = False,
 ):
+    """Stacked-GQA flash prefill with sub-tiled causal regimes.
+
+    Three design decisions carry the MFU (reference bar: its prefill beats
+    FA3 on H20, README.md:171):
+
+    * The GQA group is ONE [G*TQ, D] operand: one QK^T and one PV dot per
+      kv subtile instead of G small ones, and one m/l/acc update.
+    * The kv chunk (pcb*page_size, DMA granularity) is processed in
+      ``skv``-column subtiles with three regimes: subtiles past this
+      q-tile's causal bound are SKIPPED (no MXU, no VPU — the old
+      chunk-granular mask computed up to 1.8x the causal FLOPs at 2K
+      seqlens), interior subtiles run mask-free, and only the 1-2 subtiles
+      straddling the diagonal (or the kv tail) pay the iota/compare/select
+      mask chain.
+    * Softmax runs in the log2 domain: the wrapper folds log2(e) into the
+      q pre-scale so the kernel uses exp2 directly — exp costs an extra
+      multiply per element on the VPU, and this kernel is VPU-bound.
+    """
     b = pl.program_id(0)
     h = pl.program_id(1)  # kv head
     tqi = pl.program_id(2)
     ck = pcb * page_size
+    n_sub = ck // skv
+    d = q_buf.shape[-1]
 
     q_start = q_starts_ref[b]
     q_len = q_lens_ref[b]
@@ -99,15 +120,27 @@ def _prefill_kernel(
         for g in range(group):
             pltpu.make_async_copy(
                 q_hbm_ref.at[h * group + g, pl.ds(row0, tq), :],
-                q_buf.at[g],
+                q_buf.at[pl.ds(g * tq, tq), :],
                 q_sem,
             ).start()
 
         # causal upper bound for this q tile (absolute kv position, exclusive)
         kv_hi = jnp.minimum(kv_len, kv_off + (tqi + 1) * tq)
         num_kv_tiles = jnp.maximum((kv_hi + ck - 1) // ck, 1)
+        diag_lo = kv_off + tqi * tq  # first kv position needing the mask
 
         def start_kv(j, slot):
+            # clamp the page fan-out to the causally useful pages of this
+            # chunk, rounded UP to subtile granularity: every subtile the
+            # compute loop touches must hold real page data — stale VMEM
+            # under a masked column would feed the PV dot 0 * NaN = NaN
+            # (skipped subtiles are never read, so their slabs can stay
+            # stale). Group-predicated inside MultiPageCopy.
+            nv = jnp.clip(
+                ((kv_hi - j * ck + skv - 1) // skv) * (skv // page_size),
+                1,
+                pcb,
+            )
             kc = MultiPageCopy(
                 k_pages_ref,
                 k_buf,
@@ -117,6 +150,7 @@ def _prefill_kernel(
                 page_start=b * max_blocks + j * pcb,
                 num_pages=pcb,
                 slot=slot,
+                num_valid=nv,
             )
             vc = MultiPageCopy(
                 v_pages_ref,
@@ -127,6 +161,7 @@ def _prefill_kernel(
                 page_start=b * max_blocks + j * pcb,
                 num_pages=pcb,
                 slot=slot,
+                num_valid=nv,
             )
             return kc, vc
 
@@ -141,7 +176,9 @@ def _prefill_kernel(
         # wait q
         for g in range(group):
             pltpu.make_async_copy(
-                q_hbm_ref.at[h * group + g, pl.ds(row0, tq), :], q_buf.at[g], q_sem
+                q_hbm_ref.at[h * group + g, pl.ds(row0, tq), :],
+                q_buf.at[pl.ds(g * tq, tq), :],
+                q_sem,
             ).wait()
 
         def body(j, _):
@@ -155,84 +192,92 @@ def _prefill_kernel(
 
             kc, vc = start_kv(j, slot)
             kc.wait()
-            k = _upk(k_buf[slot].reshape(ck, k_buf.shape[-1]), kv_e4m3)
             vc.wait()
-            v = _upk(v_buf[slot].reshape(ck, v_buf.shape[-1]), kv_e4m3)
 
-            def update(masked: bool):
+            def update(si: int, masked: bool):
+                sub0 = j * ck + si * skv
+                k = _upk(
+                    k_buf[slot].reshape(ck, d)[si * skv:(si + 1) * skv],
+                    kv_e4m3,
+                )
+                v = _upk(
+                    v_buf[slot].reshape(ck, d)[si * skv:(si + 1) * skv],
+                    kv_e4m3,
+                )
+                s = jax.lax.dot_general(
+                    q_buf[...],
+                    k,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [G*TQ, skv] — log2-domain logits
+                if pertoken_ks:
+                    # QuantType-0: one K scale per (token, kv-head), applied
+                    # to the logits (exact — constant along D); linear, so
+                    # it commutes with the log2-domain folding
+                    s = s * ks_ref[0, 0, j][None, si * skv:(si + 1) * skv]
                 if masked:
-                    kpos = j * ck + jax.lax.broadcasted_iota(
-                        jnp.int32, (tq, ck), 1
+                    kpos = sub0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (group * tq, skv), 1
                     )
-                    qpos = kv_off + tqi * tq + jax.lax.broadcasted_iota(
-                        jnp.int32, (tq, ck), 0
+                    row = jax.lax.broadcasted_iota(
+                        jnp.int32, (group * tq, skv), 0
                     )
+                    qpos = kv_off + tqi * tq + row % tq
                     mask = (kpos <= qpos) & (kpos < kv_len)
-                for g in range(group):
-                    q = q_buf[g]  # [TQ, D] bf16 pre-scaled
-                    s = jax.lax.dot_general(
-                        q,
-                        k,
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    if pertoken_ks:
-                        # QuantType-0: one K scale per (token, kv-head),
-                        # applied to the logits (exact — constant along D),
-                        # same trick as _decode_qt0_kernel
-                        s = s * ks_ref[0, 0, j][None, :]
-                    if masked:
-                        s = jnp.where(mask, s, MASK_VALUE)
-                    m_prev = m_buf[g]
-                    l_prev = l_buf[g]
-                    m_curr = jnp.broadcast_to(
-                        jnp.max(s, axis=1, keepdims=True), m_prev.shape
-                    )
-                    m_next = jnp.maximum(m_prev, m_curr)
-                    alpha = jnp.exp(m_prev - m_next)
-                    p = jnp.exp(s - m_next[:, :1])
-                    l_buf[g] = alpha * l_prev + jnp.broadcast_to(
-                        jnp.sum(p, axis=1, keepdims=True), l_prev.shape
-                    )
-                    m_buf[g] = m_next
-                    o_curr = jax.lax.dot(
-                        p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
-                    )
-                    acc_buf[g] = acc_buf[g] * alpha[:, :1] + o_curr
+                    s = jnp.where(mask, s, MASK_VALUE)
+                m_prev = m_buf[...]
+                l_prev = l_buf[...]
+                m_curr = jnp.broadcast_to(
+                    jnp.max(s, axis=1, keepdims=True), m_prev.shape
+                )
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp2(m_prev - m_next)
+                p = jnp.exp2(s - m_next[:, :1])
+                l_buf[...] = alpha * l_prev + jnp.broadcast_to(
+                    jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+                )
+                m_buf[...] = m_next
+                o_curr = jax.lax.dot(
+                    p.astype(jnp.bfloat16), v,
+                    preferred_element_type=jnp.float32,
+                )
+                acc_buf[...] = acc_buf[...] * alpha[:, :1] + o_curr
 
-            # Interior chunks — every kv position precedes this q tile's
-            # first row and is in-range — skip the causal mask entirely:
-            # the iota/compare/select chain is ~1/3 of the per-element VPU
-            # work on a kernel whose MXU:VPU balance is already VPU-tight.
-            interior = ((j + 1) * ck <= kv_off + tqi * tq + 1) & (
-                (j + 1) * ck <= kv_len
-            )
+            for si in range(n_sub):
+                sub0 = j * ck + si * skv
+                sub_end = sub0 + skv
+                active = sub0 < kv_hi
+                # interior: every kv position precedes this q tile's first
+                # row AND is in-range — mask-free
+                interior = (sub_end <= diag_lo + 1) & (sub_end <= kv_len)
 
-            @pl.when(interior)
-            def _():
-                update(masked=False)
+                @pl.when(active & interior)
+                def _(si=si):
+                    update(si, masked=False)
 
-            @pl.when(jnp.logical_not(interior))
-            def _():
-                update(masked=True)
+                @pl.when(active & jnp.logical_not(interior))
+                def _(si=si):
+                    update(si, masked=True)
 
             return ()
 
         jax.lax.fori_loop(0, num_kv_tiles, body, (), unroll=False)
 
         # ---- normalize and write out
+        l = l_buf[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_stage[...] = (acc_buf[...] * l_inv).astype(o_stage.dtype)
         for g in range(group):
-            l = l_buf[g][:, :1]
-            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_stage[g] = (acc_buf[g] * l_inv).astype(o_stage.dtype)
             pltpu.make_async_copy(
-                o_stage.at[g],
+                o_stage.at[pl.ds(g * tq, tq), :],
                 o_hbm_ref.at[h * group + g, pl.ds(row0, tq), :],
                 o_sem,
             ).start()
         for g in range(group):
             pltpu.make_async_copy(
-                o_stage.at[g], o_hbm_ref.at[h * group + g, pl.ds(row0, tq), :], o_sem
+                o_stage.at[pl.ds(g * tq, tq), :],
+                o_hbm_ref.at[h * group + g, pl.ds(row0, tq), :],
+                o_sem,
             ).wait()
 
 
@@ -446,8 +491,8 @@ def _prefill_sparse_kernel(
                     jnp.max(s, axis=1, keepdims=True), m_prev.shape
                 )
                 m_next = jnp.maximum(m_prev, m_curr)
-                alpha = jnp.exp(m_prev - m_next)
-                p_ = jnp.exp(s - m_next[:, :1])
+                alpha = jnp.exp2(m_prev - m_next)
+                p_ = jnp.exp2(s - m_next[:, :1])
                 l_buf[g] = alpha * l_prev + jnp.broadcast_to(
                     jnp.sum(p_, axis=1, keepdims=True), l_prev.shape
                 )
@@ -640,6 +685,13 @@ def _prefill_pallas(
     max_blocks = block_ids.shape[1]
 
     n_ck, ck_s = ks_dense.shape[2], ks_dense.shape[3]
+    # compute subtile width: 512 keeps the flash-state update (m/l/acc on
+    # [G*TQ, 128/D]) under ~20% of the p-path VPU work while bounding the
+    # causal over-compute at <= skv-1 columns per q tile; must divide the
+    # DMA chunk (page_size is a power of two, so halving always terminates)
+    skv = min(512, pcb * bs)
+    while (pcb * bs) % skv:
+        skv //= 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b, hkv, max_q_tiles),
@@ -653,13 +705,13 @@ def _prefill_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((group, tq, d), jnp.bfloat16),
+            pltpu.VMEM((group * tq, d), jnp.bfloat16),
             pltpu.VMEM((2, pcb, bs, d), k_pages.dtype),
             pltpu.VMEM((2, pcb, bs, dv), v_pages.dtype),
-            pltpu.VMEM((group, tq, dv), jnp.float32),
-            pltpu.VMEM((group, tq, _LANES), jnp.float32),
-            pltpu.VMEM((group, tq, _LANES), jnp.float32),
-            pltpu.VMEM((group, tq, dv), jnp.bfloat16),
+            pltpu.VMEM((group * tq, dv), jnp.float32),
+            pltpu.VMEM((group * tq, _LANES), jnp.float32),
+            pltpu.VMEM((group * tq, _LANES), jnp.float32),
+            pltpu.VMEM((group * tq, dv), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA,
@@ -672,6 +724,7 @@ def _prefill_pallas(
         page_size=bs,
         max_blocks=max_blocks,
         group=group,
+        skv=skv,
         pertoken_ks=pertoken_ks,
         kv_e4m3=kv_e4m3,
     )
@@ -828,8 +881,8 @@ def _prefill_nhd_fused_kernel(
                             jnp.max(s, axis=1, keepdims=True), m_prev.shape
                         )
                         m_next = jnp.maximum(m_prev, m_curr)
-                        alpha = jnp.exp(m_prev - m_next)
-                        p = jnp.exp(s - m_next[:, :1])
+                        alpha = jnp.exp2(m_prev - m_next)
+                        p = jnp.exp2(s - m_next[:, :1])
                         l_buf[hg] = alpha * l_prev + jnp.broadcast_to(
                             jnp.sum(p, axis=1, keepdims=True), l_prev.shape
                         )
@@ -1069,7 +1122,9 @@ def attention_with_kvcache_prefill(
         qf = qf * qs[..., None]
     if is_fp8 and kscale is not None and not pertoken_fast:
         scale = scale * kscale.reshape(()).astype(jnp.float32)
-    qf = qf * scale
+    # Pallas kernels run softmax in the log2 domain (exp2 on the VPU saves
+    # a multiply per logit vs exp): fold log2(e) into the q pre-scale.
+    qf = qf * (scale * 1.4426950408889634)
 
     # Repack rows so every request starts at a tq-aligned row (HBM slice
     # offsets must be sublane-tile aligned for the in-kernel DMAs). Each

@@ -73,6 +73,21 @@ def _entry_barrier(axis, ws):
     return my
 
 
+def _skew_delay(my, skew: int, buf):
+    """Test hook: per-chip busy-work (chip r spins ~r*skew VPU passes) so
+    interpret-mode tests exercise out-of-order peer arrival — the TPU analog
+    of the reference's Lamport tests with staggered ranks."""
+    if not skew:
+        return
+
+    def spin(i, v):
+        return v * 1.0000001 + 1e-7
+
+    val = jax.lax.fori_loop(0, my * skew, spin, jnp.float32(1.0))
+    # data-dependence so the loop cannot be DCE'd (writes a scratch corner)
+    buf[0, 0] = buf[0, 0] * jnp.where(val > 0, 1.0, 1.0).astype(buf.dtype)
+
+
 def _one_shot_kernel(
     x_hbm,  # [N, H] ANY — this chip's partials (remote-copy source)
     res_ref,  # [N, H] VMEM — replicated residual
@@ -87,36 +102,61 @@ def _one_shot_kernel(
     axis: str,
     ws: int,
     eps: float,
+    skew: int = 0,
 ):
+    """Progressive-arrival one-shot: each peer's slab is consumed the moment
+    its recv semaphore fires (reference's Lamport low-latency structure,
+    fuse_allreduce_rmsnorm_low_latency.cu:33-143 — data is consumed as each
+    rank's sentinel lands, not after a wait-all). Slots are still reduced in
+    ABSOLUTE chip order so every chip sums in the same floating-point order
+    and the replicated outputs stay bitwise identical across the mesh: the
+    progressive win is that slab s's add overlaps slabs s+1.. still being in
+    flight, instead of serializing max(arrivals) + all adds."""
     my = _entry_barrier(axis, ws)
+    _skew_delay(my, skew, comm.at[0])
 
     lc = pltpu.make_async_copy(x_hbm, comm.at[my], xsem)
     lc.start()
 
     # Sender writes into the receiver's slot indexed by the SENDER's
-    # absolute chip id, and every chip accumulates slots in absolute order
-    # below — all chips reduce in the same floating-point order, so the
-    # "replicated" outputs are bitwise identical across the mesh.
-    copies = []
+    # absolute chip id and signals the receiver's recv_sems[sender_id], so
+    # the receiver can wait each slot individually in absolute order.
     for p in range(1, ws):
         peer = jax.lax.rem(my + p, ws)
-        rc = pltpu.make_async_remote_copy(
-            x_hbm, comm.at[my], send_sems.at[p], recv_sems.at[p],
+        pltpu.make_async_remote_copy(
+            x_hbm, comm.at[my], send_sems.at[p], recv_sems.at[my],
             device_id=(peer,), device_id_type=pltpu.DeviceIdType.MESH,
-        )
-        rc.start()
-        copies.append(rc)
+        ).start()
 
-    lc.wait()
-    for rc in copies:
-        rc.wait()
-    acc = comm[0].astype(jnp.float32)
-    for s in range(1, ws):
+    acc = jnp.zeros(comm.shape[1:], jnp.float32)
+    for s in range(ws):
+        # wait slot s alone: own slab via the local-copy semaphore, peer
+        # slabs via a descriptor matching the inbound copy (same dst shape
+        # -> same semaphore decrement)
+        @pl.when(my == s)
+        def _():
+            pltpu.make_async_copy(x_hbm, comm.at[s], xsem).wait()
+
+        @pl.when(my != s)
+        def _():
+            pltpu.make_async_remote_copy(
+                x_hbm, comm.at[s], send_sems.at[0], recv_sems.at[s],
+                device_id=(my,), device_id_type=pltpu.DeviceIdType.MESH,
+            ).wait_recv()
+
         acc = acc + comm[s].astype(jnp.float32)
 
     out, out_res = _norm(acc, res_ref[...].astype(jnp.float32), w_ref, eps)
     o_ref[...] = out.astype(o_ref.dtype)
     ores_ref[...] = out_res.astype(ores_ref.dtype)
+
+    # drain send semaphores (overlapped with the reduce + norm above)
+    for p in range(1, ws):
+        peer = jax.lax.rem(my + p, ws)
+        pltpu.make_async_remote_copy(
+            x_hbm, comm.at[my], send_sems.at[p], recv_sems.at[my],
+            device_id=(peer,), device_id_type=pltpu.DeviceIdType.MESH,
+        ).wait_send()
 
 
 def _two_shot_kernel(
@@ -141,8 +181,10 @@ def _two_shot_kernel(
     ws: int,
     chunk: int,
     eps: float,
+    skew: int = 0,
 ):
     my = _entry_barrier(axis, ws)
+    _skew_delay(my, skew, comm.at[0])
     row0 = my * chunk
 
     # local chunk loads overlap the reduce-scatter sends
@@ -151,31 +193,58 @@ def _two_shot_kernel(
     lr = pltpu.make_async_copy(res_hbm.at[pl.ds(row0, chunk), :], rv, lsem)
     lr.start()
 
-    rs = []
+    # reduce-scatter sends: sender `my` writes the receiver's comm slot
+    # indexed by the SENDER's absolute id and signals rs_recv[my] there
     for p in range(1, ws):
         peer = jax.lax.rem(my + p, ws)
-        rc = pltpu.make_async_remote_copy(
+        pltpu.make_async_remote_copy(
             x_hbm.at[pl.ds(peer * chunk, chunk), :],
-            comm.at[ws - p],
+            comm.at[my],
             rs_send.at[p],
-            rs_recv.at[p],
+            rs_recv.at[my],
             device_id=(peer,),
             device_id_type=pltpu.DeviceIdType.MESH,
-        )
-        rc.start()
-        rs.append(rc)
+        ).start()
 
     lx.wait()
     lr.wait()
+    # progressive arrival (reference Lamport structure): consume each peer's
+    # partial the moment its recv semaphore fires instead of waiting for all
+    # — the owner of this chunk is the only reducer, so arrival-overlapped
+    # accumulation in absolute order is deterministic per chunk.
     acc = xv[...].astype(jnp.float32)
-    for rc in rs:
-        rc.wait()
-    for s in range(1, ws):
-        acc = acc + comm[s].astype(jnp.float32)
+    for s in range(ws):
+        @pl.when(my != s)
+        def _(s=s):
+            pltpu.make_async_remote_copy(
+                x_hbm.at[pl.ds(row0, chunk), :],
+                comm.at[s],
+                rs_send.at[0],
+                rs_recv.at[s],
+                device_id=(my,),
+                device_id_type=pltpu.DeviceIdType.MESH,
+            ).wait_recv()
+
+        acc = acc + jnp.where(
+            my == s, 0.0, comm[s].astype(jnp.float32)
+        )
 
     out_c, out_res_c = _norm(acc, rv[...].astype(jnp.float32), w_ref, eps)
     ov[...] = out_c.astype(ov.dtype)
     orv[...] = out_res_c.astype(orv.dtype)
+
+    # drain my reduce-scatter send semaphores (the all-gather below reuses
+    # them); overlapped behind the norm compute above
+    for p in range(1, ws):
+        peer = jax.lax.rem(my + p, ws)
+        pltpu.make_async_remote_copy(
+            x_hbm.at[pl.ds(peer * chunk, chunk), :],
+            comm.at[my],
+            rs_send.at[p],
+            rs_recv.at[my],
+            device_id=(peer,),
+            device_id_type=pltpu.DeviceIdType.MESH,
+        ).wait_send()
 
     # stage my chunk into my own outputs, then push the same rows to peers
     so = pltpu.make_async_copy(ov, o_hbm.at[pl.ds(row0, chunk), :], osem)
@@ -216,6 +285,7 @@ def fuse_allreduce_rmsnorm_pallas(
     eps: float = 1e-6,
     interpret: bool = False,
     collective_id: int = 7,
+    skew: int = 0,
 ):
     """Single-kernel fused collective+norm (see module docstring).
 
@@ -223,6 +293,12 @@ def fuse_allreduce_rmsnorm_pallas(
     (normed [N, H] bf16, out_residual [N, H] bf16), both replicated.
     ``two_shot`` requires N divisible by 8*ws (DMA sublane tiling on the
     row chunks).
+
+    Both modes consume peer slabs PROGRESSIVELY (per-slot semaphore waits
+    with incremental accumulation — the reference's Lamport low-latency
+    structure) rather than barriering on all peers before reducing.
+    ``skew`` is a test hook: chip r busy-spins ~r*skew VPU passes before
+    sending, so interpret-mode tests exercise staggered peer arrival.
     """
     n, h = x.shape
     if isinstance(interpret, pltpu.InterpretParams):
@@ -241,7 +317,9 @@ def fuse_allreduce_rmsnorm_pallas(
 
     if mode == "one_shot":
         return pl.pallas_call(
-            functools.partial(_one_shot_kernel, axis=axis_name, ws=ws, eps=eps),
+            functools.partial(
+                _one_shot_kernel, axis=axis_name, ws=ws, eps=eps, skew=skew
+            ),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((n, h), lambda: (0, 0)),
@@ -268,7 +346,8 @@ def fuse_allreduce_rmsnorm_pallas(
     chunk = n // ws
     return pl.pallas_call(
         functools.partial(
-            _two_shot_kernel, axis=axis_name, ws=ws, chunk=chunk, eps=eps
+            _two_shot_kernel, axis=axis_name, ws=ws, chunk=chunk, eps=eps,
+            skew=skew,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),

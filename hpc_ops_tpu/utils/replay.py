@@ -78,6 +78,14 @@ class TraceHook:
             def make_wrapper(f, m, n):
                 def wrapper(*args, **kwargs):
                     out = f(*args, **kwargs)
+                    # ops invoked inside a jit trace see tracers, which have
+                    # no host value — record only concrete (eager) calls,
+                    # like the reference hook (its ops are always eager)
+                    if any(
+                        isinstance(x, jax.core.Tracer)
+                        for x in jax.tree.leaves((args, kwargs, out))
+                    ):
+                        return out
                     rec = CallRecord(
                         name=n,
                         module=m.__name__,

@@ -30,7 +30,7 @@ _SCRIPT = textwrap.dedent(
     )
     from hpc_ops_tpu.parallel.collectives import fuse_allreduce_rmsnorm_ref
 
-    ws, n, h, mode = {ws}, {n}, {h}, {mode!r}
+    ws, n, h, mode, skew = {ws}, {n}, {h}, {mode!r}, {skew}
     devs = jax.devices("cpu")[:ws]
     mesh = Mesh(np.array(devs), ("tp",))
     rng = np.random.RandomState(0)
@@ -39,7 +39,8 @@ _SCRIPT = textwrap.dedent(
     w = jnp.asarray(rng.rand(h), jnp.bfloat16)
     f = jax.shard_map(
         lambda xp_, res_: fuse_allreduce_rmsnorm_pallas(
-            xp_[0], res_, w, ws=ws, axis_name="tp", mode=mode, interpret=True
+            xp_[0], res_, w, ws=ws, axis_name="tp", mode=mode,
+            interpret=True, skew=skew,
         ),
         mesh=mesh,
         in_specs=(P("tp", None, None), P(None, None)),
@@ -62,11 +63,11 @@ _SCRIPT = textwrap.dedent(
 _RESULTS: dict = {}  # (ws, mode) -> "pass" | "flake"
 
 
-def _run_case(ws, n, h, mode, tries=4, timeout=240):
+def _run_case(ws, n, h, mode, tries=4, timeout=240, skew=0):
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    code = _SCRIPT.format(ws=ws, n=n, h=h, mode=mode, repo=repo)
+    code = _SCRIPT.format(ws=ws, n=n, h=h, mode=mode, repo=repo, skew=skew)
     last = None
     for attempt in range(tries):
         try:
@@ -98,6 +99,15 @@ def test_fuse_allreduce_rmsnorm_pallas_ws4(mode):
 
 def test_fuse_allreduce_rmsnorm_pallas_ws8():
     _run_case(8, 64, 256, "two_shot")
+
+
+@pytest.mark.parametrize("mode", ["one_shot", "two_shot"])
+def test_fuse_allreduce_rmsnorm_pallas_skewed_arrival(mode):
+    """Staggered per-chip delays before the sends (chip r spins ~r*4000 VPU
+    passes) exercise the progressive-arrival consumption path: peer slabs
+    land out of order and each is reduced as its semaphore fires (the
+    reference's Lamport low-latency test structure)."""
+    _run_case(4, 32, 256, mode, skew=4000)
 
 
 def test_zz_collective_coverage():
