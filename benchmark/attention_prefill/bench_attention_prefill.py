@@ -64,6 +64,11 @@ def main():
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--skip-sparse", action="store_true")
     ap.add_argument("--skip-splash", action="store_true")
+    ap.add_argument(
+        "--stem", action="store_true",
+        help="also time Stem mask generation end-to-end: mask-gen us vs "
+        "the attention us it saves (net long-context number)",
+    )
     ap.add_argument("--csv", default=None)
     ap.add_argument("--jsonl", default=None)
     args = ap.parse_args()
@@ -265,6 +270,74 @@ def main():
             traceback.print_exc()
             rep.add(bench="attention_prefill", case=case, mode="sparse",
                     error=str(exc)[:120])
+
+        # ---- Stem end-to-end: is mask generation cheaper than the
+        # attention it saves? (net long-context number; the reference
+        # spent 2k LoC of CUDA making this stage cheap)
+        if args.stem:
+            try:
+                from hpc_ops_tpu.ops.stem import stem_paged_kv
+
+                kc8t = kc.astype(jnp.float8_e4m3fn)
+                vc8t = vc.astype(jnp.float8_e4m3fn)
+                one_v = jnp.ones((1,), jnp.float32)
+                q8s = q.astype(jnp.float8_e4m3fn)
+
+                def stem_fn(qs_):
+                    return stem_paged_kv(
+                        q8s, kc8t, vc8t, qs_, one_v, one_v,
+                        block_ids, cu, seq_kv, seq_kv,
+                    )
+
+                def stem_body(carry):
+                    qs_ = carry
+                    m = stem_fn(qs_)
+                    dep = (m[0, 0, 0, 0] > jnp.uint8(250)).astype(
+                        jnp.float32
+                    )
+                    return qs_ + dep
+
+                sec_stem = time_chain(
+                    stem_body, qscale, inner=args.inner, trials=trials,
+                )
+                stem_mask = jax.block_until_ready(stem_fn(qscale))
+                keep_stem = float(jnp.mean(stem_mask.astype(jnp.float32)))
+
+                fn_stem_sparse = (
+                    lambda q8, kc8, vc8, cu_, bi, skv, qs_: (  # noqa: E731
+                        attention_with_kvcache_blocksparse_prefill_fp8(
+                            q8, kc8, vc8, qs_, one, one, cu_, bi, skv,
+                            max_q, block_mask=stem_mask, mask_tile_q=128,
+                            mask_tile_kv=128,
+                        )
+                    )
+                )
+                sec_sp2 = _chain(
+                    fn_stem_sparse, q8,
+                    (kc8, vc8, cu, block_ids, seq_kv, qscale),
+                    inner=args.inner, trials=trials,
+                    hint_sec=hint * max(keep_stem, 0.05),
+                )
+                rep.add(
+                    _time=sec_stem,
+                    bench="attention_prefill", case=case, mode="stem_e2e",
+                    batch=b, total_q=total_q,
+                    stem_us=round(sec_stem * 1e6, 1),
+                    sparse_us=round(sec_sp2 * 1e6, 1),
+                    dense_fp8_us=round(sec_d8 * 1e6, 1),
+                    keep_frac=round(keep_stem, 3),
+                    net_speedup=round(
+                        sec_d8 / (sec_stem + sec_sp2), 2
+                    ),
+                    mask_cost_frac_of_saving=round(
+                        sec_stem / max(sec_d8 - sec_sp2, 1e-9), 3
+                    ),
+                )
+            except Exception as exc:  # pragma: no cover
+                import traceback
+                traceback.print_exc()
+                rep.add(bench="attention_prefill", case=case,
+                        mode="stem_e2e", error=str(exc)[:120])
     rep.flush()
 
 

@@ -30,7 +30,11 @@ from common import Reporter, peak_bf16_tflops, peak_hbm_gbps, time_chain
 
 # name -> (hidden, intermediate, num_experts, topk) full-model shapes
 MODELS = {
+    # name -> (hidden, intermediate, experts_total, topk) — the reference's
+    # default model table (benchmark/fused_moe/README.md): qwen3-235b /
+    # hunyuan-v3 / deepseek-v3
     "qwen3_235b": (4096, 1536, 128, 8),
+    "hunyuan_v3": (4096, 1536, 192, 8),
     "hunyuan_large": (6400, 3072, 16, 1),
     "deepseek_v3": (7168, 2048, 256, 8),
     "mixtral_8x7b": (4096, 14336, 8, 2),

@@ -23,9 +23,23 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
-from common import Reporter, time_fn
+from common import Reporter, peak_hbm_gbps, time_chain
 
 VOCAB = 120832
+
+
+def _chain(fn, logits, rest, *, inner, trials, hint_sec):
+    """Chained differential timing: the sampled token feeds a zero-valued
+    perturbation back into the logits so XLA cannot fold the repeats."""
+
+    def body(carry):
+        lg = carry
+        tok = fn(lg, *rest)
+        dep = (tok.reshape(-1)[0] > jnp.int32(2**30)).astype(lg.dtype)
+        return lg + dep
+
+    return time_chain(body, logits, inner=inner, trials=trials,
+                      hint_sec=hint_sec)
 
 
 def unfused_pipeline(logits, temperature, topk, topp, key):
@@ -42,9 +56,13 @@ def unfused_pipeline(logits, temperature, topk, topp, key):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batches", nargs="*", type=int, default=[1, 8, 64, 256, 512])
-    ap.add_argument("--warmup", type=int, default=2)
-    ap.add_argument("--iters", type=int, default=10)
+    # the reference's full grid (benchmark/sampler/README.md): 1..512
+    ap.add_argument(
+        "--batches", nargs="*", type=int,
+        default=[1, 4, 16, 64, 128, 256, 512],
+    )
+    ap.add_argument("--inner", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--csv", default=None)
     ap.add_argument("--jsonl", default=None)
     args = ap.parse_args()
@@ -71,21 +89,22 @@ def main():
         tk = jnp.full((b,), 32, jnp.int32)
         tp = jnp.full((b,), 0.9, jnp.float32)
 
-        t_full = time_fn(
-            full, (logits, temp, tk, tp),
-            warmup=args.warmup, iters=args.iters,
-        )
-        t_fast = time_fn(
-            fast, (logits, temp), warmup=args.warmup, iters=args.iters
-        )
-        t_base = time_fn(
-            base, (logits, key), warmup=args.warmup, iters=args.iters
-        )
+        # speed-of-light: one logits read (f32) at HBM peak
+        hint = b * VOCAB * 4 / (peak_hbm_gbps() * 1e9)
+        trials = max(args.iters // 2, 3)
+        t_full = _chain(full, logits, (temp, tk, tp),
+                        inner=args.inner, trials=trials, hint_sec=hint)
+        t_fast = _chain(fast, logits, (temp,),
+                        inner=args.inner, trials=trials, hint_sec=hint)
+        t_base = _chain(base, logits, (key,),
+                        inner=args.inner, trials=trials, hint_sec=hint)
         rep.add(
+            _time=t_full,
             bench="sampler", batch=b, vocab=VOCAB,
             full_us=round(t_full * 1e6, 1),
             fast_us=round(t_fast * 1e6, 1),
             unfused_us=round(t_base * 1e6, 1),
+            full_gbps=round(b * VOCAB * 4 / t_full / 1e9, 1),
             speedup_full_vs_unfused=round(t_base / t_full, 2),
             speedup_fast_vs_unfused=round(t_base / t_fast, 2),
         )

@@ -52,22 +52,24 @@ def _prefill_kernel(
     kv_lens_ref,  # [B]
     block_tbl_ref,  # [B*max_blocks]
     # inputs
-    q_hbm_ref,  # [Hq, total_q_pad, D] ANY
+    q_hbm_ref,  # [total_q_pad, Hq*D] ANY — row-major lane-packed heads
     k_pages_ref,  # [Hkv, nb, bs, D] ANY
     v_pages_ref,
     ks_ref,  # [1, 1, n_ck, ck] f32 VMEM — per-token K scales (or dummy)
+    scale_ref,  # [1, 1] f32 SMEM — softmax scale * log2(e) (or 1.0 if the
+    # wrapper pre-scaled rows, e.g. the fp8 per-token-qscale path)
     # outputs
-    o_hbm_ref,  # [Hq, total_q_pad, D] ANY (bf16)
+    o_hbm_ref,  # [total_q_pad, Hq*D] ANY (bf16)
     # scratch
-    q_buf,  # [G*TQ, D] bf16 — the GQA group stacked row-major
-    k_buf,  # [2, pcb, bs, D]
+    q_bufs,  # [2, TQ, G*D] bf16 — the GQA group lane-packed, double-buffered
+    k_buf,  # [4, pcb, bs, D] — slots 0/1: chunk stream; 2/3: chunk-0 prefetch
     v_buf,
-    acc_buf,  # [G*TQ, D] f32
-    m_buf,  # [G*TQ, LANES] f32 (log2 domain)
+    acc_buf,  # [TQ, G*D] f32
+    m_buf,  # [TQ, G*LANES] f32 (log2 domain)
     l_buf,
-    o_stage,  # [G*TQ, D] bf16 staging for output DMA
-    q_sem,
-    kv_sems,  # (2, 2)
+    o_stage,  # [TQ, G*D] bf16 staging for output DMA
+    q_sems,  # DMA (2,)
+    kv_sems,  # DMA (4, 2)
     o_sem,
     *,
     tq: int,
@@ -76,33 +78,45 @@ def _prefill_kernel(
     max_blocks: int,
     group: int,
     skv: int,
+    d: int,
     pertoken_ks: bool,
     kv_e4m3: bool = False,
 ):
-    """Stacked-GQA flash prefill with sub-tiled causal regimes.
+    """Row-major lane-packed GQA flash prefill with sub-tiled causal regimes.
 
-    Three design decisions carry the MFU (reference bar: its prefill beats
+    Design decisions that carry the MFU (reference bar: its prefill beats
     FA3 on H20, README.md:171):
 
-    * The GQA group is ONE [G*TQ, D] operand: one QK^T and one PV dot per
-      kv subtile instead of G small ones, and one m/l/acc update.
-    * The kv chunk (pcb*page_size, DMA granularity) is processed in
-      ``skv``-column subtiles with three regimes: subtiles past this
-      q-tile's causal bound are SKIPPED (no MXU, no VPU — the old
-      chunk-granular mask computed up to 1.8x the causal FLOPs at 2K
-      seqlens), interior subtiles run mask-free, and only the 1-2 subtiles
-      straddling the diagonal (or the kv tail) pay the iota/compare/select
-      mask chain.
+    * q and o travel in the model's natural [rows, Hq*D] layout: the GQA
+      group is ONE [TQ, G*D] lane-packed tile moved by ONE DMA each way,
+      and the wrapper needs no head-major transpose (the transposes + their
+      HBM round-trips were ~25% of wall time at batch-prefill shapes).
+    * The kv chunk (pcb*page_size, DMA granularity) is processed whole and
+      mask-free when fully interior; boundary chunks are processed in
+      ``skv``-column subtiles with three regimes: subtiles past the causal
+      bound are SKIPPED (chunk-granular masking computed up to 1.8x the
+      causal FLOPs at 2K seqlens), and only diagonal/tail straddlers pay
+      the iota/compare/select mask chain.
+    * Per-GQA-group software pipelining: head g+1's QK^T dot issues before
+      head g's softmax, so MXU work overlaps the VPU-bound softmax chain.
+    * Cross-PROGRAM prefetch: each program starts the NEXT program's q tile
+      and first KV chunk before its own compute (those buffers were last
+      read two programs ago), so program transitions expose no cold DMA —
+      the manual-DMA analog of the grid pipelining the stock splash kernel
+      gets from BlockSpecs, which paged caches cannot use.
     * Softmax runs in the log2 domain: the wrapper folds log2(e) into the
       q pre-scale so the kernel uses exp2 directly — exp costs an extra
-      multiply per element on the VPU, and this kernel is VPU-bound.
+      multiply per element on the VPU, and this kernel is VPU-tight.
     """
     b = pl.program_id(0)
     h = pl.program_id(1)  # kv head
     tqi = pl.program_id(2)
+    n_hkv = pl.num_programs(1)
+    n_t = pl.num_programs(2)
+    total_progs = pl.num_programs(0) * n_hkv * n_t
+    idx = (b * n_hkv + h) * n_t + tqi
     ck = pcb * page_size
     n_sub = ck // skv
-    d = q_buf.shape[-1]
 
     q_start = q_starts_ref[b]
     q_len = q_lens_ref[b]
@@ -111,174 +125,266 @@ def _prefill_kernel(
 
     tile_active = tqi * tq < q_len
 
+    def q_copies(bb, hh, tt, slot):
+        # ONE DMA fetches a tile's q for all G heads of its kv group (a
+        # lane slice at a G*D-aligned offset of the [rows, Hq*D] layout;
+        # q starts are tq-aligned rows). Reading the natural 3D
+        # [rows, Hq, D] layout directly is NOT possible: its TPU tiling is
+        # on (Hq, D), and per-head slices of the head dim violate the
+        # 8-sublane tiling constraint.
+        row0 = pl.multiple_of(q_starts_ref[bb] + tt * tq, tq)
+        lane0 = pl.multiple_of(hh * group * d, group * d)
+        return [
+            pltpu.make_async_copy(
+                q_hbm_ref.at[pl.ds(row0, tq), pl.ds(lane0, group * d)],
+                q_bufs.at[slot],
+                q_sems.at[slot],
+            )
+        ]
+
+    def start_kv(bb, hh, j, slot, hi):
+        # clamp the page fan-out to the causally useful pages of this
+        # chunk, rounded UP to subtile granularity: every subtile the
+        # compute loop touches must hold real page data — stale VMEM
+        # under a masked column would feed the PV dot 0 * NaN = NaN
+        # (skipped subtiles are never read, so their slabs can stay
+        # stale). Group-predicated inside MultiPageCopy.
+        nv = jnp.clip(
+            ((hi - j * ck + skv - 1) // skv) * (skv // page_size),
+            1,
+            pcb,
+        )
+        kc = MultiPageCopy(
+            k_pages_ref,
+            k_buf,
+            kv_sems.at[slot, 0],
+            block_tbl_ref,
+            head=hh,
+            page_start=bb * max_blocks + j * pcb,
+            num_pages=pcb,
+            slot=slot,
+            num_valid=nv,
+        )
+        vc = MultiPageCopy(
+            v_pages_ref,
+            v_buf,
+            kv_sems.at[slot, 1],
+            block_tbl_ref,
+            head=hh,
+            page_start=bb * max_blocks + j * pcb,
+            num_pages=pcb,
+            slot=slot,
+            num_valid=nv,
+        )
+        return kc, vc
+
+    def kv_hi_of(bb, tt):
+        kvl = kv_lens_ref[bb]
+        off = kvl - q_lens_ref[bb]
+        return jnp.minimum(kvl, off + (tt + 1) * tq)
+
+    # ---- prefetch program idx+1's q tile and first KV chunk NOW: its
+    # buffers (q slot (idx+1)%2, kv slot 2+(idx+1)%2) were last read by
+    # program idx-1, which has fully completed, and the DMAs overlap this
+    # whole program's compute.
+    @pl.when(idx + 1 < total_progs)
+    def _():
+        nidx = idx + 1
+        nt = nidx % n_t
+        nbh = nidx // n_t
+        nh = nbh % n_hkv
+        nb2 = nbh // n_hkv
+
+        @pl.when(nt * tq < q_lens_ref[nb2])
+        def _():
+            for cp in q_copies(nb2, nh, nt, nidx % 2):
+                cp.start()
+            kc, vc = start_kv(nb2, nh, 0, 2 + nidx % 2, kv_hi_of(nb2, nt))
+            kc.start()
+            vc.start()
+
+    # the first program has no predecessor to prefetch for it
+    @pl.when((idx == 0) & tile_active)
+    def _():
+        for cp in q_copies(b, h, tqi, 0):
+            cp.start()
+        kc, vc = start_kv(b, h, 0, 2, kv_hi_of(b, tqi))
+        kc.start()
+        vc.start()
+
     @pl.when(tile_active)
     def _():
-        # ---- fetch q tile for all G heads of this kv group
-        # q_start is tq-aligned by construction; the hint lets Mosaic prove
-        # the HBM slice offset is sublane-tile aligned.
         row0 = pl.multiple_of(q_start + tqi * tq, tq)
-        for g in range(group):
-            pltpu.make_async_copy(
-                q_hbm_ref.at[h * group + g, pl.ds(row0, tq), :],
-                q_buf.at[pl.ds(g * tq, tq), :],
-                q_sem,
-            ).start()
+        q_slot = idx % 2
+        kv0_slot = 2 + q_slot
 
         # causal upper bound for this q tile (absolute kv position, exclusive)
         kv_hi = jnp.minimum(kv_len, kv_off + (tqi + 1) * tq)
         num_kv_tiles = jnp.maximum((kv_hi + ck - 1) // ck, 1)
         diag_lo = kv_off + tqi * tq  # first kv position needing the mask
 
-        def start_kv(j, slot):
-            # clamp the page fan-out to the causally useful pages of this
-            # chunk, rounded UP to subtile granularity: every subtile the
-            # compute loop touches must hold real page data — stale VMEM
-            # under a masked column would feed the PV dot 0 * NaN = NaN
-            # (skipped subtiles are never read, so their slabs can stay
-            # stale). Group-predicated inside MultiPageCopy.
-            nv = jnp.clip(
-                ((kv_hi - j * ck + skv - 1) // skv) * (skv // page_size),
-                1,
-                pcb,
-            )
-            kc = MultiPageCopy(
-                k_pages_ref,
-                k_buf,
-                kv_sems.at[slot, 0],
-                block_tbl_ref,
-                head=h,
-                page_start=b * max_blocks + j * pcb,
-                num_pages=pcb,
-                slot=slot,
-                num_valid=nv,
-            )
-            vc = MultiPageCopy(
-                v_pages_ref,
-                v_buf,
-                kv_sems.at[slot, 1],
-                block_tbl_ref,
-                head=h,
-                page_start=b * max_blocks + j * pcb,
-                num_pages=pcb,
-                slot=slot,
-                num_valid=nv,
-            )
-            return kc, vc
-
-        kc0, vc0 = start_kv(0, 0)
-        kc0.start()
-        vc0.start()
-
         m_buf[...] = jnp.full_like(m_buf, -jnp.inf)
         l_buf[...] = jnp.zeros_like(l_buf)
         acc_buf[...] = jnp.zeros_like(acc_buf)
 
-        # wait q
-        for g in range(group):
-            pltpu.make_async_copy(
-                q_hbm_ref.at[h * group + g, pl.ds(row0, tq), :],
-                q_buf.at[pl.ds(g * tq, tq), :],
-                q_sem,
-            ).wait()
+        for cp in q_copies(b, h, tqi, q_slot):
+            cp.wait()
+        # apply the softmax scale here, on the [TQ, G*D] tile in VMEM — a
+        # wrapper-side scale pass costs 3 full HBM round trips over q
+        # (f32 upcast + multiply + downcast ≈ 1.6ms at 16K rows, ~20% of
+        # wall time at batch-prefill shapes)
+        qv = (
+            q_bufs[q_slot].astype(jnp.float32) * scale_ref[0, 0]
+        ).astype(jnp.bfloat16)
+
+        def g_lanes(g):
+            return slice(g * d, (g + 1) * d)
+
+        def gl_lanes(g):
+            return slice(g * _LANES, (g + 1) * _LANES)
+
+        def flash_update(s, v, g):
+            """Online-softmax state update for head g (log2 domain)."""
+            m_prev = m_buf[:, gl_lanes(g)]
+            l_prev = l_buf[:, gl_lanes(g)]
+            m_curr = jnp.broadcast_to(
+                jnp.max(s, axis=1, keepdims=True), m_prev.shape
+            )
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next[:, :1])
+            l_buf[:, gl_lanes(g)] = alpha * l_prev + jnp.broadcast_to(
+                jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+            )
+            m_buf[:, gl_lanes(g)] = m_next
+            o_curr = jax.lax.dot(
+                p.astype(jnp.bfloat16), v,
+                preferred_element_type=jnp.float32,
+            )
+            acc_buf[:, g_lanes(g)] = (
+                acc_buf[:, g_lanes(g)] * alpha[:, :1] + o_curr
+            )
+
+        def qk(k, g):
+            return jax.lax.dot_general(
+                qv[:, g_lanes(g)], k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def group_sweep(k, v, post):
+            """Per-head QK -> softmax -> PV, software-pipelined: head g+1's
+            QK^T (MXU) issues before head g's softmax (VPU) so the two
+            units overlap instead of serializing."""
+            s = post(qk(k, 0))
+            for g in range(group):
+                s_next = post(qk(k, g + 1)) if g + 1 < group else None
+                flash_update(s, v, g)
+                s = s_next
 
         def body(j, _):
-            slot = j % 2
+            # chunk 0 lands in the cross-program prefetch slot; later
+            # chunks double-buffer through slots 0/1
+            slot = jnp.where(j == 0, kv0_slot, j % 2)
 
             @pl.when(j + 1 < num_kv_tiles)
             def _():
-                kc, vc = start_kv(j + 1, (j + 1) % 2)
+                kc, vc = start_kv(b, h, j + 1, (j + 1) % 2, kv_hi)
                 kc.start()
                 vc.start()
 
-            kc, vc = start_kv(j, slot)
+            kc, vc = start_kv(b, h, j, slot, kv_hi)
             kc.wait()
             vc.wait()
 
-            def update(si: int, masked: bool):
-                sub0 = j * ck + si * skv
-                k = _upk(
-                    k_buf[slot].reshape(ck, d)[si * skv:(si + 1) * skv],
-                    kv_e4m3,
-                )
-                v = _upk(
-                    v_buf[slot].reshape(ck, d)[si * skv:(si + 1) * skv],
-                    kv_e4m3,
-                )
-                s = jax.lax.dot_general(
-                    q_buf[...],
-                    k,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [G*TQ, skv] — log2-domain logits
+            def update_interior_chunk():
+                # chunk fully below the diagonal and in-range: mask-free
+                # dots over the full chunk (big PV matmuls, one flash-state
+                # update per head — the long-context fast path)
+                k = _upk(k_buf[slot].reshape(ck, d), kv_e4m3)
+                v = _upk(v_buf[slot].reshape(ck, d), kv_e4m3)
                 if pertoken_ks:
-                    # QuantType-0: one K scale per (token, kv-head), applied
-                    # to the logits (exact — constant along D); linear, so
-                    # it commutes with the log2-domain folding
-                    s = s * ks_ref[0, 0, j][None, si * skv:(si + 1) * skv]
+                    # QuantType-0: one K scale per (token, kv-head) on the
+                    # logits (exact — constant along D); linear, so it
+                    # commutes with the log2-domain folding
+                    ks_row = ks_ref[0, 0, j][None, :]
+                    group_sweep(k, v, lambda s: s * ks_row)
+                else:
+                    group_sweep(k, v, lambda s: s)
+
+            def update_sub(si: int, masked: bool):
+                # boundary-chunk subtile; the diagonal/tail straddlers pay
+                # the iota/compare/select mask chain, computed once and
+                # shared by all G heads
+                sub = slice(si * skv, (si + 1) * skv)
+                sub0 = j * ck + si * skv
+                k = _upk(k_buf[slot].reshape(ck, d)[sub], kv_e4m3)
+                v = _upk(v_buf[slot].reshape(ck, d)[sub], kv_e4m3)
+                ks_row = ks_ref[0, 0, j][None, sub] if pertoken_ks else None
                 if masked:
                     kpos = sub0 + jax.lax.broadcasted_iota(
-                        jnp.int32, (group * tq, skv), 1
+                        jnp.int32, (tq, skv), 1
                     )
-                    row = jax.lax.broadcasted_iota(
-                        jnp.int32, (group * tq, skv), 0
+                    qpos = kv_off + tqi * tq + jax.lax.broadcasted_iota(
+                        jnp.int32, (tq, skv), 0
                     )
-                    qpos = kv_off + tqi * tq + row % tq
                     mask = (kpos <= qpos) & (kpos < kv_len)
-                    s = jnp.where(mask, s, MASK_VALUE)
-                m_prev = m_buf[...]
-                l_prev = l_buf[...]
-                m_curr = jnp.broadcast_to(
-                    jnp.max(s, axis=1, keepdims=True), m_prev.shape
-                )
-                m_next = jnp.maximum(m_prev, m_curr)
-                alpha = jnp.exp2(m_prev - m_next)
-                p = jnp.exp2(s - m_next[:, :1])
-                l_buf[...] = alpha * l_prev + jnp.broadcast_to(
-                    jnp.sum(p, axis=1, keepdims=True), l_prev.shape
-                )
-                m_buf[...] = m_next
-                o_curr = jax.lax.dot(
-                    p.astype(jnp.bfloat16), v,
-                    preferred_element_type=jnp.float32,
-                )
-                acc_buf[...] = acc_buf[...] * alpha[:, :1] + o_curr
 
-            for si in range(n_sub):
-                sub0 = j * ck + si * skv
-                sub_end = sub0 + skv
-                active = sub0 < kv_hi
-                # interior: every kv position precedes this q tile's first
-                # row AND is in-range — mask-free
-                interior = (sub_end <= diag_lo + 1) & (sub_end <= kv_len)
+                def post(s):
+                    if pertoken_ks:
+                        s = s * ks_row
+                    if masked:
+                        s = jnp.where(mask, s, MASK_VALUE)
+                    return s
 
-                @pl.when(active & interior)
-                def _(si=si):
-                    update(si, masked=False)
+                group_sweep(k, v, post)
 
-                @pl.when(active & jnp.logical_not(interior))
-                def _(si=si):
-                    update(si, masked=True)
+            chunk_interior = ((j + 1) * ck <= diag_lo + 1) & (
+                (j + 1) * ck <= kv_len
+            )
+
+            @pl.when(chunk_interior)
+            def _():
+                update_interior_chunk()
+
+            @pl.when(jnp.logical_not(chunk_interior))
+            def _():
+                # boundary chunk (at most 2 per q tile): subtile regimes —
+                # skip past-diagonal subtiles entirely (chunk-granular
+                # masking computed up to 1.8x the causal FLOPs at 2K
+                # seqlens), mask only the diagonal/tail straddlers
+                for si in range(n_sub):
+                    sub0 = j * ck + si * skv
+                    sub_end = sub0 + skv
+                    active = sub0 < kv_hi
+                    unmasked = (sub_end <= diag_lo + 1) & (sub_end <= kv_len)
+
+                    @pl.when(active & unmasked)
+                    def _(si=si):
+                        update_sub(si, masked=False)
+
+                    @pl.when(active & jnp.logical_not(unmasked))
+                    def _(si=si):
+                        update_sub(si, masked=True)
 
             return ()
 
         jax.lax.fori_loop(0, num_kv_tiles, body, (), unroll=False)
 
-        # ---- normalize and write out
-        l = l_buf[...][:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_stage[...] = (acc_buf[...] * l_inv).astype(o_stage.dtype)
+        # ---- normalize and write out (one DMA for the whole group tile)
         for g in range(group):
-            pltpu.make_async_copy(
-                o_stage.at[pl.ds(g * tq, tq), :],
-                o_hbm_ref.at[h * group + g, pl.ds(row0, tq), :],
-                o_sem,
-            ).start()
-        for g in range(group):
-            pltpu.make_async_copy(
-                o_stage.at[pl.ds(g * tq, tq), :],
-                o_hbm_ref.at[h * group + g, pl.ds(row0, tq), :],
-                o_sem,
-            ).wait()
+            l = l_buf[:, g * _LANES:g * _LANES + 1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_stage[:, g_lanes(g)] = (
+                acc_buf[:, g_lanes(g)] * l_inv
+            ).astype(o_stage.dtype)
+        lane0 = pl.multiple_of(h * group * d, group * d)
+        o_cp = pltpu.make_async_copy(
+            o_stage,
+            o_hbm_ref.at[pl.ds(row0, tq), pl.ds(lane0, group * d)],
+            o_sem,
+        )
+        o_cp.start()
+        o_cp.wait()
 
 
 def _prefill_sparse_kernel(
@@ -660,7 +766,7 @@ def _prefill_sparse_pallas(
     ),
 )
 def _prefill_pallas(
-    q_t,  # [Hq, total_q_pad, D] bf16 pre-scaled, per-request tq-aligned rows
+    q_t,  # [total_q_pad, Hq*D] bf16, per-request tq-aligned rows
     k_pages,  # [Hkv, nb, bs, D]
     v_pages,
     q_starts,  # [B] int32 aligned row offsets
@@ -668,17 +774,20 @@ def _prefill_pallas(
     kv_lens,  # [B] int32
     block_ids,  # [B, max_blocks]
     ks_dense,  # [B, Hkv, n_ck, ck] f32 (dummy [B, Hkv, 1, 128] when unused)
+    scale,  # [1, 1] f32 — softmax scale * log2(e), applied in-kernel
     tq: int,
     pages_per_compute_block: int,
     max_q_tiles: int,
     pertoken_ks: bool = False,
     interpret: bool = False,
 ):
-    hq, total_q_pad, d = q_t.shape
+    total_q_pad = q_t.shape[0]
     k_pages, kv_e4m3 = _kv_bits(k_pages)
     v_pages, _ = _kv_bits(v_pages)
-    hkv, nb, bs, _ = k_pages.shape
+    hkv, nb, bs, d = k_pages.shape[0], k_pages.shape[1], k_pages.shape[2], k_pages.shape[3]
     dv = v_pages.shape[-1]
+    assert dv == d, "row-major prefill assumes D == Dv"
+    hq = q_t.shape[1] // d
     group = hq // hkv
     b = kv_lens.shape[0]
     pcb = pages_per_compute_block
@@ -702,18 +811,22 @@ def _prefill_pallas(
             pl.BlockSpec(
                 (1, 1, n_ck, ck_s), lambda bi, hi, ti, *_: (bi, hi, 0, 0)
             ),
+            pl.BlockSpec(
+                (1, 1), lambda bi, hi, ti, *_: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((group * tq, d), jnp.bfloat16),
-            pltpu.VMEM((2, pcb, bs, d), k_pages.dtype),
-            pltpu.VMEM((2, pcb, bs, dv), v_pages.dtype),
-            pltpu.VMEM((group * tq, dv), jnp.float32),
-            pltpu.VMEM((group * tq, _LANES), jnp.float32),
-            pltpu.VMEM((group * tq, _LANES), jnp.float32),
-            pltpu.VMEM((group * tq, dv), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, tq, group * d), jnp.bfloat16),
+            pltpu.VMEM((4, pcb, bs, d), k_pages.dtype),
+            pltpu.VMEM((4, pcb, bs, dv), v_pages.dtype),
+            pltpu.VMEM((tq, group * dv), jnp.float32),
+            pltpu.VMEM((tq, group * _LANES), jnp.float32),
+            pltpu.VMEM((tq, group * _LANES), jnp.float32),
+            pltpu.VMEM((tq, group * dv), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4, 2)),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -725,13 +838,14 @@ def _prefill_pallas(
         max_blocks=max_blocks,
         group=group,
         skv=skv,
+        d=d,
         pertoken_ks=pertoken_ks,
         kv_e4m3=kv_e4m3,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((hq, total_q_pad, dv), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((total_q_pad, hq * dv), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
@@ -745,6 +859,7 @@ def _prefill_pallas(
         k_pages,
         v_pages,
         ks_dense,
+        scale,
     )
 
 
@@ -1111,20 +1226,35 @@ def attention_with_kvcache_prefill(
     total_q, hq, d = q.shape
     b = seqlens_kvcache.shape[0]
     scale = (1.0 / (d**0.5)) if sm_scale is None else sm_scale
-    qf = q.astype(jnp.float32)
-    if qscale is not None:
-        # scatter per-(req, pos, head) scale onto packed rows
-        row = jnp.arange(total_q, dtype=jnp.int32)
-        req = jnp.searchsorted(cu_seqlens_q[1:], row, side="right").astype(jnp.int32)
-        req = jnp.minimum(req, b - 1)
-        pos = row - cu_seqlens_q[req]
-        qs = qscale[req, :, jnp.minimum(pos, qscale.shape[-1] - 1)]  # [total_q, Hq]
-        qf = qf * qs[..., None]
     if is_fp8 and kscale is not None and not pertoken_fast:
         scale = scale * kscale.reshape(()).astype(jnp.float32)
     # Pallas kernels run softmax in the log2 domain (exp2 on the VPU saves
     # a multiply per logit vs exp): fold log2(e) into the q pre-scale.
-    qf = qf * (scale * 1.4426950408889634)
+    scale_log2 = scale * 1.4426950408889634
+    # The dense kernel applies the scale itself on the q tile in VMEM; a
+    # wrapper-side pass costs 3 full HBM round trips over q. Rows are only
+    # pre-scaled when per-token qscales or a non-bf16 q force it (and for
+    # the sparse/all-heads kernels, which take pre-scaled rows).
+    prescale_rows = (
+        sparse or fused_nhd or qscale is not None or q.dtype != jnp.bfloat16
+    )
+    if prescale_rows:
+        qf = q.astype(jnp.float32)
+        if qscale is not None:
+            # scatter per-(req, pos, head) scale onto packed rows
+            row = jnp.arange(total_q, dtype=jnp.int32)
+            req = jnp.searchsorted(
+                cu_seqlens_q[1:], row, side="right"
+            ).astype(jnp.int32)
+            req = jnp.minimum(req, b - 1)
+            pos = row - cu_seqlens_q[req]
+            qs = qscale[req, :, jnp.minimum(pos, qscale.shape[-1] - 1)]
+            qf = qf * qs[..., None]
+        qb = (qf * scale_log2).astype(jnp.bfloat16)
+        kernel_scale = jnp.ones((1, 1), jnp.float32)
+    else:
+        qb = q
+        kernel_scale = jnp.full((1, 1), scale_log2, jnp.float32)
 
     # Repack rows so every request starts at a tq-aligned row (HBM slice
     # offsets must be sublane-tile aligned for the in-kernel DMAs). Each
@@ -1136,15 +1266,31 @@ def attention_with_kvcache_prefill(
     max_q_pad = round_up(int(max_seqlens_q), tq)
     total_q_pad = b * max_q_pad
     q_starts = jnp.arange(b, dtype=jnp.int32) * max_q_pad
-    qT = jnp.transpose(qf.astype(jnp.bfloat16), (1, 0, 2))  # [hq, total_q, d]
-    qT = jnp.pad(qT, ((0, 0), (0, max_q_pad), (0, 0)))
-    q_t = jnp.concatenate(
-        [
-            jax.lax.dynamic_slice(qT, (0, cu[i], 0), (hq, max_q_pad, d))
-            for i in range(b)
-        ],
-        axis=1,
-    )
+    if sparse or fused_nhd:
+        # head-major layout for the sparse / all-heads kernels
+        qT = jnp.transpose(qb, (1, 0, 2))
+        qT = jnp.pad(qT, ((0, 0), (0, max_q_pad), (0, 0)))
+        q_t = jnp.concatenate(
+            [
+                jax.lax.dynamic_slice(qT, (0, cu[i], 0), (hq, max_q_pad, d))
+                for i in range(b)
+            ],
+            axis=1,
+        )
+    else:
+        # dense kernel reads q in row-major [rows, Hq*D] layout (per-group
+        # lane-slice DMAs in-kernel) — no head-major transpose; one
+        # relayout-reshape + pad + in-place dynamic_update_slice chain
+        qR = jnp.pad(
+            qb.reshape(total_q, hq * d), ((0, max_q_pad), (0, 0))
+        )
+        q_rows = jnp.zeros((total_q_pad, hq * d), jnp.bfloat16)
+        for i in range(b):
+            q_rows = jax.lax.dynamic_update_slice(
+                q_rows,
+                jax.lax.dynamic_slice(qR, (cu[i], 0), (max_q_pad, hq * d)),
+                (i * max_q_pad, 0),
+            )
 
     page_size = bs_f if fused_nhd else k_pages.shape[2]
     if pages_per_compute_block is None:
@@ -1277,8 +1423,8 @@ def attention_with_kvcache_prefill(
             interpret=interpret_default(),
         )
     else:
-        o_t = _prefill_pallas(
-            q_t,
+        o_rows = _prefill_pallas(
+            q_rows,
             k_pages,
             v_pages,
             q_starts,
@@ -1286,23 +1432,34 @@ def attention_with_kvcache_prefill(
             seqlens_kvcache.astype(jnp.int32),
             jnp.maximum(block_ids.astype(jnp.int32), 0),
             gather_ks(pages_per_compute_block),
+            kernel_scale,
             tq,
             pages_per_compute_block,
             max_q_tiles,
             pertoken_ks=pertoken_fast,
             interpret=interpret_default(),
         )
-    # Compact per-request slots back to packed rows with contiguous
-    # dynamic_update_slices (ascending i: each write covers the previous
-    # slot's garbage tail; the extension row absorbs the last one's).
-    dv_out = o_t.shape[-1]
-    o_ext = jnp.zeros((hq, total_q + max_q_pad, dv_out), o_t.dtype)
-    for i in range(b):
-        blk = jax.lax.dynamic_slice(
-            o_t, (0, i * max_q_pad, 0), (hq, max_q_pad, dv_out)
-        )
-        o_ext = jax.lax.dynamic_update_slice(o_ext, blk, (0, cu[i], 0))
-    out = jnp.transpose(o_ext[:, :total_q], (1, 0, 2))
+    if sparse or fused_nhd:
+        # Compact per-request slots back to packed rows with contiguous
+        # dynamic_update_slices (ascending i: each write covers the previous
+        # slot's garbage tail; the extension row absorbs the last one's).
+        dv_out = o_t.shape[-1]
+        o_ext = jnp.zeros((hq, total_q + max_q_pad, dv_out), o_t.dtype)
+        for i in range(b):
+            blk = jax.lax.dynamic_slice(
+                o_t, (0, i * max_q_pad, 0), (hq, max_q_pad, dv_out)
+            )
+            o_ext = jax.lax.dynamic_update_slice(o_ext, blk, (0, cu[i], 0))
+        out = jnp.transpose(o_ext[:, :total_q], (1, 0, 2))
+    else:
+        hd_out = o_rows.shape[-1]
+        o_ext = jnp.zeros((total_q + max_q_pad, hd_out), o_rows.dtype)
+        for i in range(b):
+            blk = jax.lax.dynamic_slice(
+                o_rows, (i * max_q_pad, 0), (max_q_pad, hd_out)
+            )
+            o_ext = jax.lax.dynamic_update_slice(o_ext, blk, (cu[i], 0))
+        out = o_ext[:total_q].reshape(total_q, hq, hd_out // hq)
     if is_fp8 and vscale is not None:
         vs = vscale.astype(jnp.float32).reshape(-1)
         if vs.shape[0] == 1:

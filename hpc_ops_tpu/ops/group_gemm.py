@@ -345,6 +345,177 @@ def _gg_pertensor_pallas(
     return out[:, :n]
 
 
+def _gg_bw_prescale_kernel(
+    grp_ref, row_ref, nvt_ref, x_ref, w_ref, sw_ref, o_ref, acc_ref,
+    *, gk: int, w_bits: bool,
+):
+    """Blockwise kernel, "prescale" scheme (the fast path).
+
+    The per-(row, k-group) x-scales are folded into a bf16 pre-scaled X
+    OUTSIDE the kernel (one cheap elementwise pass over [total, K] — x
+    traffic is a few % of the weight stream at MoE shapes), so the hot loop
+    only scales the W side: per k-step it selects the step's ``gk``
+    per-(n-block, k-group) scales from an all-kb [tn, 128] block (one-hot
+    MXU select, fetched once per (tile, n-block)) and applies them as
+    ``gk`` broadcast multiplies on 128-lane slices — no reshapes, no
+    per-group accumulator promotion. One wide [tm, tk=128*gk] bf16 dot per
+    step keeps the MXU fed; VPU cost is ~3 ops per W element vs the
+    promote scheme's ~4 ops per OUTPUT element per group (which ran at
+    VPU speed, ~4x off — the round-2 blockwise gap).
+
+    bf16 pre-scale rounding adds ~2^-9 relative error — inside e4m3's ~6%
+    quantization noise and ~1/2 of int8's own 2^-8 step.
+    """
+    t = pl.program_id(0)
+    jk = pl.program_id(2)
+
+    @pl.when(t < nvt_ref[0])
+    def _():
+        @pl.when(jk == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        tm, tk = x_ref.shape
+        tn = w_ref.shape[1]
+        # select this step's gk scale columns from the all-kb block
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (128, gk), 0)
+        cols = jk * gk + jax.lax.broadcasted_iota(jnp.int32, (128, gk), 1)
+        sel = (lanes == cols).astype(jnp.float32)
+        sw_step = jax.lax.dot_general(
+            sw_ref[0], sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tn, gk]
+        w = (
+            e4m3_bits_to_f32_fast(w_ref[0])
+            if w_bits
+            else w_ref[0].astype(jnp.float32)
+        )
+        w_bf = jnp.concatenate(
+            [
+                (
+                    w[:, gi * 128:(gi + 1) * 128] * sw_step[:, gi:gi + 1]
+                ).astype(jnp.bfloat16)
+                for gi in range(gk)
+            ],
+            axis=1,
+        )
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...], w_bf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(jk == pl.num_programs(2) - 1)
+        def _():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+def _gg_bw_prescale_pallas(
+    x_bf, weight, sw_nt, grp, row_blk, tm, tn, interpret=False,
+    num_valid_tiles=None,
+):
+    """x_bf: [total_pad, K] bf16 PRE-SCALED rows; weight: [G, N, K] int8
+    codes or fp8(bits); sw_nt: [G, N, kb<=128] f32 per-(n-row, k-group)
+    weight scales (n-expanded)."""
+    weight, wb = _as_i8_bits(weight)
+    total_pad_t, k = x_bf.shape
+    g, n, _ = weight.shape
+    kb = cdiv(k, 128)
+    assert kb <= 128, "blockwise kernel supports K <= 16384"
+    gk = 8
+    tk = 128 * gk
+    kb_p = round_up(kb, gk)
+    kp = kb_p * 128
+    np_ = round_up(n, tn)
+    if kp != k:
+        x_bf = jnp.pad(x_bf, ((0, 0), (0, kp - k)))
+    if (np_, kp) != (n, k):
+        weight = jnp.pad(weight, ((0, 0), (0, np_ - n), (0, kp - k)))
+    # [G, N, kb] -> [G, np_, 128] (lane-dim pad so the block is legal; the
+    # block is fetched once per (tile, n-block): its index map ignores jk)
+    sw_nt = jnp.pad(
+        sw_nt.astype(jnp.float32),
+        ((0, 0), (0, np_ - n), (0, 128 - sw_nt.shape[-1])),
+    )
+    num_tiles = grp.shape[0]
+    if num_valid_tiles is None:
+        num_valid_tiles = jnp.full((1,), num_tiles, jnp.int32)
+    else:
+        num_valid_tiles = num_valid_tiles.reshape(1).astype(jnp.int32)
+
+    def pin(val, t, nvt_r, alt=0):
+        return jnp.where(t < nvt_r[0], val, alt)
+
+    out = pl.pallas_call(
+        functools.partial(_gg_bw_prescale_kernel, gk=gk, w_bits=wb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(num_tiles, np_ // tn, kp // tk),
+            in_specs=[
+                pl.BlockSpec(
+                    (tm, tk),
+                    lambda t, jn, jk, grp_r, row_r, nvt_r: (
+                        row_r[t], pin(jk, t, nvt_r)
+                    ),
+                ),
+                pl.BlockSpec(
+                    (1, tn, tk),
+                    lambda t, jn, jk, grp_r, row_r, nvt_r: (
+                        pin(grp_r[t], t, nvt_r),
+                        pin(jn, t, nvt_r),
+                        pin(jk, t, nvt_r),
+                    ),
+                ),
+                pl.BlockSpec(
+                    (1, tn, 128),
+                    lambda t, jn, jk, grp_r, row_r, nvt_r: (
+                        pin(grp_r[t], t, nvt_r),
+                        pin(jn, t, nvt_r),
+                        0,
+                    ),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (tm, tn),
+                lambda t, jn, jk, grp_r, row_r, nvt_r: (row_r[t], jn),
+            ),
+            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((total_pad_t, np_), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(grp, row_blk, num_valid_tiles, x_bf, weight, sw_nt)
+    return out[:, :n]
+
+
+def gg_blockwise_prescale_aligned(
+    x_al, weight, sx_al, sw_compact, grp, row_blk, tm, tn,
+    interpret=False, num_valid_tiles=None,
+):
+    """Aligned-rows blockwise entry (used by the fused-MoE pipeline): folds
+    the per-(row, k-group) x-scales into bf16 pre-scaled rows, expands the
+    w-scales to per-n rows, and runs the prescale kernel. ``x_al`` may be
+    fp8(-bits) or int8 codes; ``sx_al`` [rows, K//128] f32; ``sw_compact``
+    [G, N//128, >=K//128] f32."""
+    total_pad_r, k = x_al.shape
+    kb = k // 128
+    xi, xb = _as_i8_bits(x_al)
+    xf = e4m3_bits_to_f32_fast(xi) if xb else xi.astype(jnp.float32)
+    x_bf = (
+        xf.reshape(total_pad_r, kb, 128) * sx_al[:, :kb, None]
+    ).astype(jnp.bfloat16).reshape(total_pad_r, k)
+    n = weight.shape[1]
+    sw_nt = jnp.repeat(
+        sw_compact[:, :, :kb].astype(jnp.float32), 128, axis=1
+    )[:, :n]
+    return _gg_bw_prescale_pallas(
+        x_bf, weight, sw_nt, grp, row_blk, tm, tn,
+        interpret=interpret, num_valid_tiles=num_valid_tiles,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret", "scheme"))
 def _gg_blockwise_pallas(
     x_al, weight, sx_al, sw_compact, grp, row_blk, tm, tn, interpret=False,
@@ -866,7 +1037,7 @@ def _group_gemm_blockwise(
     x_scale_layout: str = "transposed",
     tn: int = 256,
     impl: str = "auto",
-    scheme: str = "fp8",
+    scheme: str = "prescale",
 ):
     total, k = x.shape
     g, n, _ = weight.shape
@@ -902,6 +1073,15 @@ def _group_gemm_blockwise(
         return group_gemm_blockwise_ref(
             x, weight, seqlens, cu_seqlens, x_scale_nat, w_scale
         )
+    if scheme == "prescale":
+        # fold the x-scales into bf16 pre-scaled rows (one elementwise pass;
+        # x traffic is a few % of the weight stream at MoE shapes), then run
+        # the W-side-scaling kernel — see _gg_bw_prescale_kernel
+        out_al = gg_blockwise_prescale_aligned(
+            x_al, weight, sx_al, w_scale, grp, row_blk, tm, tn,
+            interpret=interpret_default(), num_valid_tiles=total_tiles,
+        )
+        return out_al[new_row]
     out_al = _gg_blockwise_pallas(
         x_al, weight, sx_al, w_scale[:, :, :kb], grp, row_blk, tm, tn,
         interpret=interpret_default(), num_valid_tiles=total_tiles,
@@ -928,10 +1108,15 @@ def group_gemm_blockwise_fp8(
     [total_seq, K//128] (``"natural"``);
     w_scale: [G, N//128, ceil(K/128) padded to 4] f32.
     Returns [total_seq, N] bf16.
+
+    ``scheme``: "prescale" (default — bf16 pre-scaled operands, the fast
+    path; see _gg_bw_prescale_kernel) or "fp8" (in-kernel factored
+    operand scaling).
     """
+    kw.setdefault("scheme", "prescale")
     return _group_gemm_blockwise(
         x, weight, seqlens, cu_seqlens, x_scale, w_scale,
-        num_seq_per_group_avg, scheme="fp8", **kw,
+        num_seq_per_group_avg, **kw,
     )
 
 
@@ -950,15 +1135,23 @@ def group_gemm_blockwise_int8(
     Same contract and scale layouts as :func:`group_gemm_blockwise_fp8`
     but with int8 codes (quantize with
     :func:`hpc_ops_tpu.ops.quant.blockwise_int8_quant`): per-group
-    s8 x s8 -> s32 MXU dots with f32 scale-accumulate — the fine-grained
-    accuracy of the reference's blockwise fp8 scheme
-    (hpc/group_gemm.py blockwise entry) at the MXU's native 8-bit rate,
-    with no fp8 decode ladder (v5e has no hardware fp8).
+    Same contract and scale layouts as :func:`group_gemm_blockwise_fp8`
+    but with int8 codes (quantize with
+    :func:`hpc_ops_tpu.ops.quant.blockwise_int8_quant`).
+
+    ``scheme``: "prescale" (default) folds both blockwise scales into bf16
+    operands and runs one wide bf16 dot per k-step — measured the fast
+    path: the "int8" scheme's per-128-group f32 promotion (DeepGEMM's
+    structure: s8xs8->s32 dots + scale-accumulate) runs on the VPU at ~1:1
+    with the MXU's dot time, so the native-s8 rate is unreachable for
+    per-group promotion on this hardware. "int8" remains available where
+    bit-faithful s32 accumulation matters more than speed.
     """
     assert x.dtype == jnp.int8 and weight.dtype == jnp.int8
+    kw.setdefault("scheme", "prescale")
     return _group_gemm_blockwise(
         x, weight, seqlens, cu_seqlens, x_scale, w_scale,
-        num_seq_per_group_avg, scheme="int8", **kw,
+        num_seq_per_group_avg, **kw,
     )
 
 

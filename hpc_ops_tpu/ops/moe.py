@@ -27,6 +27,7 @@ from hpc_ops_tpu.ops.activation import act_mul_and_quant, act_mul_and_quant_ref
 from hpc_ops_tpu.ops.group_gemm import (
     _flat_tiles,
     _gg_blockwise_pallas,
+    gg_blockwise_prescale_aligned,
     _gg_pertensor_pallas,
     _gg_scatter_pallas,
     _pick_tm,
@@ -409,6 +410,7 @@ def fuse_moe_blockwise_fp8(
     shared_output=None,
     *,
     num_seq_per_group_avg: int = 32,
+    scheme: str = "prescale",
 ):
     """Blockwise-scale FP8 fused MoE forward.
 
@@ -416,6 +418,10 @@ def fuse_moe_blockwise_fp8(
     gate_up_weight_scale: [E_local, 2I//128, ceil(H/128) pad4];
     down_weight_scale: [E_local, H//128, ceil(I/128) pad4].
     Returns [S, H] bf16.
+
+    ``scheme``: "prescale" (default, the fast path — blockwise scales
+    folded into bf16 operands, see group_gemm._gg_bw_prescale_kernel) or
+    "fp8" (in-kernel factored operand scaling).
     """
     e_local = gate_up_weight.shape[0]
     h = x.shape[1]
@@ -426,10 +432,22 @@ def fuse_moe_blockwise_fp8(
 
     interp = interpret_default()
     kb_h = h // 128
-    gate_up = _gg_blockwise_pallas(
-        g.x_gathered, gate_up_weight, sx_g, gate_up_weight_scale[:, :, :kb_h],
-        g.grp, g.row_blk, tm, 256,
-        interpret=interp, num_valid_tiles=g.cu_tiles[-1],
+
+    def gg(x_al, w, sx, sw, kb, sch):
+        if sch == "prescale":
+            return gg_blockwise_prescale_aligned(
+                x_al, w, sx, sw[:, :, :kb], g.grp, g.row_blk, tm, 256,
+                interpret=interp, num_valid_tiles=g.cu_tiles[-1],
+            )
+        return _gg_blockwise_pallas(
+            x_al, w, sx, sw[:, :, :kb], g.grp, g.row_blk, tm, 256,
+            interpret=interp, num_valid_tiles=g.cu_tiles[-1],
+            scheme=sch,
+        )
+
+    gate_up = gg(
+        g.x_gathered, gate_up_weight, sx_g, gate_up_weight_scale, kb_h,
+        scheme,
     )
     # act + blockwise re-quant of the intermediate
     interm = interm2 // 2
@@ -438,10 +456,9 @@ def fuse_moe_blockwise_fp8(
     act = gate * jax.nn.sigmoid(gate) * up
     down_in, down_in_scale = blockwise_fp8_quant(act)
     kb_i = interm // 128
-    down = _gg_blockwise_pallas(
-        down_in, down_weight, down_in_scale + 1e-8,
-        down_weight_scale[:, :, :kb_i], g.grp, g.row_blk,
-        tm, 256, interpret=interp, num_valid_tiles=g.cu_tiles[-1],
+    down = gg(
+        down_in, down_weight, down_in_scale + 1e-8, down_weight_scale,
+        kb_i, scheme,
     )
     return reduce(down, g.topk_pos, topk_scale, shared_output)
 
@@ -465,15 +482,19 @@ def fuse_moe_blockwise_int8(
     shared_output=None,
     *,
     num_seq_per_group_avg: int = 32,
+    scheme: str = "prescale",
 ):
     """Blockwise-scale INT8 fused MoE forward (TPU-native extension).
 
     Same contract as :func:`fuse_moe_blockwise_fp8` but with int8 codes
-    (quantize with :func:`hpc_ops_tpu.ops.quant.blockwise_int8_quant`):
-    the two grouped GEMMs ride the MXU's native s8 path with per-group
-    f32 scale-accumulate — blockwise-fp8 accuracy structure at int8
-    speed (v5e has no hardware fp8; the fp8 decode ladder caps the fp8
-    scheme at VPU rate).
+    (quantize with :func:`hpc_ops_tpu.ops.quant.blockwise_int8_quant`).
+
+    ``scheme``: "prescale" (default) folds the blockwise scales into bf16
+    operands — measured the fast path: the "int8" scheme's per-128-group
+    f32 promotion (s8xs8->s32 MXU dots + scale-accumulate, DeepGEMM's
+    structure) runs on the VPU at ~1:1 with the MXU dot time, so the
+    native-s8 rate is unreachable for per-group promotion. "int8" remains
+    available where bit-faithful s32 accumulation matters more than speed.
     """
     from hpc_ops_tpu.ops.quant import blockwise_int8_quant
 
@@ -486,23 +507,26 @@ def fuse_moe_blockwise_int8(
 
     interp = interpret_default()
     kb_h = h // 128
-    gate_up = _gg_blockwise_pallas(
-        g.x_gathered, gate_up_weight, sx_g, gate_up_weight_scale[:, :, :kb_h],
-        g.grp, g.row_blk, tm, 256,
-        interpret=interp, num_valid_tiles=g.cu_tiles[-1], scheme="int8",
-    )
+
+    def gg(x_al, w, sx, sw, kb):
+        if scheme == "prescale":
+            return gg_blockwise_prescale_aligned(
+                x_al, w, sx, sw[:, :, :kb], g.grp, g.row_blk, tm, 256,
+                interpret=interp, num_valid_tiles=g.cu_tiles[-1],
+            )
+        return _gg_blockwise_pallas(
+            x_al, w, sx, sw[:, :, :kb], g.grp, g.row_blk, tm, 256,
+            interpret=interp, num_valid_tiles=g.cu_tiles[-1], scheme=scheme,
+        )
+
+    gate_up = gg(g.x_gathered, gate_up_weight, sx_g, gate_up_weight_scale, kb_h)
     interm = interm2 // 2
     gate = gate_up[:, :interm].astype(jnp.float32)
     up = gate_up[:, interm:].astype(jnp.float32)
     act = gate * jax.nn.sigmoid(gate) * up
     down_in, down_in_scale = blockwise_int8_quant(act)
     kb_i = interm // 128
-    down = _gg_blockwise_pallas(
-        down_in, down_weight, down_in_scale + 1e-8,
-        down_weight_scale[:, :, :kb_i], g.grp, g.row_blk,
-        tm, 256, interpret=interp, num_valid_tiles=g.cu_tiles[-1],
-        scheme="int8",
-    )
+    down = gg(down_in, down_weight, down_in_scale + 1e-8, down_weight_scale, kb_i)
     return reduce(down, g.topk_pos, topk_scale, shared_output)
 
 

@@ -146,12 +146,6 @@ def test_group_gemm_blockwise_int8(seqlens):
     w_scale = np.zeros((g, n // 128, kb_pad), np.float32)
     w_scale[:, :, :kb] = sw
 
-    out = group_gemm_blockwise_int8(
-        x8, w8, jnp.asarray(seqlens, jnp.int32), jnp.asarray(cu),
-        sx, jnp.asarray(w_scale),
-        num_seq_per_group_avg=32, x_scale_layout="natural",
-    )
-
     xd = np.asarray(x8, np.float32).reshape(total, kb, 128) * np.asarray(
         sx, np.float32
     )[..., None]
@@ -163,11 +157,32 @@ def test_group_gemm_blockwise_int8(seqlens):
     for gi in range(g):
         s, l = cu[gi], seqlens[gi]
         want[s : s + l] = xd[s : s + l].reshape(l, k) @ wd[gi].T
-    # int8 codes dot exactly in s32; the error budget is the bf16 output
-    # cast (2^-8 rel) plus f32 scale-accum rounding
+
+    # default scheme ("prescale", the fast path): both blockwise scales are
+    # folded into bf16 operands, so each operand carries a 2^-9 relative
+    # rounding — the absolute error budget scales with the row dot norm
+    # (~sqrt(K) * |x||w|), not with atol-near-zero exactness
+    out = group_gemm_blockwise_int8(
+        x8, w8, jnp.asarray(seqlens, jnp.int32), jnp.asarray(cu),
+        sx, jnp.asarray(w_scale),
+        num_seq_per_group_avg=32, x_scale_layout="natural",
+    )
     assert_allclose(
-        np.asarray(out, np.float32), want, atol=0.05, rtol=1e-2,
-        name="int8_blockwise",
+        np.asarray(out, np.float32), want, atol=0.5, rtol=1e-2,
+        name="int8_blockwise_prescale",
+    )
+
+    # scheme="int8" (exact promotion): int8 codes dot exactly in s32; the
+    # error budget is only the bf16 output cast (2^-8 rel) plus f32
+    # scale-accum rounding
+    out_exact = group_gemm_blockwise_int8(
+        x8, w8, jnp.asarray(seqlens, jnp.int32), jnp.asarray(cu),
+        sx, jnp.asarray(w_scale),
+        num_seq_per_group_avg=32, x_scale_layout="natural", scheme="int8",
+    )
+    assert_allclose(
+        np.asarray(out_exact, np.float32), want, atol=0.05, rtol=1e-2,
+        name="int8_blockwise_exact",
     )
 
 
