@@ -43,15 +43,26 @@ CASES = {
 
 
 def _chain(fn, q, rest, *, inner, trials, hint_sec):
-    """time_chain with a data-dependent q feedback so XLA can't fold."""
+    """time_chain with a data-dependent q feedback so XLA can't fold.
+
+    ``rest`` rides in the chain carry — closed-over arrays become jit
+    constants shipped through the remote-compile tunnel (a 32K case embeds
+    ~67MB of cache bytes into the MLIR otherwise)."""
 
     def body(carry):
-        qc = carry
-        out = fn(qc, *rest)
-        dep = (out[0, 0, 0].astype(jnp.float32) > 1e30).astype(qc.dtype)
-        return qc + dep
+        qc, rest_c = carry
+        out = fn(qc, *rest_c)
+        # feed the FULL output back as the next q: an element-sliced
+        # dependency (out[0,0,0]) lets XLA slice-simplify everything that
+        # does not feed that one element — dead-code-eliminating wrapper
+        # stages (and entire jnp baselines: a sliced matmul folds to one
+        # dot-row, which made baseline rows read at 25x the MXU peak)
+        return (out.astype(qc.dtype).reshape(qc.shape), rest_c)
 
-    return time_chain(body, q, inner=inner, trials=trials, hint_sec=hint_sec)
+    return time_chain(
+        body, (q, tuple(rest)), inner=inner, trials=trials,
+        hint_sec=hint_sec,
+    )
 
 
 def main():
@@ -292,9 +303,8 @@ def main():
                 def stem_body(carry):
                     qs_ = carry
                     m = stem_fn(qs_)
-                    dep = (m[0, 0, 0, 0] > jnp.uint8(250)).astype(
-                        jnp.float32
-                    )
+                    # full-reduction dependency (see _chain note)
+                    dep = (jnp.max(m) > jnp.uint8(250)).astype(jnp.float32)
                     return qs_ + dep
 
                 sec_stem = time_chain(

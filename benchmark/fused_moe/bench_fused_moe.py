@@ -96,21 +96,21 @@ def _stage_rows(rep, args, model, s, h, i_local, e_local, e_total, topk,
     def t_route(c):
         ti, = c
         r = _route_aligned(ti, e_local, 0, tm)
-        dep = (r[0][0] > 2 ** 30).astype(jnp.int32)
+        dep = (jnp.max(r[0]) > 2 ** 30).astype(jnp.int32)
         return ((ti + dep) % e_total,)
 
     def t_gemm1(c):
         xc, w, ri, g_, nv = c
         o = _gg_scatter_pallas(xc, w, gu_scale, ri, g_, tm, tn1,
                                num_valid_tiles=nv, interpret=interp)
-        dep = (o[0, 0].astype(jnp.float32) > 1e30).astype(jnp.int32)
+        dep = (jnp.max(o).astype(jnp.float32) > 1e30).astype(jnp.int32)
         return (perturb_i8(xc, dep), w, ri, g_, nv)
 
     def t_act(c):
         gu, nv = c
         o = act_mul_and_quant(gu, am_scale, True, out_dtype=qdt,
                               num_valid=nv * tm)
-        dep = (o[0, 0].astype(jnp.float32) > 1e30).astype(jnp.bfloat16)
+        dep = (jnp.max(o).astype(jnp.float32) > 1e30).astype(jnp.bfloat16)
         return (gu + dep, nv)
 
     def t_gemm2(c):
@@ -118,13 +118,13 @@ def _stage_rows(rep, args, model, s, h, i_local, e_local, e_total, topk,
         idn = jnp.arange(di.shape[0], dtype=jnp.int32)
         o = _gg_scatter_pallas(di, w, dn_scale, idn, g_, tm, tn2,
                                num_valid_tiles=nv, interpret=interp)
-        dep = (o[0, 0].astype(jnp.float32) > 1e30).astype(jnp.int32)
+        dep = (jnp.max(o).astype(jnp.float32) > 1e30).astype(jnp.int32)
         return (perturb_i8(di, dep), w, g_, nv)
 
     def t_reduce(c):
         dn, tp_, ts_ = c
         o = moe_reduce(dn, tp_, ts_)
-        dep = (o[0, 0].astype(jnp.float32) > 1e30).astype(jnp.bfloat16)
+        dep = (jnp.max(o).astype(jnp.float32) > 1e30).astype(jnp.bfloat16)
         return (dn + dep.astype(dn.dtype), tp_, ts_)
 
     stages = {
@@ -269,7 +269,11 @@ def main():
             def body(carry, fn=fn):
                 xc, rest = carry[0], carry[1:]
                 out = fn(xc, *rest)
-                dep = (out[0, 0].astype(jnp.float32) > 1e30).astype(jnp.int32)
+                # FULL-reduction dependency: an element-sliced dep lets XLA
+                # slice-simplify jnp stages (gather/reduce) out of the loop
+                dep = (jnp.max(out).astype(jnp.float32) > 1e30).astype(
+                    jnp.int32
+                )
                 if xc.dtype in (jnp.float8_e4m3fn, jnp.int8):
                     xn = jax.lax.bitcast_convert_type(
                         jax.lax.bitcast_convert_type(xc, jnp.int8)

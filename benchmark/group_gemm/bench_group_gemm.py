@@ -108,10 +108,17 @@ def main():
                 # chained differential timing: feed a data-dependent (but
                 # value-preserving at iteration 1) perturbation of x so XLA
                 # cannot fold the repeats (see time_chain docstring)
-                def body(carry, fn=fn, ww=ww):
-                    xc, sl, cu = carry
+                # weights ride in the carry: a closed-over 100MB+ weight
+                # becomes a jit constant and blows the remote-compile
+                # request size (HTTP 413 at 128 groups)
+                def body(carry, fn=fn):
+                    xc, ww, sl, cu = carry
                     out = fn(xc, ww, sl, cu)
-                    dep = (out[0, 0].astype(jnp.float32) > 1e30).astype(
+                    # FULL-reduction dependency: an element-sliced dep
+                    # (out[0,0]) lets XLA slice-simplify jnp stages — a
+                    # sliced matmul folds to one dot-row (observed: the
+                    # dense baseline reading 25x the MXU peak)
+                    dep = (jnp.max(out).astype(jnp.float32) > 1e30).astype(
                         jnp.int32
                     )
                     if xc.dtype == jnp.int8:
@@ -120,7 +127,7 @@ def main():
                         xn = (
                             xc.astype(jnp.float32) + dep.astype(jnp.float32)
                         ).astype(xc.dtype)
-                    return (xn, sl, cu)
+                    return (xn, ww, sl, cu)
 
                 # int8 schemes run the s8 MXU at ~2x bf16 rate — use the
                 # int8 peak for the signal hint so inner isn't undersized
@@ -129,7 +136,7 @@ def main():
                     else peak_bf16_tflops()
                 )
                 sec = time_chain(
-                    body, (xx, seqlens, cu),
+                    body, (xx, ww, seqlens, cu),
                     inner=args.inner, trials=max(args.iters // 2, 3),
                     hint_sec=flops / (peak_tf * 1e12),
                 )
@@ -155,16 +162,22 @@ def main():
         wb = w[0].astype(jnp.bfloat16).T
 
         def dense_body(carry, wb=wb):
-            a = carry
-            y = a @ wb
-            dep = (y[0, 0].astype(jnp.float32) > 1e30).astype(jnp.bfloat16)
-            return a + dep
+            a, w_ = carry
+            y = a @ w_
+            # max over the FULL product — y[0,0] let XLA rewrite the matmul
+            # to a single dot-row (5000+ "TFLOP/s" rows)
+            dep = (jnp.max(y).astype(jnp.float32) > 1e30).astype(
+                jnp.bfloat16
+            )
+            return (a + dep, w_)
 
         sec_b = time_chain(
-            dense_body, xb, inner=args.inner, trials=max(args.iters // 2, 3),
+            dense_body, (xb, wb),
+            inner=args.inner, trials=max(args.iters // 2, 3),
             hint_sec=flops / (peak_bf16_tflops() * 1e12),
         )
         rep.add(
+            _time=sec_b,
             bench="group_gemm", scheme="dense_bf16_xla", groups=g_num,
             total_rows=total, n=n, k=k,
             latency_us=round(sec_b * 1e6, 1),

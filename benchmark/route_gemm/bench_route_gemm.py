@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
-from common import Reporter, peak_bf16_tflops, time_fn
+from common import Reporter, peak_bf16_tflops, time_chain
 
 # (m, n, k): router shapes — n = num_experts is small; include square shapes
 SHAPES = [
@@ -37,8 +37,8 @@ SHAPES = [
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--warmup", type=int, default=2)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--inner", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--csv", default=None)
     ap.add_argument("--jsonl", default=None)
     args = ap.parse_args()
@@ -55,24 +55,44 @@ def main():
         w_high, w_low, scale = split_fp32_weight(w32)
         xf = x.astype(jnp.float32)
 
-        t_fused = time_fn(
-            lambda x, h, l, s: gemm_bf16xfp32(x, h, l, s),
-            (x, w_high, w_low, scale),
-            warmup=args.warmup, iters=args.iters,
+        flops = 2 * m * n * k
+        # the split-weight GEMM runs two bf16 MXU passes
+        hint = 2 * flops / (peak_bf16_tflops() * 1e12)
+        trials = max(args.iters // 2, 3)
+
+        # weights ride in the chain carry — closed-over arrays become jit
+        # constants shipped through the remote-compile tunnel
+        def fused_body(carry):
+            xc, h_, l_ = carry
+            y = gemm_bf16xfp32(xc, h_, l_, scale)
+            # full-reduction dep: y[0,0] lets XLA fold a matmul to one
+            # dot-row (see bench_group_gemm)
+            dep = (jnp.max(y).astype(jnp.float32) > 1e30).astype(xc.dtype)
+            return (xc + dep, h_, l_)
+
+        t_fused = time_chain(
+            fused_body, (x, w_high, w_low),
+            inner=args.inner, trials=trials, hint_sec=hint,
         )
+
         # honest fp32 baseline: force full-precision accumulation — this
         # environment sets --xla_allow_excess_precision, which would silently
         # demote a plain f32 matmul to one bf16 pass
-        t_base = time_fn(
-            lambda xf, w: jax.lax.dot_general(
-                xf, w, (((1,), (1,)), ((), ())),
+        def base_body(carry):
+            xc, w_ = carry
+            y = jax.lax.dot_general(
+                xc, w_, (((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
-            ),
-            (xf, w32),
-            warmup=args.warmup, iters=args.iters,
+            )
+            dep = (jnp.max(y) > 1e30).astype(xc.dtype)
+            return (xc + dep, w_)
+
+        t_base = time_chain(
+            base_body, (xf, w32), inner=args.inner, trials=trials,
+            hint_sec=3 * hint,
         )
-        flops = 2 * m * n * k
         rep.add(
+            _time=t_fused,
             bench="route_gemm",
             m=m, n=n, k=k,
             latency_us=round(t_fused * 1e6, 1),

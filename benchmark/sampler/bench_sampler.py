@@ -35,7 +35,9 @@ def _chain(fn, logits, rest, *, inner, trials, hint_sec):
     def body(carry):
         lg = carry
         tok = fn(lg, *rest)
-        dep = (tok.reshape(-1)[0] > jnp.int32(2**30)).astype(lg.dtype)
+        # FULL-reduction dependency: a single-element dep lets XLA
+        # slice-simplify the unfused baseline to one batch row
+        dep = (jnp.max(tok) > jnp.int32(2**30)).astype(lg.dtype)
         return lg + dep
 
     return time_chain(body, logits, inner=inner, trials=trials,

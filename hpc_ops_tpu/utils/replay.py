@@ -128,12 +128,25 @@ def replay_record(rec: CallRecord | str, check_interpret: bool = True) -> None:
     mod = importlib.import_module(rec.module)
     fn = getattr(mod, rec.name)
 
+    # records store host numpy copies; ops may use functional-update (.at)
+    # semantics that require jax arrays — round-trip leaves back to device
+    import jax.numpy as jnp
+
+    def _to_dev(tree):
+        return jax.tree.map(
+            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+            tree,
+        )
+
+    rec_args = _to_dev(rec.args)
+    rec_kwargs = _to_dev(rec.kwargs)
+
     def flat(out):
         leaves = jax.tree.leaves(_to_host(out))
         return [np.asarray(l) for l in leaves if isinstance(l, np.ndarray)]
 
-    out1 = flat(fn(*rec.args, **rec.kwargs))
-    out2 = flat(fn(*rec.args, **rec.kwargs))
+    out1 = flat(fn(*rec_args, **rec_kwargs))
+    out2 = flat(fn(*rec_args, **rec_kwargs))
     for a, b in zip(out1, out2):
         assert a.tobytes() == b.tobytes(), (
             f"{rec.module}.{rec.name}: nondeterministic output across replays"
@@ -146,7 +159,7 @@ def replay_record(rec: CallRecord | str, check_interpret: bool = True) -> None:
     if check_interpret and not interpret_default():
         set_interpret_override(True)
         try:
-            out_i = flat(fn(*rec.args, **rec.kwargs))
+            out_i = flat(fn(*rec_args, **rec_kwargs))
         finally:
             set_interpret_override(None)
         for a, b in zip(out1, out_i):
