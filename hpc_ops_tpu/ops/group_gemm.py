@@ -346,89 +346,125 @@ def _gg_pertensor_pallas(
 
 
 def _gg_bw_prescale_kernel(
-    grp_ref, row_ref, nvt_ref, x_ref, w_ref, sw_ref, o_ref, acc_ref,
-    *, gk: int, w_bits: bool,
+    grp_ref, row_ref, nvt_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref,
+    acc_ref, xs_buf,
+    *, gk: int, x_bits: bool, w_bits: bool, tn: int,
 ):
     """Blockwise kernel, "prescale" scheme (the fast path).
 
-    The per-(row, k-group) x-scales are folded into a bf16 pre-scaled X
-    OUTSIDE the kernel (one cheap elementwise pass over [total, K] — x
-    traffic is a few % of the weight stream at MoE shapes), so the hot loop
-    only scales the W side: per k-step it selects the step's ``gk``
-    per-(n-block, k-group) scales from an all-kb [tn, 128] block (one-hot
-    MXU select, fetched once per (tile, n-block)) and applies them as
-    ``gk`` broadcast multiplies on 128-lane slices — no reshapes, no
-    per-group accumulator promotion. One wide [tm, tk=128*gk] bf16 dot per
-    step keeps the MXU fed; VPU cost is ~3 ops per W element vs the
-    promote scheme's ~4 ops per OUTPUT element per group (which ran at
-    VPU speed, ~4x off — the round-2 blockwise gap).
+    Both blockwise scale sets are folded into bf16 operands IN-KERNEL —
+    per k-step the ``gk`` per-(row, k-group) x-scales and per-(n-block,
+    k-group) w-scales are selected from all-kb [*, 128] blocks (one-hot
+    MXU select) and applied as broadcast multiplies on 128-lane slices —
+    no reshapes, no per-group accumulator promotion (which ran at VPU
+    speed, the round-2 4x blockwise gap), and no wrapper prescale pass (an
+    XLA relayout+pad chain over x cost more than the kernel itself). One
+    wide [tm, tk=128*gk] bf16 dot per step keeps the MXU fed.
 
     bf16 pre-scale rounding adds ~2^-9 relative error — inside e4m3's ~6%
     quantization noise and ~1/2 of int8's own 2^-8 step.
+
+    Grid order is (tile, k-step, N-STEP-INNERMOST): the x block stays
+    resident across the whole n sweep, so its scaling runs ONCE per
+    (tile, k-step) into ``xs_buf`` (at jn==0); with jk innermost the x
+    index would reset at every n-block boundary and refetch
+    n_steps * K * tm redundant bytes. The accumulator spans all n-blocks
+    ([tm, N_pad] f32 scratch).
     """
     t = pl.program_id(0)
-    jk = pl.program_id(2)
+    jk = pl.program_id(1)
+    jn = pl.program_id(2)
 
     @pl.when(t < nvt_ref[0])
     def _():
+        ncol = pl.ds(jn * tn, tn)
+        tm = x_ref.shape[0]
+
+        def sel_cols(all_vals):
+            # select this step's gk scale columns from an all-kb block
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (128, gk), 0)
+            cols = jk * gk + jax.lax.broadcasted_iota(
+                jnp.int32, (128, gk), 1
+            )
+            sel = (lanes == cols).astype(jnp.float32)
+            return jax.lax.dot_general(
+                all_vals, sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [rows, gk]
+
+        def pieces(src, scale_col, bits):
+            # upcast+scale per 128-lane slice: a whole-block f32
+            # intermediate is rows*tk*4 bytes of VMEM and blows the budget
+            out = []
+            for gi in range(gk):
+                blk = src[:, gi * 128:(gi + 1) * 128]
+                f = (
+                    e4m3_bits_to_f32_fast(blk)
+                    if bits
+                    else blk.astype(jnp.float32)
+                )
+                out.append(
+                    (f * scale_col[:, gi:gi + 1]).astype(jnp.bfloat16)
+                )
+            return jnp.concatenate(out, axis=1)
+
+        @pl.when(jn == 0)
+        def _():
+            # scale x once per (tile, k-step); it stays for the n sweep
+            xs_buf[...] = pieces(x_ref[...], sel_cols(sx_ref[...]), x_bits)
+
         @pl.when(jk == 0)
         def _():
-            acc_ref[...] = jnp.zeros_like(acc_ref)
+            acc_ref[:, ncol] = jnp.zeros((acc_ref.shape[0], tn), jnp.float32)
 
-        tm, tk = x_ref.shape
-        tn = w_ref.shape[1]
-        # select this step's gk scale columns from the all-kb block
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (128, gk), 0)
-        cols = jk * gk + jax.lax.broadcasted_iota(jnp.int32, (128, gk), 1)
-        sel = (lanes == cols).astype(jnp.float32)
-        sw_step = jax.lax.dot_general(
-            sw_ref[0], sel, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [tn, gk]
-        w = (
-            e4m3_bits_to_f32_fast(w_ref[0])
-            if w_bits
-            else w_ref[0].astype(jnp.float32)
-        )
-        w_bf = jnp.concatenate(
-            [
-                (
-                    w[:, gi * 128:(gi + 1) * 128] * sw_step[:, gi:gi + 1]
-                ).astype(jnp.bfloat16)
-                for gi in range(gk)
-            ],
-            axis=1,
-        )
-        acc_ref[...] += jax.lax.dot_general(
-            x_ref[...], w_bf, (((1,), (1,)), ((), ())),
+        sw_step = sel_cols(sw_ref[0])
+        w_bf = pieces(w_ref[0], sw_step, w_bits)
+        acc_ref[:, ncol] += jax.lax.dot_general(
+            xs_buf[...], w_bf, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-        @pl.when(jk == pl.num_programs(2) - 1)
+        @pl.when(jk == pl.num_programs(1) - 1)
         def _():
-            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+            o_ref[...] = acc_ref[:, ncol].astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
 def _gg_bw_prescale_pallas(
-    x_bf, weight, sw_nt, grp, row_blk, tm, tn, interpret=False,
+    x_al, weight, sx_al, sw_nt, grp, row_blk, tm, tn, interpret=False,
     num_valid_tiles=None,
 ):
-    """x_bf: [total_pad, K] bf16 PRE-SCALED rows; weight: [G, N, K] int8
+    """x_al: [total_pad, K] int8 codes / fp8(bits) aligned rows with
+    sx_al [total_pad, 128] f32 all-kb row scales; weight: [G, N, K] int8
     codes or fp8(bits); sw_nt: [G, N, kb<=128] f32 per-(n-row, k-group)
-    weight scales (n-expanded)."""
+    weight scales (n-expanded). Both scale sets are applied in-kernel."""
+    x_al, xb = _as_i8_bits(x_al)
     weight, wb = _as_i8_bits(weight)
-    total_pad_t, k = x_bf.shape
+    total_pad_t, k = x_al.shape
     g, n, _ = weight.shape
     kb = cdiv(k, 128)
     assert kb <= 128, "blockwise kernel supports K <= 16384"
-    gk = 8
+    # widest k-step fitting the VMEM budget (fine k-grids pay ~1us of
+    # Mosaic step overhead per ~0.3us dot): live bytes per 128 k-lanes =
+    # double-buffered bf16 x block (4*tm) + double-buffered 8-bit w block
+    # (2*tn) + the scaled bf16 w (2*tn)
+    gk_max = max((9 << 20) // (128 * (4 * tm + 4 * tn)), 8)
+    gk8 = round_up(kb, 8)
+    if gk8 <= gk_max:
+        gk = gk8  # whole K in one step, zero pad
+    else:
+        # widest 8-multiple within budget whose padding stays under ~17%
+        gk = 8
+        for cand in range(gk_max // 8 * 8, 8, -8):
+            if round_up(kb, cand) * 6 <= kb * 7:
+                gk = cand
+                break
     tk = 128 * gk
     kb_p = round_up(kb, gk)
     kp = kb_p * 128
     np_ = round_up(n, tn)
     if kp != k:
-        x_bf = jnp.pad(x_bf, ((0, 0), (0, kp - k)))
+        x_al = jnp.pad(x_al, ((0, 0), (0, kp - k)))
     if (np_, kp) != (n, k):
         weight = jnp.pad(weight, ((0, 0), (0, np_ - n), (0, kp - k)))
     # [G, N, kb] -> [G, np_, 128] (lane-dim pad so the block is legal; the
@@ -447,28 +483,36 @@ def _gg_bw_prescale_pallas(
         return jnp.where(t < nvt_r[0], val, alt)
 
     out = pl.pallas_call(
-        functools.partial(_gg_bw_prescale_kernel, gk=gk, w_bits=wb),
+        functools.partial(
+            _gg_bw_prescale_kernel, gk=gk, x_bits=xb, w_bits=wb, tn=tn
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(num_tiles, np_ // tn, kp // tk),
+            # jn INNERMOST: keeps the x block resident across the n sweep
+            # (see kernel docstring)
+            grid=(num_tiles, kp // tk, np_ // tn),
             in_specs=[
                 pl.BlockSpec(
                     (tm, tk),
-                    lambda t, jn, jk, grp_r, row_r, nvt_r: (
+                    lambda t, jk, jn, grp_r, row_r, nvt_r: (
                         row_r[t], pin(jk, t, nvt_r)
                     ),
                 ),
                 pl.BlockSpec(
                     (1, tn, tk),
-                    lambda t, jn, jk, grp_r, row_r, nvt_r: (
+                    lambda t, jk, jn, grp_r, row_r, nvt_r: (
                         pin(grp_r[t], t, nvt_r),
                         pin(jn, t, nvt_r),
                         pin(jk, t, nvt_r),
                     ),
                 ),
                 pl.BlockSpec(
+                    (tm, 128),
+                    lambda t, jk, jn, grp_r, row_r, nvt_r: (row_r[t], 0),
+                ),
+                pl.BlockSpec(
                     (1, tn, 128),
-                    lambda t, jn, jk, grp_r, row_r, nvt_r: (
+                    lambda t, jk, jn, grp_r, row_r, nvt_r: (
                         pin(grp_r[t], t, nvt_r),
                         pin(jn, t, nvt_r),
                         0,
@@ -477,16 +521,19 @@ def _gg_bw_prescale_pallas(
             ],
             out_specs=pl.BlockSpec(
                 (tm, tn),
-                lambda t, jn, jk, grp_r, row_r, nvt_r: (row_r[t], jn),
+                lambda t, jk, jn, grp_r, row_r, nvt_r: (row_r[t], jn),
             ),
-            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((tm, np_), jnp.float32),
+                pltpu.VMEM((tm, tk), jnp.bfloat16),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((total_pad_t, np_), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(grp, row_blk, num_valid_tiles, x_bf, weight, sw_nt)
+    )(grp, row_blk, num_valid_tiles, x_al, weight, sx_al, sw_nt)
     return out[:, :n]
 
 
@@ -494,24 +541,23 @@ def gg_blockwise_prescale_aligned(
     x_al, weight, sx_al, sw_compact, grp, row_blk, tm, tn,
     interpret=False, num_valid_tiles=None,
 ):
-    """Aligned-rows blockwise entry (used by the fused-MoE pipeline): folds
-    the per-(row, k-group) x-scales into bf16 pre-scaled rows, expands the
-    w-scales to per-n rows, and runs the prescale kernel. ``x_al`` may be
-    fp8(-bits) or int8 codes; ``sx_al`` [rows, K//128] f32; ``sw_compact``
-    [G, N//128, >=K//128] f32."""
-    total_pad_r, k = x_al.shape
+    """Aligned-rows blockwise entry (used by the fused-MoE pipeline):
+    expands the w-scales to per-n rows, pads the x-scales to an all-kb
+    [rows, 128] block, and runs the prescale kernel (both scale sets
+    applied in-kernel). ``x_al`` may be fp8(-bits) or int8 codes;
+    ``sx_al`` [rows, K//128] f32; ``sw_compact`` [G, N//128, >=K//128]
+    f32."""
+    k = x_al.shape[1]
     kb = k // 128
-    xi, xb = _as_i8_bits(x_al)
-    xf = e4m3_bits_to_f32_fast(xi) if xb else xi.astype(jnp.float32)
-    x_bf = (
-        xf.reshape(total_pad_r, kb, 128) * sx_al[:, :kb, None]
-    ).astype(jnp.bfloat16).reshape(total_pad_r, k)
+    sx128 = jnp.pad(
+        sx_al[:, :kb].astype(jnp.float32), ((0, 0), (0, 128 - kb))
+    )
     n = weight.shape[1]
     sw_nt = jnp.repeat(
         sw_compact[:, :, :kb].astype(jnp.float32), 128, axis=1
     )[:, :n]
     return _gg_bw_prescale_pallas(
-        x_bf, weight, sw_nt, grp, row_blk, tm, tn,
+        x_al, weight, sx128, sw_nt, grp, row_blk, tm, tn,
         interpret=interpret, num_valid_tiles=num_valid_tiles,
     )
 
@@ -789,10 +835,22 @@ def _gg_scatter_pallas(
     # 1536 before the dot — no extra MACs, no weight padding; only the row
     # gather moves the pad bytes.
     kp_w = round_up(k, 512)
-    if kp_w <= max(tk, 2048):
+    # Single k-step whenever the whole-K weight block fits the VMEM budget
+    # (~2.5MB double-buffered): at tk=1024 the grid-step overhead (~1us of
+    # Mosaic bookkeeping per step) dominated the 0.34us int8 dot — measured
+    # 44 TF at the 8-group gate-up shape vs ~180 TF with full-K steps.
+    w_item = 1 if (wb or weight.dtype == jnp.int8) else 2
+    if kp_w * tn * w_item <= (5 << 20) // 2:
         tk = kp_w
         kp_x = round_up(k, 1024)
     else:
+        # widest 1024-multiple k-tile dividing kp_w within the budget
+        kp_w = round_up(k, 1024)
+        tk = 1024
+        for cand in (4096, 3072, 2048):
+            if kp_w % cand == 0 and cand * tn * w_item <= (5 << 20) // 2:
+                tk = cand
+                break
         kp_w = kp_x = round_up(k, tk)
     assert kp_w == tk or tk % 1024 == 0, (
         "multi-step k-tiles must keep the sublane offset 8-aligned"
@@ -920,20 +978,17 @@ def group_gemm_fp8_scatter(
 
 
 def _pick_tm(num_seq_per_group_avg: int, k: int | None = None) -> int:
-    if num_seq_per_group_avg <= 32:
-        return 32
-    if num_seq_per_group_avg <= 64:
-        return 64
-    if num_seq_per_group_avg <= 128:
-        return 128
-    # large groups: weights re-stream once per m-tile, so doubling the
-    # m-tile halves the dominant W traffic (decode-shape tiles stay small).
-    # The scatter kernel's double-buffered row gather costs 2*tm*K bytes of
-    # VMEM (~16MB/core), which caps the tile for wide K.
-    tm = 256 if num_seq_per_group_avg <= 384 else 512
+    """m-tile for ~navg rows per group: the next 32-multiple above
+    navg*9/8 (32 = the int8 VMEM sublane tile; the 12.5% headroom absorbs
+    routing variance so typical groups stay in ONE tile — a second tile
+    re-streams the group's whole weight). Power-of-two-only rungs computed
+    up to 1.94x padding FLOPs at MoE-decode populations (e.g. 132 rows ->
+    256-row tiles). The scatter kernel's double-buffered row gather costs
+    2*tm*K bytes of VMEM, which caps the tile for wide K."""
+    tm = min(max(round_up(num_seq_per_group_avg * 9 // 8, 32), 32), 512)
     if k is not None:
         while tm > 256 and 2 * tm * round_up(k, 1024) > 8 * 1024 * 1024:
-            tm //= 2
+            tm = max(round_up(tm // 2, 32), 256)
     return tm
 
 
@@ -1045,6 +1100,11 @@ def _group_gemm_blockwise(
     if num_seq_per_group_avg is None:
         num_seq_per_group_avg = max(total // max(g, 1), 1)
     tm = _pick_tm(num_seq_per_group_avg)
+    # the prescale kernel's accumulator spans all n-blocks ([tm, N_pad]
+    # f32) so the x block stays resident across the n sweep — cap tm to
+    # keep it inside the VMEM budget
+    while tm > 64 and tm * round_up(n, tn) * 4 > (6 << 20):
+        tm = max(round_up(tm // 2, 32), 64)
     total_tiles_max = cdiv(total, tm) + g
     total_pad = (total_tiles_max + 1) * tm
     grp, row_blk, g_starts, total_tiles = _flat_tiles(

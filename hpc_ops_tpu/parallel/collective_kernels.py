@@ -13,9 +13,10 @@ semaphores play the reference's signal pad, ``get_barrier_semaphore`` plays
 the entry handshake:
 
   * ``one_shot`` (latency-optimal, small token counts): every chip pushes
-    its partial x to all peers' comm buffers, then each chip reduces all ws
-    slabs locally and applies residual+RMSNorm fused — (ws-1)*N*H bytes
-    sent per chip, one network hop.
+    its partial x to all peers' comm buffers; each chip consumes peer slabs
+    PROGRESSIVELY as their recv semaphores fire (in absolute chip order, so
+    outputs stay bitwise replicated) and applies residual+RMSNorm fused —
+    (ws-1)*N*H bytes sent per chip, one network hop.
   * ``two_shot`` (bandwidth-optimal): reduce-scatter by pushing row-chunk c
     to its owner, the owner reduces + applies the fused norm to its 1/ws
     slice, then the normalized chunks (and residual sums) are pushed
