@@ -85,7 +85,10 @@ def _skew_delay(my, skew: int, buf):
         return v * 1.0000001 + 1e-7
 
     val = jax.lax.fori_loop(0, my * skew, spin, jnp.float32(1.0))
-    # data-dependence so the loop cannot be DCE'd (writes a scratch corner)
+    # data-dependence so the loop cannot be DCE'd. ``buf`` must be a buffer
+    # that is fully overwritten later and that no inbound DMA targets: a
+    # read-modify-write on a comm slot races the peer slab landing in it
+    # (observed: a stale-garbage NaN clobbering slot 0 under skew).
     buf[0, 0] = buf[0, 0] * jnp.where(val > 0, 1.0, 1.0).astype(buf.dtype)
 
 
@@ -114,7 +117,7 @@ def _one_shot_kernel(
     progressive win is that slab s's add overlaps slabs s+1.. still being in
     flight, instead of serializing max(arrivals) + all adds."""
     my = _entry_barrier(axis, ws)
-    _skew_delay(my, skew, comm.at[0])
+    _skew_delay(my, skew, o_ref)
 
     lc = pltpu.make_async_copy(x_hbm, comm.at[my], xsem)
     lc.start()
@@ -185,7 +188,7 @@ def _two_shot_kernel(
     skew: int = 0,
 ):
     my = _entry_barrier(axis, ws)
-    _skew_delay(my, skew, comm.at[0])
+    _skew_delay(my, skew, ov)
     row0 = my * chunk
 
     # local chunk loads overlap the reduce-scatter sends
