@@ -47,7 +47,7 @@ _LANES = 128
 
 def _prefill_kernel(
     # scalar prefetch
-    q_starts_ref,  # [B] tq-aligned row offset of each request in q_hbm
+    q_starts_ref,  # [B] SQ-aligned row offset of each request in q_hbm
     q_lens_ref,  # [B]
     kv_lens_ref,  # [B]
     block_tbl_ref,  # [B*max_blocks]
@@ -61,18 +61,21 @@ def _prefill_kernel(
     # outputs
     o_hbm_ref,  # [total_q_pad, Hq*D] ANY (bf16)
     # scratch
-    q_bufs,  # [2, TQ, G*D] bf16 — the GQA group lane-packed, double-buffered
+    q_bufs,  # [2, SQ, G*D] bf16 — the GQA group lane-packed, double-buffered
+    qs_buf,  # [SQ, G*D] bf16 — softmax-scaled q (ref, so subtiles can take
+    # dynamic row slices of it)
     k_buf,  # [4, pcb, bs, D] — slots 0/1: chunk stream; 2/3: chunk-0 prefetch
     v_buf,
-    acc_buf,  # [TQ, G*D] f32
-    m_buf,  # [TQ, G*LANES] f32 (log2 domain)
+    acc_buf,  # [SQ, G*D] f32
+    m_buf,  # [SQ, G*LANES] f32 (log2 domain)
     l_buf,
-    o_stage,  # [TQ, G*D] bf16 staging for output DMA
+    o_stage,  # [SQ, G*D] bf16 staging for output DMA
     q_sems,  # DMA (2,)
     kv_sems,  # DMA (4, 2)
     o_sem,
     *,
     tq: int,
+    n_tq: int,
     pcb: int,
     page_size: int,
     max_blocks: int,
@@ -82,61 +85,67 @@ def _prefill_kernel(
     pertoken_ks: bool,
     kv_e4m3: bool = False,
 ):
-    """Row-major lane-packed GQA flash prefill with sub-tiled causal regimes.
+    """Row-major lane-packed GQA flash prefill over q SUPERBLOCKS.
 
     Design decisions that carry the MFU (reference bar: its prefill beats
     FA3 on H20, README.md:171):
 
+    * Each program owns SQ = n_tq*tq query rows, not one q tile: every KV
+      chunk is DMA'd ONCE per superblock and consumed by all n_tq row
+      subtiles that causally need it. At batch-prefill shapes this divides
+      both the per-program fixed cost (the round-3 b8_2k killer: ~512
+      programs x setup/epilogue for 1.4ms of MXU work) and the KV stream
+      bytes by ~n_tq.
+    * Chunks fully interior to the WHOLE superblock (the common case once
+      kv_off + sb0 > j*ck) run one mask-free sweep over all SQ rows — a
+      [SQ, ck] logit dot per head, 4x the MXU op size of per-tile sweeps.
+      Boundary chunks fall back to a dynamic per-subtile loop (fori with
+      tq-aligned dynamic row slices, so code size stays flat) with three
+      column regimes: skip past-diagonal, mask-free interior, masked
+      straddler.
     * q and o travel in the model's natural [rows, Hq*D] layout: the GQA
-      group is ONE [TQ, G*D] lane-packed tile moved by ONE DMA each way,
-      and the wrapper needs no head-major transpose (the transposes + their
-      HBM round-trips were ~25% of wall time at batch-prefill shapes).
-    * The kv chunk (pcb*page_size, DMA granularity) is processed whole and
-      mask-free when fully interior; boundary chunks are processed in
-      ``skv``-column subtiles with three regimes: subtiles past the causal
-      bound are SKIPPED (chunk-granular masking computed up to 1.8x the
-      causal FLOPs at 2K seqlens), and only diagonal/tail straddlers pay
-      the iota/compare/select mask chain.
+      group is ONE [SQ, G*D] lane-packed tile moved by ONE DMA each way.
+    * The causal mask uses a hoisted ``lane - row`` difference matrix (one
+      compare + select against a per-subtile scalar instead of 2 iotas +
+      2 compares per masked subtile — this kernel is VPU-tight).
     * Per-GQA-group software pipelining: head g+1's QK^T dot issues before
       head g's softmax, so MXU work overlaps the VPU-bound softmax chain.
-    * Cross-PROGRAM prefetch: each program starts the NEXT program's q tile
-      and first KV chunk before its own compute (those buffers were last
-      read two programs ago), so program transitions expose no cold DMA —
-      the manual-DMA analog of the grid pipelining the stock splash kernel
-      gets from BlockSpecs, which paged caches cannot use.
+    * Cross-PROGRAM prefetch: each program starts the NEXT program's q
+      superblock and first KV chunk before its own compute.
     * Softmax runs in the log2 domain: the wrapper folds log2(e) into the
-      q pre-scale so the kernel uses exp2 directly — exp costs an extra
-      multiply per element on the VPU, and this kernel is VPU-tight.
+      q pre-scale so the kernel uses exp2 directly.
     """
     b = pl.program_id(0)
     h = pl.program_id(1)  # kv head
-    tqi = pl.program_id(2)
+    sbi = pl.program_id(2)
     n_hkv = pl.num_programs(1)
-    n_t = pl.num_programs(2)
-    total_progs = pl.num_programs(0) * n_hkv * n_t
-    idx = (b * n_hkv + h) * n_t + tqi
+    n_sb = pl.num_programs(2)
+    total_progs = pl.num_programs(0) * n_hkv * n_sb
+    idx = (b * n_hkv + h) * n_sb + sbi
     ck = pcb * page_size
     n_sub = ck // skv
+    sq = n_tq * tq
 
     q_start = q_starts_ref[b]
     q_len = q_lens_ref[b]
     kv_len = kv_lens_ref[b]
     kv_off = kv_len - q_len  # absolute position of q row 0
+    sb0 = sbi * sq  # first q row of this superblock (request-relative)
 
-    tile_active = tqi * tq < q_len
+    tile_active = sb0 < q_len
 
-    def q_copies(bb, hh, tt, slot):
-        # ONE DMA fetches a tile's q for all G heads of its kv group (a
-        # lane slice at a G*D-aligned offset of the [rows, Hq*D] layout;
-        # q starts are tq-aligned rows). Reading the natural 3D
+    def q_copies(bb, hh, ss, slot):
+        # ONE DMA fetches a superblock's q for all G heads of its kv group
+        # (a lane slice at a G*D-aligned offset of the [rows, Hq*D] layout;
+        # q starts are SQ-aligned rows). Reading the natural 3D
         # [rows, Hq, D] layout directly is NOT possible: its TPU tiling is
         # on (Hq, D), and per-head slices of the head dim violate the
         # 8-sublane tiling constraint.
-        row0 = pl.multiple_of(q_starts_ref[bb] + tt * tq, tq)
+        row0 = pl.multiple_of(q_starts_ref[bb] + ss * sq, sq)
         lane0 = pl.multiple_of(hh * group * d, group * d)
         return [
             pltpu.make_async_copy(
-                q_hbm_ref.at[pl.ds(row0, tq), pl.ds(lane0, group * d)],
+                q_hbm_ref.at[pl.ds(row0, sq), pl.ds(lane0, group * d)],
                 q_bufs.at[slot],
                 q_sems.at[slot],
             )
@@ -178,24 +187,25 @@ def _prefill_kernel(
         )
         return kc, vc
 
-    def kv_hi_of(bb, tt):
+    def kv_hi_of(bb, ss):
+        # causal kv bound (exclusive) of superblock ss's LAST subtile
         kvl = kv_lens_ref[bb]
         off = kvl - q_lens_ref[bb]
-        return jnp.minimum(kvl, off + (tt + 1) * tq)
+        return jnp.minimum(kvl, off + (ss + 1) * sq)
 
-    # ---- prefetch program idx+1's q tile and first KV chunk NOW: its
-    # buffers (q slot (idx+1)%2, kv slot 2+(idx+1)%2) were last read by
+    # ---- prefetch program idx+1's q superblock and first KV chunk NOW:
+    # its buffers (q slot (idx+1)%2, kv slot 2+(idx+1)%2) were last read by
     # program idx-1, which has fully completed, and the DMAs overlap this
     # whole program's compute.
     @pl.when(idx + 1 < total_progs)
     def _():
         nidx = idx + 1
-        nt = nidx % n_t
-        nbh = nidx // n_t
+        nt = nidx % n_sb
+        nbh = nidx // n_sb
         nh = nbh % n_hkv
         nb2 = nbh // n_hkv
 
-        @pl.when(nt * tq < q_lens_ref[nb2])
+        @pl.when(nt * sq < q_lens_ref[nb2])
         def _():
             for cp in q_copies(nb2, nh, nt, nidx % 2):
                 cp.start()
@@ -206,36 +216,41 @@ def _prefill_kernel(
     # the first program has no predecessor to prefetch for it
     @pl.when((idx == 0) & tile_active)
     def _():
-        for cp in q_copies(b, h, tqi, 0):
+        for cp in q_copies(b, h, sbi, 0):
             cp.start()
-        kc, vc = start_kv(b, h, 0, 2, kv_hi_of(b, tqi))
+        kc, vc = start_kv(b, h, 0, 2, kv_hi_of(b, sbi))
         kc.start()
         vc.start()
 
     @pl.when(tile_active)
     def _():
-        row0 = pl.multiple_of(q_start + tqi * tq, tq)
+        row0 = pl.multiple_of(q_start + sbi * sq, sq)
         q_slot = idx % 2
         kv0_slot = 2 + q_slot
 
-        # causal upper bound for this q tile (absolute kv position, exclusive)
-        kv_hi = jnp.minimum(kv_len, kv_off + (tqi + 1) * tq)
+        # causal upper bound over the whole superblock (last subtile)
+        kv_hi = kv_hi_of(b, sbi)
         num_kv_tiles = jnp.maximum((kv_hi + ck - 1) // ck, 1)
-        diag_lo = kv_off + tqi * tq  # first kv position needing the mask
+        diag_lo0 = kv_off + sb0  # first kv position needing any mask
 
         m_buf[...] = jnp.full_like(m_buf, -jnp.inf)
         l_buf[...] = jnp.zeros_like(l_buf)
         acc_buf[...] = jnp.zeros_like(acc_buf)
 
-        for cp in q_copies(b, h, tqi, q_slot):
+        for cp in q_copies(b, h, sbi, q_slot):
             cp.wait()
-        # apply the softmax scale here, on the [TQ, G*D] tile in VMEM — a
+        # apply the softmax scale here, on the [SQ, G*D] tile in VMEM — a
         # wrapper-side scale pass costs 3 full HBM round trips over q
-        # (f32 upcast + multiply + downcast ≈ 1.6ms at 16K rows, ~20% of
-        # wall time at batch-prefill shapes)
-        qv = (
+        qs_buf[...] = (
             q_bufs[q_slot].astype(jnp.float32) * scale_ref[0, 0]
         ).astype(jnp.bfloat16)
+
+        # hoisted mask geometry: dmat[r, c] = c - r is loop-invariant; a
+        # masked subtile then costs ONE compare against a per-subtile
+        # scalar + one select (vs 2 iotas + 2 compares + and + select)
+        dmat = jax.lax.broadcasted_iota(
+            jnp.int32, (tq, skv), 1
+        ) - jax.lax.broadcasted_iota(jnp.int32, (tq, skv), 0)
 
         def g_lanes(g):
             return slice(g * d, (g + 1) * d)
@@ -243,42 +258,46 @@ def _prefill_kernel(
         def gl_lanes(g):
             return slice(g * _LANES, (g + 1) * _LANES)
 
-        def flash_update(s, v, g):
-            """Online-softmax state update for head g (log2 domain)."""
-            m_prev = m_buf[:, gl_lanes(g)]
-            l_prev = l_buf[:, gl_lanes(g)]
+        def flash_update(s, v, g, rows, nrows):
+            """Online-softmax state update for head g (log2 domain) on a
+            tq-aligned dynamic row slice."""
+            m_prev = m_buf[rows, gl_lanes(g)]
+            l_prev = l_buf[rows, gl_lanes(g)]
             m_curr = jnp.broadcast_to(
-                jnp.max(s, axis=1, keepdims=True), m_prev.shape
+                jnp.max(s, axis=1, keepdims=True), (nrows, _LANES)
             )
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp2(m_prev - m_next)
             p = jnp.exp2(s - m_next[:, :1])
-            l_buf[:, gl_lanes(g)] = alpha * l_prev + jnp.broadcast_to(
-                jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+            l_buf[rows, gl_lanes(g)] = alpha * l_prev + jnp.broadcast_to(
+                jnp.sum(p, axis=1, keepdims=True), (nrows, _LANES)
             )
-            m_buf[:, gl_lanes(g)] = m_next
+            m_buf[rows, gl_lanes(g)] = m_next
             o_curr = jax.lax.dot(
                 p.astype(jnp.bfloat16), v,
                 preferred_element_type=jnp.float32,
             )
-            acc_buf[:, g_lanes(g)] = (
-                acc_buf[:, g_lanes(g)] * alpha[:, :1] + o_curr
+            acc_buf[rows, g_lanes(g)] = (
+                acc_buf[rows, g_lanes(g)] * alpha[:, :1] + o_curr
             )
 
-        def qk(k, g):
-            return jax.lax.dot_general(
-                qv[:, g_lanes(g)], k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        def group_sweep(k, v, post):
+        def group_sweep(qrows, k, v, post, rows, nrows):
             """Per-head QK -> softmax -> PV, software-pipelined: head g+1's
             QK^T (MXU) issues before head g's softmax (VPU) so the two
             units overlap instead of serializing."""
-            s = post(qk(k, 0))
+
+            def qk(g):
+                return post(
+                    jax.lax.dot_general(
+                        qrows[:, g_lanes(g)], k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+
+            s = qk(0)
             for g in range(group):
-                s_next = post(qk(k, g + 1)) if g + 1 < group else None
-                flash_update(s, v, g)
+                s_next = qk(g + 1) if g + 1 < group else None
+                flash_update(s, v, g, rows, nrows)
                 s = s_next
 
         def body(j, _):
@@ -296,81 +315,101 @@ def _prefill_kernel(
             kc.wait()
             vc.wait()
 
-            def update_interior_chunk():
-                # chunk fully below the diagonal and in-range: mask-free
-                # dots over the full chunk (big PV matmuls, one flash-state
-                # update per head — the long-context fast path)
+            def interior_all():
+                # chunk fully below the FIRST subtile's diagonal and
+                # in-range: one mask-free sweep over all SQ rows — the
+                # long-context fast path, with [SQ, ck] logit dots
                 k = _upk(k_buf[slot].reshape(ck, d), kv_e4m3)
                 v = _upk(v_buf[slot].reshape(ck, d), kv_e4m3)
+                rows = slice(None)
+                qall = qs_buf[...]
                 if pertoken_ks:
                     # QuantType-0: one K scale per (token, kv-head) on the
                     # logits (exact — constant along D); linear, so it
                     # commutes with the log2-domain folding
                     ks_row = ks_ref[0, 0, j][None, :]
-                    group_sweep(k, v, lambda s: s * ks_row)
+                    group_sweep(qall, k, v, lambda s: s * ks_row, rows, sq)
                 else:
-                    group_sweep(k, v, lambda s: s)
+                    group_sweep(qall, k, v, lambda s: s, rows, sq)
 
-            def update_sub(si: int, masked: bool):
-                # boundary-chunk subtile; the diagonal/tail straddlers pay
-                # the iota/compare/select mask chain, computed once and
-                # shared by all G heads
-                sub = slice(si * skv, (si + 1) * skv)
-                sub0 = j * ck + si * skv
-                k = _upk(k_buf[slot].reshape(ck, d)[sub], kv_e4m3)
-                v = _upk(v_buf[slot].reshape(ck, d)[sub], kv_e4m3)
-                ks_row = ks_ref[0, 0, j][None, sub] if pertoken_ks else None
-                if masked:
-                    kpos = sub0 + jax.lax.broadcasted_iota(
-                        jnp.int32, (tq, skv), 1
-                    )
-                    qpos = kv_off + tqi * tq + jax.lax.broadcasted_iota(
-                        jnp.int32, (tq, skv), 0
-                    )
-                    mask = (kpos <= qpos) & (kpos < kv_len)
+            def boundary_subtiles():
+                # per-subtile processing with dynamic tq-aligned row
+                # slices (keeps emitted code size independent of n_tq)
+                def st_body(st, _):
+                    r0 = pl.multiple_of(st * tq, tq)
+                    rows = pl.ds(r0, tq)
+                    qrows = qs_buf[rows, :]
+                    diag_lo = diag_lo0 + st * tq
+                    st_hi = jnp.minimum(kv_len, diag_lo + tq)
+                    st_active = (sb0 + st * tq < q_len) & (j * ck < st_hi)
 
-                def post(s):
-                    if pertoken_ks:
-                        s = s * ks_row
-                    if masked:
-                        s = jnp.where(mask, s, MASK_VALUE)
-                    return s
+                    def sub_update(si: int, masked: bool):
+                        sub = slice(si * skv, (si + 1) * skv)
+                        sub0 = j * ck + si * skv
+                        k = _upk(k_buf[slot].reshape(ck, d)[sub], kv_e4m3)
+                        v = _upk(v_buf[slot].reshape(ck, d)[sub], kv_e4m3)
+                        ks_row = (
+                            ks_ref[0, 0, j][None, sub]
+                            if pertoken_ks
+                            else None
+                        )
+                        if masked:
+                            # qpos = diag_lo + r, kpos = sub0 + c:
+                            # kpos <= qpos  <=>  dmat = c - r <= diag_lo -
+                            # sub0. The kv_len bound is implied: every
+                            # real q row has qpos <= kv_len - 1, so
+                            # kpos <= qpos < kv_len; padding rows past
+                            # q_len attend garbage but their output rows
+                            # are never read back (the wrapper compacts
+                            # only the first q_len rows per request).
+                            mask = dmat <= (diag_lo - sub0)
 
-                group_sweep(k, v, post)
+                        def post(s):
+                            if pertoken_ks:
+                                s = s * ks_row
+                            if masked:
+                                s = jnp.where(mask, s, MASK_VALUE)
+                            return s
 
-            chunk_interior = ((j + 1) * ck <= diag_lo + 1) & (
+                        group_sweep(qrows, k, v, post, rows, tq)
+
+                    for si in range(n_sub):
+                        sub0 = j * ck + si * skv
+                        sub_end = sub0 + skv
+                        active = st_active & (sub0 < st_hi)
+                        unmasked = (sub_end <= diag_lo + 1) & (
+                            sub_end <= kv_len
+                        )
+
+                        @pl.when(active & unmasked)
+                        def _(si=si):
+                            sub_update(si, masked=False)
+
+                        @pl.when(active & jnp.logical_not(unmasked))
+                        def _(si=si):
+                            sub_update(si, masked=True)
+
+                    return ()
+
+                jax.lax.fori_loop(0, n_tq, st_body, (), unroll=False)
+
+            chunk_interior = ((j + 1) * ck <= diag_lo0 + 1) & (
                 (j + 1) * ck <= kv_len
             )
 
             @pl.when(chunk_interior)
             def _():
-                update_interior_chunk()
+                interior_all()
 
             @pl.when(jnp.logical_not(chunk_interior))
             def _():
-                # boundary chunk (at most 2 per q tile): subtile regimes —
-                # skip past-diagonal subtiles entirely (chunk-granular
-                # masking computed up to 1.8x the causal FLOPs at 2K
-                # seqlens), mask only the diagonal/tail straddlers
-                for si in range(n_sub):
-                    sub0 = j * ck + si * skv
-                    sub_end = sub0 + skv
-                    active = sub0 < kv_hi
-                    unmasked = (sub_end <= diag_lo + 1) & (sub_end <= kv_len)
-
-                    @pl.when(active & unmasked)
-                    def _(si=si):
-                        update_sub(si, masked=False)
-
-                    @pl.when(active & jnp.logical_not(unmasked))
-                    def _(si=si):
-                        update_sub(si, masked=True)
+                boundary_subtiles()
 
             return ()
 
         jax.lax.fori_loop(0, num_kv_tiles, body, (), unroll=False)
 
-        # ---- normalize and write out (one DMA for the whole group tile)
+        # ---- normalize and write out (one DMA for the whole superblock)
         for g in range(group):
             l = l_buf[:, g * _LANES:g * _LANES + 1]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
@@ -380,7 +419,7 @@ def _prefill_kernel(
         lane0 = pl.multiple_of(h * group * d, group * d)
         o_cp = pltpu.make_async_copy(
             o_stage,
-            o_hbm_ref.at[pl.ds(row0, tq), pl.ds(lane0, group * d)],
+            o_hbm_ref.at[pl.ds(row0, sq), pl.ds(lane0, group * d)],
             o_sem,
         )
         o_cp.start()
@@ -761,12 +800,12 @@ def _prefill_sparse_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "tq", "pages_per_compute_block", "max_q_tiles", "pertoken_ks",
-        "interpret",
+        "tq", "n_tq", "pages_per_compute_block", "max_q_tiles",
+        "pertoken_ks", "interpret",
     ),
 )
 def _prefill_pallas(
-    q_t,  # [total_q_pad, Hq*D] bf16, per-request tq-aligned rows
+    q_t,  # [total_q_pad, Hq*D] bf16, per-request SQ-aligned rows
     k_pages,  # [Hkv, nb, bs, D]
     v_pages,
     q_starts,  # [B] int32 aligned row offsets
@@ -776,8 +815,9 @@ def _prefill_pallas(
     ks_dense,  # [B, Hkv, n_ck, ck] f32 (dummy [B, Hkv, 1, 128] when unused)
     scale,  # [1, 1] f32 — softmax scale * log2(e), applied in-kernel
     tq: int,
+    n_tq: int,  # row subtiles per superblock (SQ = n_tq * tq)
     pages_per_compute_block: int,
-    max_q_tiles: int,
+    max_q_tiles: int,  # superblocks per request slot
     pertoken_ks: bool = False,
     interpret: bool = False,
 ):
@@ -792,6 +832,7 @@ def _prefill_pallas(
     b = kv_lens.shape[0]
     pcb = pages_per_compute_block
     max_blocks = block_ids.shape[1]
+    sq = n_tq * tq
 
     n_ck, ck_s = ks_dense.shape[2], ks_dense.shape[3]
     # compute subtile width: 512 keeps the flash-state update (m/l/acc on
@@ -818,13 +859,14 @@ def _prefill_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, tq, group * d), jnp.bfloat16),
+            pltpu.VMEM((2, sq, group * d), jnp.bfloat16),
+            pltpu.VMEM((sq, group * d), jnp.bfloat16),
             pltpu.VMEM((4, pcb, bs, d), k_pages.dtype),
             pltpu.VMEM((4, pcb, bs, dv), v_pages.dtype),
-            pltpu.VMEM((tq, group * dv), jnp.float32),
-            pltpu.VMEM((tq, group * _LANES), jnp.float32),
-            pltpu.VMEM((tq, group * _LANES), jnp.float32),
-            pltpu.VMEM((tq, group * dv), jnp.bfloat16),
+            pltpu.VMEM((sq, group * dv), jnp.float32),
+            pltpu.VMEM((sq, group * _LANES), jnp.float32),
+            pltpu.VMEM((sq, group * _LANES), jnp.float32),
+            pltpu.VMEM((sq, group * dv), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((4, 2)),
             pltpu.SemaphoreType.DMA,
@@ -833,6 +875,7 @@ def _prefill_pallas(
     kernel = functools.partial(
         _prefill_kernel,
         tq=tq,
+        n_tq=n_tq,
         pcb=pcb,
         page_size=bs,
         max_blocks=max_blocks,
@@ -1256,14 +1299,31 @@ def attention_with_kvcache_prefill(
         qb = q
         kernel_scale = jnp.full((1, 1), scale_log2, jnp.float32)
 
-    # Repack rows so every request starts at a tq-aligned row (HBM slice
+    # Repack rows so every request starts at an aligned row (HBM slice
     # offsets must be sublane-tile aligned for the in-kernel DMAs). Each
     # request gets a fixed max_q_pad slot filled by one contiguous
     # dynamic_slice — an XLA scatter here costs ~40ms on an 8K prefill,
     # ~100x the copies.
     cu = cu_seqlens_q.astype(jnp.int32)
     q_lens = cu[1:] - cu[:-1]
-    max_q_pad = round_up(int(max_seqlens_q), tq)
+    if not (sparse or fused_nhd):
+        # dense kernel: superblock of SQ = n_tq*tq rows per program — KV is
+        # DMA'd once per superblock and shared by all n_tq row subtiles,
+        # and per-program fixed cost amortizes over n_tq tiles. n_tq sized
+        # to the VMEM budget: per row, q double-buffer (4*GD B) + scaled q
+        # (2*GD) + f32 acc (4*GD) + o staging (2*GD) + f32 m/l (1024*G).
+        group_ = q.shape[1] // hkv
+        group_d = group_ * d
+        row_bytes = 12 * group_d + 1024 * group_
+        budget = 11 << 20  # leave ~3MB for the KV slabs + compiler slack
+        n_tq = max(1, min(8, budget // (row_bytes * tq)))
+        n_tq = min(n_tq, cdiv(int(max_seqlens_q), tq))
+        sq_blk = n_tq * tq
+        max_q_pad = round_up(int(max_seqlens_q), sq_blk)
+    else:
+        n_tq = 1
+        sq_blk = tq
+        max_q_pad = round_up(int(max_seqlens_q), tq)
     total_q_pad = b * max_q_pad
     q_starts = jnp.arange(b, dtype=jnp.int32) * max_q_pad
     if sparse or fused_nhd:
@@ -1302,9 +1362,13 @@ def attention_with_kvcache_prefill(
             # Large KV chunks keep the MXU fed: 2048-token chunks more than
             # double measured prefill TFLOPs at 8K-32K contexts vs 256-token
             # chunks (v5e: 37 -> 96 TFLOP/s at 32K). Clamped to the table so
-            # short sequences don't pay causal over-read.
+            # short sequences don't pay causal over-read. With a multi-tile
+            # superblock resident (n_tq >= 2) the chunk drops to 1024 cols
+            # to keep K+V slabs + row scratch inside the VMEM budget (the
+            # superblock already supplies the arithmetic intensity).
+            chunk_cols = 1024 if n_tq >= 2 else 2048
             pages_per_compute_block = max(
-                1, min(2048 // page_size, block_ids.shape[1])
+                1, min(chunk_cols // page_size, block_ids.shape[1])
             )
             if fused_nhd:
                 # slabs carry ALL heads: cap the double buffer at ~2MB
@@ -1313,7 +1377,7 @@ def attention_with_kvcache_prefill(
                     1, min(pages_per_compute_block, (1 << 20) // slab)
                 )
 
-    max_q_tiles = max_q_pad // tq
+    max_q_tiles = max_q_pad // sq_blk  # superblocks (dense) / q tiles (rest)
     max_blocks_tbl = block_ids.shape[1]
 
     def gather_ks(pcb_):
@@ -1434,6 +1498,7 @@ def attention_with_kvcache_prefill(
             gather_ks(pages_per_compute_block),
             kernel_scale,
             tq,
+            n_tq,
             pages_per_compute_block,
             max_q_tiles,
             pertoken_ks=pertoken_fast,
