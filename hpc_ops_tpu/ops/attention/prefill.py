@@ -80,7 +80,6 @@ def _prefill_kernel(
     page_size: int,
     max_blocks: int,
     group: int,
-    skv: int,
     d: int,
     pertoken_ks: bool,
     kv_e4m3: bool = False,
@@ -123,7 +122,6 @@ def _prefill_kernel(
     total_progs = pl.num_programs(0) * n_hkv * n_sb
     idx = (b * n_hkv + h) * n_sb + sbi
     ck = pcb * page_size
-    n_sub = ck // skv
     sq = n_tq * tq
 
     q_start = q_starts_ref[b]
@@ -152,17 +150,13 @@ def _prefill_kernel(
         ]
 
     def start_kv(bb, hh, j, slot, hi):
-        # clamp the page fan-out to the causally useful pages of this
-        # chunk, rounded UP to subtile granularity: every subtile the
-        # compute loop touches must hold real page data — stale VMEM
-        # under a masked column would feed the PV dot 0 * NaN = NaN
-        # (skipped subtiles are never read, so their slabs can stay
-        # stale). Group-predicated inside MultiPageCopy.
-        nv = jnp.clip(
-            ((hi - j * ck + skv - 1) // skv) * (skv // page_size),
-            1,
-            pcb,
-        )
+        # whole chunks are fetched: boundary compute sweeps the full chunk
+        # under the causal mask, so every column must hold REAL page data
+        # (stale VMEM under a masked column would feed the PV dot
+        # 0 * NaN = NaN). The block table is padded/clamped so every
+        # fetched page id is valid; bytes wasted <= one partial chunk per
+        # superblock.
+        nv = pcb
         kc = MultiPageCopy(
             k_pages_ref,
             k_buf,
@@ -246,11 +240,12 @@ def _prefill_kernel(
         ).astype(jnp.bfloat16)
 
         # hoisted mask geometry: dmat[r, c] = c - r is loop-invariant; a
-        # masked subtile then costs ONE compare against a per-subtile
-        # scalar + one select (vs 2 iotas + 2 compares + and + select)
+        # masked chunk then costs ONE compare against a per-(chunk, st)
+        # scalar + one select per head (vs 2 iotas + 2 compares + and +
+        # select)
         dmat = jax.lax.broadcasted_iota(
-            jnp.int32, (tq, skv), 1
-        ) - jax.lax.broadcasted_iota(jnp.int32, (tq, skv), 0)
+            jnp.int32, (tq, ck), 1
+        ) - jax.lax.broadcasted_iota(jnp.int32, (tq, ck), 0)
 
         def g_lanes(g):
             return slice(g * d, (g + 1) * d)
@@ -258,9 +253,12 @@ def _prefill_kernel(
         def gl_lanes(g):
             return slice(g * _LANES, (g + 1) * _LANES)
 
-        def flash_update(s, v, g, rows, nrows):
+        def softmax_part(s, g, rows, nrows):
             """Online-softmax state update for head g (log2 domain) on a
-            tq-aligned dynamic row slice."""
+            tq-aligned dynamic row slice; returns (p, alpha) for the PV
+            stage. p's exp2 runs in bf16 — the PV dot needs bf16 anyway,
+            the VPU packs bf16 2/lane, and the 2^-8 rounding matches the
+            output dtype."""
             m_prev = m_buf[rows, gl_lanes(g)]
             l_prev = l_buf[rows, gl_lanes(g)]
             m_curr = jnp.broadcast_to(
@@ -268,23 +266,27 @@ def _prefill_kernel(
             )
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp2(m_prev - m_next)
-            p = jnp.exp2(s - m_next[:, :1])
+            p = jnp.exp2((s - m_next[:, :1]).astype(jnp.bfloat16))
             l_buf[rows, gl_lanes(g)] = alpha * l_prev + jnp.broadcast_to(
-                jnp.sum(p, axis=1, keepdims=True), (nrows, _LANES)
+                jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32),
+                (nrows, _LANES),
             )
             m_buf[rows, gl_lanes(g)] = m_next
+            return p, alpha
+
+        def pv_part(p, alpha, v, g, rows):
             o_curr = jax.lax.dot(
-                p.astype(jnp.bfloat16), v,
-                preferred_element_type=jnp.float32,
+                p, v, preferred_element_type=jnp.float32
             )
             acc_buf[rows, g_lanes(g)] = (
                 acc_buf[rows, g_lanes(g)] * alpha[:, :1] + o_curr
             )
 
         def group_sweep(qrows, k, v, post, rows, nrows):
-            """Per-head QK -> softmax -> PV, software-pipelined: head g+1's
-            QK^T (MXU) issues before head g's softmax (VPU) so the two
-            units overlap instead of serializing."""
+            """Per-head QK -> softmax -> PV, software-pipelined two deep:
+            head g's PV dot (MXU) is issued AFTER head g+1's QK^T and
+            softmax, so at any point the scheduler holds an MXU dot and a
+            VPU softmax chain with no data dependence between them."""
 
             def qk(g):
                 return post(
@@ -294,11 +296,13 @@ def _prefill_kernel(
                     )
                 )
 
-            s = qk(0)
+            p, a = softmax_part(qk(0), 0, rows, nrows)
             for g in range(group):
-                s_next = qk(g + 1) if g + 1 < group else None
-                flash_update(s, v, g, rows, nrows)
-                s = s_next
+                if g + 1 < group:
+                    p2, a2 = softmax_part(qk(g + 1), g + 1, rows, nrows)
+                pv_part(p, a, v, g, rows)
+                if g + 1 < group:
+                    p, a = p2, a2
 
         def body(j, _):
             # chunk 0 lands in the cross-program prefetch slot; later
@@ -333,65 +337,53 @@ def _prefill_kernel(
                     group_sweep(qall, k, v, lambda s: s, rows, sq)
 
             def boundary_subtiles():
-                # per-subtile processing with dynamic tq-aligned row
-                # slices (keeps emitted code size independent of n_tq)
-                def st_body(st, _):
-                    r0 = pl.multiple_of(st * tq, tq)
-                    rows = pl.ds(r0, tq)
-                    qrows = qs_buf[rows, :]
+                # STATIC per-subtile loop, whole-chunk sweeps: each (chunk,
+                # st) pair is one straight-line block of G dot+softmax
+                # chains over [tq, ck] — the former skv-column regime loop
+                # emitted 8+ tiny pl.when blocks per chunk, and Mosaic
+                # cannot overlap MXU/VPU across block boundaries (measured:
+                # boundary-dominated b8_2k ran at 31% vs 78% for the
+                # straight-line interior path). The causal over-compute
+                # (masked columns past the diagonal, <= ck-1 per subtile)
+                # is paid on the MXU, which those blocks were idling.
+                k = _upk(k_buf[slot].reshape(ck, d), kv_e4m3)
+                v = _upk(v_buf[slot].reshape(ck, d), kv_e4m3)
+                ks_row = ks_ref[0, 0, j][None, :] if pertoken_ks else None
+                for st in range(n_tq):
+                    rows = slice(st * tq, (st + 1) * tq)
                     diag_lo = diag_lo0 + st * tq
                     st_hi = jnp.minimum(kv_len, diag_lo + tq)
                     st_active = (sb0 + st * tq < q_len) & (j * ck < st_hi)
+                    whole = ((j + 1) * ck <= diag_lo + 1) & (
+                        (j + 1) * ck <= kv_len
+                    )
 
-                    def sub_update(si: int, masked: bool):
-                        sub = slice(si * skv, (si + 1) * skv)
-                        sub0 = j * ck + si * skv
-                        k = _upk(k_buf[slot].reshape(ck, d)[sub], kv_e4m3)
-                        v = _upk(v_buf[slot].reshape(ck, d)[sub], kv_e4m3)
-                        ks_row = (
-                            ks_ref[0, 0, j][None, sub]
-                            if pertoken_ks
-                            else None
-                        )
-                        if masked:
-                            # qpos = diag_lo + r, kpos = sub0 + c:
-                            # kpos <= qpos  <=>  dmat = c - r <= diag_lo -
-                            # sub0. The kv_len bound is implied: every
-                            # real q row has qpos <= kv_len - 1, so
-                            # kpos <= qpos < kv_len; padding rows past
-                            # q_len attend garbage but their output rows
-                            # are never read back (the wrapper compacts
-                            # only the first q_len rows per request).
-                            mask = dmat <= (diag_lo - sub0)
-
-                        def post(s):
-                            if pertoken_ks:
-                                s = s * ks_row
-                            if masked:
-                                s = jnp.where(mask, s, MASK_VALUE)
-                            return s
-
-                        group_sweep(qrows, k, v, post, rows, tq)
-
-                    for si in range(n_sub):
-                        sub0 = j * ck + si * skv
-                        sub_end = sub0 + skv
-                        active = st_active & (sub0 < st_hi)
-                        unmasked = (sub_end <= diag_lo + 1) & (
-                            sub_end <= kv_len
+                    def masked_post(s, diag_lo=diag_lo):
+                        # qpos = diag_lo + r, kpos = j*ck + c:
+                        # kpos <= qpos <=> dmat = c - r <= diag_lo - j*ck.
+                        # The kv_len bound is implied for real rows
+                        # (qpos < kv_len); padding rows past q_len attend
+                        # garbage but their outputs are never read back.
+                        if pertoken_ks:
+                            s = s * ks_row
+                        return jnp.where(
+                            dmat <= (diag_lo - j * ck), s, MASK_VALUE
                         )
 
-                        @pl.when(active & unmasked)
-                        def _(si=si):
-                            sub_update(si, masked=False)
+                    def plain_post(s):
+                        return s * ks_row if pertoken_ks else s
 
-                        @pl.when(active & jnp.logical_not(unmasked))
-                        def _(si=si):
-                            sub_update(si, masked=True)
+                    @pl.when(st_active & whole)
+                    def _(rows=rows):
+                        group_sweep(
+                            qs_buf[rows, :], k, v, plain_post, rows, tq
+                        )
 
-                    return ()
-
-                jax.lax.fori_loop(0, n_tq, st_body, (), unroll=False)
+                    @pl.when(st_active & jnp.logical_not(whole))
+                    def _(rows=rows, masked_post=masked_post):
+                        group_sweep(
+                            qs_buf[rows, :], k, v, masked_post, rows, tq
+                        )
 
             chunk_interior = ((j + 1) * ck <= diag_lo0 + 1) & (
                 (j + 1) * ck <= kv_len
@@ -835,13 +827,6 @@ def _prefill_pallas(
     sq = n_tq * tq
 
     n_ck, ck_s = ks_dense.shape[2], ks_dense.shape[3]
-    # compute subtile width: 512 keeps the flash-state update (m/l/acc on
-    # [G*TQ, 128/D]) under ~20% of the p-path VPU work while bounding the
-    # causal over-compute at <= skv-1 columns per q tile; must divide the
-    # DMA chunk (page_size is a power of two, so halving always terminates)
-    skv = min(512, pcb * bs)
-    while (pcb * bs) % skv:
-        skv //= 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b, hkv, max_q_tiles),
@@ -880,7 +865,6 @@ def _prefill_pallas(
         page_size=bs,
         max_blocks=max_blocks,
         group=group,
-        skv=skv,
         d=d,
         pertoken_ks=pertoken_ks,
         kv_e4m3=kv_e4m3,
@@ -891,6 +875,10 @@ def _prefill_pallas(
         out_shape=jax.ShapeDtypeStruct((total_q_pad, hq * dv), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # superblock scratch (q double-buffer + f32 acc/m/l over SQ
+            # rows) plus the whole-chunk [SQ, ck] logit arrays exceed the
+            # 16MB default scoped-vmem limit; v5e has 128MB physical VMEM
+            vmem_limit_bytes=100 << 20,
         ),
         interpret=interpret,
     )(
@@ -1339,18 +1327,18 @@ def attention_with_kvcache_prefill(
         )
     else:
         # dense kernel reads q in row-major [rows, Hq*D] layout (per-group
-        # lane-slice DMAs in-kernel) — no head-major transpose; one
-        # relayout-reshape + pad + in-place dynamic_update_slice chain
-        qR = jnp.pad(
-            qb.reshape(total_q, hq * d), ((0, max_q_pad), (0, 0))
+        # lane-slice DMAs in-kernel). Slot rows via ONE row gather (plus
+        # the unavoidable 3D->2D relayout): the former pad + per-request
+        # dynamic_update_slice chain cost ~3 extra full passes over q
+        # (~1.1ms at 16K rows — the XProf-largest wrapper fusions).
+        # Padding rows clamp to row total_q-1: their outputs are garbage
+        # and are dropped by the output compaction.
+        slot_row = jnp.arange(total_q_pad, dtype=jnp.int32)
+        req_i = slot_row // max_q_pad
+        src = jnp.minimum(
+            cu[req_i] + slot_row % max_q_pad, jnp.int32(total_q - 1)
         )
-        q_rows = jnp.zeros((total_q_pad, hq * d), jnp.bfloat16)
-        for i in range(b):
-            q_rows = jax.lax.dynamic_update_slice(
-                q_rows,
-                jax.lax.dynamic_slice(qR, (cu[i], 0), (max_q_pad, hq * d)),
-                (i * max_q_pad, 0),
-            )
+        q_rows = jnp.take(qb, src, axis=0).reshape(total_q_pad, hq * d)
 
     page_size = bs_f if fused_nhd else k_pages.shape[2]
     if pages_per_compute_block is None:
@@ -1517,14 +1505,18 @@ def attention_with_kvcache_prefill(
             o_ext = jax.lax.dynamic_update_slice(o_ext, blk, (0, cu[i], 0))
         out = jnp.transpose(o_ext[:, :total_q], (1, 0, 2))
     else:
+        # compact slots -> packed rows with one row gather (the inverse
+        # permutation of the q-side slotting)
         hd_out = o_rows.shape[-1]
-        o_ext = jnp.zeros((total_q + max_q_pad, hd_out), o_rows.dtype)
-        for i in range(b):
-            blk = jax.lax.dynamic_slice(
-                o_rows, (i * max_q_pad, 0), (max_q_pad, hd_out)
-            )
-            o_ext = jax.lax.dynamic_update_slice(o_ext, blk, (cu[i], 0))
-        out = o_ext[:total_q].reshape(total_q, hq, hd_out // hq)
+        prow = jnp.arange(total_q, dtype=jnp.int32)
+        preq = jnp.minimum(
+            jnp.searchsorted(cu[1:], prow, side="right").astype(jnp.int32),
+            b - 1,
+        )
+        psrc = preq * max_q_pad + (prow - cu[preq])
+        out = jnp.take(o_rows, psrc, axis=0).reshape(
+            total_q, hq, hd_out // hq
+        )
     if is_fp8 and vscale is not None:
         vs = vscale.astype(jnp.float32).reshape(-1)
         if vs.shape[0] == 1:
