@@ -47,19 +47,18 @@ _LANES = 128
 
 def _prefill_kernel(
     # scalar prefetch
-    q_starts_ref,  # [B] SQ-aligned row offset of each request in q_hbm
-    q_lens_ref,  # [B]
+    cu_ref,  # [B+1] packed row offsets (cu_seqlens_q) — raw, NOT slotted
     kv_lens_ref,  # [B]
     block_tbl_ref,  # [B*max_blocks]
     # inputs
-    q_hbm_ref,  # [total_q_pad, Hq*D] ANY — row-major lane-packed heads
+    q_hbm_ref,  # [total_rows(+pad), Hq*D] ANY — the model's NATURAL rows
     k_pages_ref,  # [Hkv, nb, bs, D] ANY
     v_pages_ref,
     ks_ref,  # [1, 1, n_ck, ck] f32 VMEM — per-token K scales (or dummy)
     scale_ref,  # [1, 1] f32 SMEM — softmax scale * log2(e) (or 1.0 if the
     # wrapper pre-scaled rows, e.g. the fp8 per-token-qscale path)
     # outputs
-    o_hbm_ref,  # [total_q_pad, Hq*D] ANY (bf16)
+    o_hbm_ref,  # packed_out: [total_rows, Hq*D]; else [B*pitch, Hq*D] slots
     # scratch
     q_bufs,  # [2, SQ, G*D] bf16 — the GQA group lane-packed, double-buffered
     qs_buf,  # [SQ, G*D] bf16 — softmax-scaled q (ref, so subtiles can take
@@ -81,10 +80,27 @@ def _prefill_kernel(
     max_blocks: int,
     group: int,
     d: int,
+    total_rows: int,  # rows of q_hbm (incl. any wrapper pad)
+    packed_out: bool,  # write packed rows (needs 8-aligned cu) vs slots
+    pitch: int,  # slot pitch (slotted mode)
     pertoken_ks: bool,
     kv_e4m3: bool = False,
 ):
-    """Row-major lane-packed GQA flash prefill over q SUPERBLOCKS.
+    """Row-major lane-packed GQA flash prefill over q SUPERBLOCKS, reading
+    q DIRECTLY from the model's packed [total_q, Hq*D] rows — no slot
+    repack. Window row starts are rounded down to the 8-sublane tile
+    (`round8(cu[b] + sb0)`), and every write is position-corrected, so the
+    sub-tile misalignment never escapes:
+
+    * packed_out=True (requires all cu[i] % 8 == 0, the serving engine's
+      packing contract): outputs land straight in packed rows. Straddler
+      subtiles back off to end exactly at q_len (idempotent rewrites of
+      rows the previous subtile already wrote); sub-tq requests under the
+      end-of-array clamp fall back to 8-row writes. Zero wrapper passes.
+    * packed_out=False (arbitrary cu): outputs land in per-request slots
+      at `b*pitch + (cu[b]%8) + position` — always 8-aligned because the
+      window shift and the slot shift cancel — and ONE wrapper gather
+      compacts slots to packed rows.
 
     Design decisions that carry the MFU (reference bar: its prefill beats
     FA3 on H20, README.md:171):
@@ -98,12 +114,14 @@ def _prefill_kernel(
     * Chunks fully interior to the WHOLE superblock (the common case once
       kv_off + sb0 > j*ck) run one mask-free sweep over all SQ rows — a
       [SQ, ck] logit dot per head, 4x the MXU op size of per-tile sweeps.
-      Boundary chunks fall back to a dynamic per-subtile loop (fori with
-      tq-aligned dynamic row slices, so code size stays flat) with three
-      column regimes: skip past-diagonal, mask-free interior, masked
-      straddler.
+      Boundary chunks fall back to a static per-subtile loop with two
+      regimes: mask-free interior, masked straddler.
     * q and o travel in the model's natural [rows, Hq*D] layout: the GQA
       group is ONE [SQ, G*D] lane-packed tile moved by ONE DMA each way.
+      Reading the 3D [rows, Hq, D] form directly was measured 2.2x slower
+      (exp/prefill3d_iso.py): its per-head sublane extraction and 8-head
+      programs both lose to the lane-packed layout the QKV projection
+      already emits.
     * The causal mask uses a hoisted ``lane - row`` difference matrix (one
       compare + select against a per-subtile scalar instead of 2 iotas +
       2 compares per masked subtile — this kernel is VPU-tight).
@@ -124,26 +142,38 @@ def _prefill_kernel(
     ck = pcb * page_size
     sq = n_tq * tq
 
-    q_start = q_starts_ref[b]
-    q_len = q_lens_ref[b]
+    q_start = cu_ref[b]
+    q_len = cu_ref[b + 1] - q_start
     kv_len = kv_lens_ref[b]
     kv_off = kv_len - q_len  # absolute position of q row 0
     sb0 = sbi * sq  # first q row of this superblock (request-relative)
+
+    def row0_of(bb, ss):
+        # window read base: packed row, rounded down to the sublane tile;
+        # packed mode additionally clamps at the array end (slotted mode
+        # pads q instead, so windows never overhang)
+        r = cu_ref[bb] + ss * sq
+        if packed_out:
+            r = jnp.minimum(r, total_rows - sq)
+        return pl.multiple_of((r // 8) * 8, 8)
+
+    row0 = row0_of(b, sbi)
+    p_base = row0 - q_start  # position of window row 0 (may be < 0)
 
     tile_active = sb0 < q_len
 
     def q_copies(bb, hh, ss, slot):
         # ONE DMA fetches a superblock's q for all G heads of its kv group
-        # (a lane slice at a G*D-aligned offset of the [rows, Hq*D] layout;
-        # q starts are SQ-aligned rows). Reading the natural 3D
-        # [rows, Hq, D] layout directly is NOT possible: its TPU tiling is
-        # on (Hq, D), and per-head slices of the head dim violate the
-        # 8-sublane tiling constraint.
-        row0 = pl.multiple_of(q_starts_ref[bb] + ss * sq, sq)
+        # (a lane slice at a G*D-aligned offset of the [rows, Hq*D]
+        # layout). Reading the natural 3D [rows, Hq, D] layout instead is
+        # possible (dim 0 untiled) but measured 2.2x slower — see the
+        # docstring.
         lane0 = pl.multiple_of(hh * group * d, group * d)
         return [
             pltpu.make_async_copy(
-                q_hbm_ref.at[pl.ds(row0, sq), pl.ds(lane0, group * d)],
+                q_hbm_ref.at[
+                    pl.ds(row0_of(bb, ss), sq), pl.ds(lane0, group * d)
+                ],
                 q_bufs.at[slot],
                 q_sems.at[slot],
             )
@@ -182,10 +212,12 @@ def _prefill_kernel(
         return kc, vc
 
     def kv_hi_of(bb, ss):
-        # causal kv bound (exclusive) of superblock ss's LAST subtile
+        # causal kv bound (exclusive) of superblock ss's window (the read
+        # base may sit up to 7 rows — or, under the end clamp, further —
+        # below cu[bb] + ss*sq; the window's LAST row bounds the kv range)
         kvl = kv_lens_ref[bb]
-        off = kvl - q_lens_ref[bb]
-        return jnp.minimum(kvl, off + (ss + 1) * sq)
+        off = kvl - (cu_ref[bb + 1] - cu_ref[bb])
+        return jnp.minimum(kvl, off + row0_of(bb, ss) - cu_ref[bb] + sq)
 
     # ---- prefetch program idx+1's q superblock and first KV chunk NOW:
     # its buffers (q slot (idx+1)%2, kv slot 2+(idx+1)%2) were last read by
@@ -199,7 +231,7 @@ def _prefill_kernel(
         nh = nbh % n_hkv
         nb2 = nbh // n_hkv
 
-        @pl.when(nt * sq < q_lens_ref[nb2])
+        @pl.when(nt * sq < cu_ref[nb2 + 1] - cu_ref[nb2])
         def _():
             for cp in q_copies(nb2, nh, nt, nidx % 2):
                 cp.start()
@@ -218,14 +250,13 @@ def _prefill_kernel(
 
     @pl.when(tile_active)
     def _():
-        row0 = pl.multiple_of(q_start + sbi * sq, sq)
         q_slot = idx % 2
         kv0_slot = 2 + q_slot
 
-        # causal upper bound over the whole superblock (last subtile)
+        # causal upper bound over the whole window (last row)
         kv_hi = kv_hi_of(b, sbi)
         num_kv_tiles = jnp.maximum((kv_hi + ck - 1) // ck, 1)
-        diag_lo0 = kv_off + sb0  # first kv position needing any mask
+        diag_lo0 = kv_off + p_base  # first kv position needing any mask
 
         m_buf[...] = jnp.full_like(m_buf, -jnp.inf)
         l_buf[...] = jnp.zeros_like(l_buf)
@@ -353,7 +384,7 @@ def _prefill_kernel(
                     rows = slice(st * tq, (st + 1) * tq)
                     diag_lo = diag_lo0 + st * tq
                     st_hi = jnp.minimum(kv_len, diag_lo + tq)
-                    st_active = (sb0 + st * tq < q_len) & (j * ck < st_hi)
+                    st_active = (p_base + st * tq < q_len) & (j * ck < st_hi)
                     whole = ((j + 1) * ck <= diag_lo + 1) & (
                         (j + 1) * ck <= kv_len
                     )
@@ -401,7 +432,7 @@ def _prefill_kernel(
 
         jax.lax.fori_loop(0, num_kv_tiles, body, (), unroll=False)
 
-        # ---- normalize and write out (one DMA for the whole superblock)
+        # ---- normalize and write out (position-corrected)
         for g in range(group):
             l = l_buf[:, g * _LANES:g * _LANES + 1]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
@@ -409,13 +440,63 @@ def _prefill_kernel(
                 acc_buf[:, g_lanes(g)] * l_inv
             ).astype(o_stage.dtype)
         lane0 = pl.multiple_of(h * group * d, group * d)
-        o_cp = pltpu.make_async_copy(
-            o_stage,
-            o_hbm_ref.at[pl.ds(row0, sq), pl.ds(lane0, group * d)],
-            o_sem,
-        )
-        o_cp.start()
-        o_cp.wait()
+
+        writes = []
+        if packed_out:
+            # tq writes straight into packed rows. For subtile st:
+            #   p0    = p_base + st*tq        (position of its first row)
+            #   dst_p = clip(p0, 0, q_len-tq) (never write past the request)
+            #   src   = clip(dst_p - p_base, 0, sq-tq)
+            # o_stage row r holds position p_base + r, so the write covers
+            # positions [p_base+src, +tq) — always position-correct, and
+            # always within [row0, row0+sq): in-bounds with no padding.
+            # With 8-aligned cu every offset here is ≡ 0 (mod 8). Straddler
+            # rewrites are idempotent; sub-tq tails spill forward onto rows
+            # the NEXT request overwrites (the grid is sequential in b).
+            regular = (q_len >= tq) | (p_base >= 0)
+            for st in range(n_tq):
+                p0 = p_base + st * tq
+                dst_p = jnp.clip(p0, 0, jnp.maximum(q_len - tq, 0))
+                src = jnp.clip(dst_p - p_base, 0, sq - tq)
+                st_act = regular & (p0 < q_len) & (p0 + tq > 0)
+                writes.append((st_act, src, row0 + src, tq))
+            # a clamp-shifted window of a sub-tq request has neither tq
+            # rows of request nor tq rows of spill room: 8-row writes
+            # (q_len ≡ 0 mod 8 under the aligned-cu contract)
+            tiny = jnp.logical_not(regular)
+            for w in range(tq // 8):
+                src = -p_base + w * 8
+                writes.append(
+                    (tiny & (w * 8 < q_len), src, row0 + src, 8)
+                )
+        else:
+            # slot writes at b*pitch + (cu[b]%8) + position: the window
+            # round-down shift and the slot shift cancel, so dst =
+            # b*pitch + sb0 + st*tq — always 8-aligned for ANY cu. Rows at
+            # positions outside [0, q_len) land on slot padding the
+            # compaction gather never reads. The wrapper pads q so the end
+            # clamp never engages (p_base = sb0 - cu[b]%8 >= sb0 - 7).
+            for st in range(n_tq):
+                p0 = p_base + st * tq
+                st_act = (p0 < q_len) & (p0 + tq > 0)
+                dst = b * pitch + sb0 + st * tq
+                writes.append((st_act, st * tq, dst, tq))
+
+        def o_copy(src, dst, rows):
+            return pltpu.make_async_copy(
+                o_stage.at[pl.ds(src, rows)],
+                o_hbm_ref.at[pl.ds(dst, rows), pl.ds(lane0, group * d)],
+                o_sem,
+            )
+
+        for st_act, src, dst, rows in writes:
+            @pl.when(st_act)
+            def _(src=src, dst=dst, rows=rows):
+                o_copy(src, dst, rows).start()
+        for st_act, src, dst, rows in writes:
+            @pl.when(st_act)
+            def _(src=src, dst=dst, rows=rows):
+                o_copy(src, dst, rows).wait()
 
 
 def _prefill_sparse_kernel(
@@ -793,15 +874,14 @@ def _prefill_sparse_pallas(
     jax.jit,
     static_argnames=(
         "tq", "n_tq", "pages_per_compute_block", "max_q_tiles",
-        "pertoken_ks", "interpret",
+        "packed_out", "pertoken_ks", "interpret",
     ),
 )
 def _prefill_pallas(
-    q_t,  # [total_q_pad, Hq*D] bf16, per-request SQ-aligned rows
+    q_rows,  # [total_rows(+pad), Hq*D] bf16 — the model's packed rows
     k_pages,  # [Hkv, nb, bs, D]
     v_pages,
-    q_starts,  # [B] int32 aligned row offsets
-    q_lens,  # [B] int32
+    cu,  # [B+1] int32 packed row offsets (cu_seqlens_q)
     kv_lens,  # [B] int32
     block_ids,  # [B, max_blocks]
     ks_dense,  # [B, Hkv, n_ck, ck] f32 (dummy [B, Hkv, 1, 128] when unused)
@@ -809,26 +889,30 @@ def _prefill_pallas(
     tq: int,
     n_tq: int,  # row subtiles per superblock (SQ = n_tq * tq)
     pages_per_compute_block: int,
-    max_q_tiles: int,  # superblocks per request slot
+    max_q_tiles: int,  # superblocks per request
+    packed_out: bool,  # True: packed-rows output (8-aligned cu contract);
+    # False: slotted output [B*(max_q_pad+8), Hq*D] for the wrapper gather
     pertoken_ks: bool = False,
     interpret: bool = False,
 ):
-    total_q_pad = q_t.shape[0]
+    total_rows = q_rows.shape[0]
     k_pages, kv_e4m3 = _kv_bits(k_pages)
     v_pages, _ = _kv_bits(v_pages)
     hkv, nb, bs, d = k_pages.shape[0], k_pages.shape[1], k_pages.shape[2], k_pages.shape[3]
     dv = v_pages.shape[-1]
     assert dv == d, "row-major prefill assumes D == Dv"
-    hq = q_t.shape[1] // d
+    hq = q_rows.shape[1] // d
     group = hq // hkv
     b = kv_lens.shape[0]
     pcb = pages_per_compute_block
     max_blocks = block_ids.shape[1]
     sq = n_tq * tq
+    pitch = max_q_tiles * sq + 8
+    out_rows = total_rows if packed_out else b * pitch
 
     n_ck, ck_s = ks_dense.shape[2], ks_dense.shape[3]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(b, hkv, max_q_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -866,15 +950,20 @@ def _prefill_pallas(
         max_blocks=max_blocks,
         group=group,
         d=d,
+        total_rows=total_rows,
+        packed_out=packed_out,
+        pitch=pitch,
         pertoken_ks=pertoken_ks,
         kv_e4m3=kv_e4m3,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((total_q_pad, hq * dv), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((out_rows, hq * dv), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # b must iterate sequentially: sub-tile write spill of request
+            # b is overwritten by request b+1's programs
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             # superblock scratch (q double-buffer + f32 acc/m/l over SQ
             # rows) plus the whole-chunk [SQ, ck] logit arrays exceed the
             # 16MB default scoped-vmem limit; v5e has 128MB physical VMEM
@@ -882,11 +971,10 @@ def _prefill_pallas(
         ),
         interpret=interpret,
     )(
-        q_starts,
-        q_lens,
+        cu,
         kv_lens,
         jnp.pad(block_ids.reshape(-1), (0, pcb)),
-        q_t,
+        q_rows,
         k_pages,
         v_pages,
         ks_dense,
@@ -1162,6 +1250,7 @@ def attention_with_kvcache_prefill(
     pages_per_compute_block: int | None = None,
     cache_layout: str = "NHD",
     impl: str = "auto",
+    aligned_seq_starts: bool = False,
 ):
     """Paged-cache varlen prefill (reference ops #2-#4). Returns bf16
     [total_q, Hq, Dv].
@@ -1172,6 +1261,12 @@ def attention_with_kvcache_prefill(
     with cache_layout="NHD_FUSED" and vcache=None — the serving engine's
     quantized layout, read in place by an all-heads kernel with no cache
     repack). block_mask enables the block-sparse path.
+
+    aligned_seq_starts: caller asserts EVERY cu_seqlens_q entry (incl. the
+    last) is a multiple of 8 — the serving engine's packing contract. The
+    dense kernel then reads q and writes o directly in packed rows with
+    zero wrapper passes. With the default False, arbitrary cu is handled
+    via slotted kernel output + one compaction gather.
     """
     if tq is None:
         # sparse requires q-tile == mask tile; dense long prefills run
@@ -1287,58 +1382,127 @@ def attention_with_kvcache_prefill(
         qb = q
         kernel_scale = jnp.full((1, 1), scale_log2, jnp.float32)
 
-    # Repack rows so every request starts at an aligned row (HBM slice
-    # offsets must be sublane-tile aligned for the in-kernel DMAs). Each
-    # request gets a fixed max_q_pad slot filled by one contiguous
-    # dynamic_slice — an XLA scatter here costs ~40ms on an 8K prefill,
-    # ~100x the copies.
     cu = cu_seqlens_q.astype(jnp.int32)
     q_lens = cu[1:] - cu[:-1]
+
+    def fold_vscale(out):
+        if is_fp8 and vscale is not None:
+            vs = vscale.astype(jnp.float32).reshape(-1)
+            if vs.shape[0] == 1:
+                return (out.astype(jnp.float32) * vs[0]).astype(jnp.bfloat16)
+            # QuantType-0 per-kv-head V scale: out = P @ (V_fp8 * vs[h]) =
+            # (P @ V_fp8) * vs[h] — exact, folded per q-head group
+            vs_q = jnp.repeat(vs, hq // hkv)  # [Hq]
+            return (out.astype(jnp.float32) * vs_q[None, :, None]).astype(
+                jnp.bfloat16
+            )
+        return out
+
+    # ---- dense path: the kernel reads q DIRECTLY from the packed
+    # [total_q, Hq*D] rows (window starts rounded down to the sublane
+    # tile, writes position-corrected) — no slot repack. With 8-aligned
+    # request starts (aligned_seq_starts=True, the serving engine's
+    # packing contract) there are ZERO wrapper passes; otherwise the
+    # kernel writes 8-aligned slots and ONE gather compacts them.
     if not (sparse or fused_nhd):
-        # dense kernel: superblock of SQ = n_tq*tq rows per program — KV is
-        # DMA'd once per superblock and shared by all n_tq row subtiles,
-        # and per-program fixed cost amortizes over n_tq tiles. n_tq sized
-        # to the VMEM budget: per row, q double-buffer (4*GD B) + scaled q
-        # (2*GD) + f32 acc (4*GD) + o staging (2*GD) + f32 m/l (1024*G).
-        group_ = q.shape[1] // hkv
-        group_d = group_ * d
-        row_bytes = 12 * group_d + 1024 * group_
+        # superblock sizing: per row, q double-buffer (4*GD B) + scaled q
+        # (2*GD) + f32 acc (4*GD) + o staging (2*GD) + f32 m/l (1024*G)
+        group_ = hq // hkv
+        row_bytes = 12 * group_ * d + 1024 * group_
         budget = 11 << 20  # leave ~3MB for the KV slabs + compiler slack
         n_tq = max(1, min(8, budget // (row_bytes * tq)))
-        n_tq = min(n_tq, cdiv(int(max_seqlens_q), tq))
+        n_tq = min(n_tq, cdiv(int(max_seqlens_q), tq), max(total_q // tq, 1))
         sq_blk = n_tq * tq
-        max_q_pad = round_up(int(max_seqlens_q), sq_blk)
-    else:
-        n_tq = 1
-        sq_blk = tq
-        max_q_pad = round_up(int(max_seqlens_q), tq)
+        max_q_tiles = cdiv(int(max_seqlens_q), sq_blk)
+        pitch = max_q_tiles * sq_blk + 8
+        page_size = k_pages.shape[2]
+        if pages_per_compute_block is None:
+            # Large KV chunks keep the MXU fed: 2048-token chunks more
+            # than double measured prefill TFLOPs at 8K-32K contexts vs
+            # 256-token chunks (v5e: 37 -> 96 TFLOP/s at 32K). With a
+            # multi-tile superblock resident (n_tq >= 2) the chunk drops
+            # to 1024 cols to keep K+V slabs + row scratch inside the
+            # VMEM budget.
+            chunk_cols = 1024 if n_tq >= 2 else 2048
+            pages_per_compute_block = max(
+                1, min(chunk_cols // page_size, block_ids.shape[1])
+            )
+
+        def gather_ks_dense(pcb_):
+            if not pertoken_fast:
+                return jnp.zeros((b, hkv, 1, 128), jnp.float32)
+            ck_ = pcb_ * page_size
+            n_ck = cdiv(block_ids.shape[1], pcb_)
+            ks = kscale.astype(jnp.float32).reshape(
+                k_pages.shape[1], page_size, hkv
+            )
+            tbl = jnp.maximum(block_ids.astype(jnp.int32), 0)
+            ks_g = ks[tbl]  # [B, max_blocks, bs, Hkv]
+            ks_d = jnp.transpose(ks_g, (0, 3, 1, 2)).reshape(
+                b, hkv, block_ids.shape[1] * page_size
+            )
+            pad_ = n_ck * ck_ - ks_d.shape[-1]
+            if pad_:
+                ks_d = jnp.pad(ks_d, ((0, 0), (0, 0), (0, pad_)))
+            return ks_d.reshape(b, hkv, n_ck, ck_)
+
+        # the QKV projection's native output IS 2D rows; for the 3D public
+        # input this reshape is one relayout pass (rows-native callers use
+        # attention_prefill_rows and skip it)
+        qb_rows = qb.reshape(total_q, hq * d)
+        packed = aligned_seq_starts and total_q >= tq and total_q % 8 == 0
+        if not packed:
+            # pad q so clamp-free slotted windows never overhang the array
+            qb_rows = jnp.pad(qb_rows, ((0, sq_blk), (0, 0)))
+        o_rows = _prefill_pallas(
+            qb_rows,
+            k_pages,
+            v_pages,
+            cu,
+            seqlens_kvcache.astype(jnp.int32),
+            jnp.maximum(block_ids.astype(jnp.int32), 0),
+            gather_ks_dense(pages_per_compute_block),
+            kernel_scale,
+            tq,
+            n_tq,
+            pages_per_compute_block,
+            max_q_tiles,
+            packed_out=packed,
+            pertoken_ks=pertoken_fast,
+            interpret=interpret_default(),
+        )
+        if not packed:
+            # compact slots -> packed rows: position p of request r lives
+            # at slot row r*pitch + (cu[r]%8) + p (the kernel's window
+            # round-down shift and the slot shift cancel)
+            prow = jnp.arange(total_q, dtype=jnp.int32)
+            preq = jnp.minimum(
+                jnp.searchsorted(cu[1:], prow, side="right").astype(
+                    jnp.int32
+                ),
+                b - 1,
+            )
+            psrc = preq * pitch + (cu[preq] % 8) + (prow - cu[preq])
+            o_rows = jnp.take(o_rows, psrc, axis=0)
+        out = o_rows.reshape(total_q, hq, o_rows.shape[-1] // hq)
+        return fold_vscale(out)
+
+    # ---- sparse / NHD_FUSED paths: head-major slot repack (these kernels
+    # read per-head [Hq, rows, D] tiles)
+    n_tq = 1
+    sq_blk = tq
+    max_q_pad = round_up(int(max_seqlens_q), tq)
     total_q_pad = b * max_q_pad
     q_starts = jnp.arange(b, dtype=jnp.int32) * max_q_pad
-    if sparse or fused_nhd:
-        # head-major layout for the sparse / all-heads kernels
-        qT = jnp.transpose(qb, (1, 0, 2))
-        qT = jnp.pad(qT, ((0, 0), (0, max_q_pad), (0, 0)))
-        q_t = jnp.concatenate(
-            [
-                jax.lax.dynamic_slice(qT, (0, cu[i], 0), (hq, max_q_pad, d))
-                for i in range(b)
-            ],
-            axis=1,
-        )
-    else:
-        # dense kernel reads q in row-major [rows, Hq*D] layout (per-group
-        # lane-slice DMAs in-kernel). Slot rows via ONE row gather (plus
-        # the unavoidable 3D->2D relayout): the former pad + per-request
-        # dynamic_update_slice chain cost ~3 extra full passes over q
-        # (~1.1ms at 16K rows — the XProf-largest wrapper fusions).
-        # Padding rows clamp to row total_q-1: their outputs are garbage
-        # and are dropped by the output compaction.
-        slot_row = jnp.arange(total_q_pad, dtype=jnp.int32)
-        req_i = slot_row // max_q_pad
-        src = jnp.minimum(
-            cu[req_i] + slot_row % max_q_pad, jnp.int32(total_q - 1)
-        )
-        q_rows = jnp.take(qb, src, axis=0).reshape(total_q_pad, hq * d)
+    qT = jnp.transpose(qb, (1, 0, 2))
+    qT = jnp.pad(qT, ((0, 0), (0, max_q_pad), (0, 0)))
+    q_t = jnp.concatenate(
+        [
+            jax.lax.dynamic_slice(qT, (0, cu[i], 0), (hq, max_q_pad, d))
+            for i in range(b)
+        ],
+        axis=1,
+    )
 
     page_size = bs_f if fused_nhd else k_pages.shape[2]
     if pages_per_compute_block is None:
@@ -1347,25 +1511,16 @@ def attention_with_kvcache_prefill(
             # ANY of their pages is kept, which destroys the skip ratio
             pages_per_compute_block = max(mask_tile_kv // page_size, 1)
         else:
-            # Large KV chunks keep the MXU fed: 2048-token chunks more than
-            # double measured prefill TFLOPs at 8K-32K contexts vs 256-token
-            # chunks (v5e: 37 -> 96 TFLOP/s at 32K). Clamped to the table so
-            # short sequences don't pay causal over-read. With a multi-tile
-            # superblock resident (n_tq >= 2) the chunk drops to 1024 cols
-            # to keep K+V slabs + row scratch inside the VMEM budget (the
-            # superblock already supplies the arithmetic intensity).
-            chunk_cols = 1024 if n_tq >= 2 else 2048
             pages_per_compute_block = max(
-                1, min(chunk_cols // page_size, block_ids.shape[1])
+                1, min(2048 // page_size, block_ids.shape[1])
             )
-            if fused_nhd:
-                # slabs carry ALL heads: cap the double buffer at ~2MB
-                slab = kcache.shape[1] * kcache.shape[2] * kcache.dtype.itemsize
-                pages_per_compute_block = max(
-                    1, min(pages_per_compute_block, (1 << 20) // slab)
-                )
+            # fused slabs carry ALL heads: cap the double buffer at ~2MB
+            slab = kcache.shape[1] * kcache.shape[2] * kcache.dtype.itemsize
+            pages_per_compute_block = max(
+                1, min(pages_per_compute_block, (1 << 20) // slab)
+            )
 
-    max_q_tiles = max_q_pad // sq_blk  # superblocks (dense) / q tiles (rest)
+    max_q_tiles = max_q_pad // sq_blk  # q tiles per request slot
     max_blocks_tbl = block_ids.shape[1]
 
     def gather_ks(pcb_):
@@ -1474,62 +1629,18 @@ def attention_with_kvcache_prefill(
             max_q_tiles,
             interpret=interpret_default(),
         )
-    else:
-        o_rows = _prefill_pallas(
-            q_rows,
-            k_pages,
-            v_pages,
-            q_starts,
-            q_lens,
-            seqlens_kvcache.astype(jnp.int32),
-            jnp.maximum(block_ids.astype(jnp.int32), 0),
-            gather_ks(pages_per_compute_block),
-            kernel_scale,
-            tq,
-            n_tq,
-            pages_per_compute_block,
-            max_q_tiles,
-            pertoken_ks=pertoken_fast,
-            interpret=interpret_default(),
+    # Compact per-request slots back to packed rows with contiguous
+    # dynamic_update_slices (ascending i: each write covers the previous
+    # slot's garbage tail; the extension row absorbs the last one's).
+    dv_out = o_t.shape[-1]
+    o_ext = jnp.zeros((hq, total_q + max_q_pad, dv_out), o_t.dtype)
+    for i in range(b):
+        blk = jax.lax.dynamic_slice(
+            o_t, (0, i * max_q_pad, 0), (hq, max_q_pad, dv_out)
         )
-    if sparse or fused_nhd:
-        # Compact per-request slots back to packed rows with contiguous
-        # dynamic_update_slices (ascending i: each write covers the previous
-        # slot's garbage tail; the extension row absorbs the last one's).
-        dv_out = o_t.shape[-1]
-        o_ext = jnp.zeros((hq, total_q + max_q_pad, dv_out), o_t.dtype)
-        for i in range(b):
-            blk = jax.lax.dynamic_slice(
-                o_t, (0, i * max_q_pad, 0), (hq, max_q_pad, dv_out)
-            )
-            o_ext = jax.lax.dynamic_update_slice(o_ext, blk, (0, cu[i], 0))
-        out = jnp.transpose(o_ext[:, :total_q], (1, 0, 2))
-    else:
-        # compact slots -> packed rows with one row gather (the inverse
-        # permutation of the q-side slotting)
-        hd_out = o_rows.shape[-1]
-        prow = jnp.arange(total_q, dtype=jnp.int32)
-        preq = jnp.minimum(
-            jnp.searchsorted(cu[1:], prow, side="right").astype(jnp.int32),
-            b - 1,
-        )
-        psrc = preq * max_q_pad + (prow - cu[preq])
-        out = jnp.take(o_rows, psrc, axis=0).reshape(
-            total_q, hq, hd_out // hq
-        )
-    if is_fp8 and vscale is not None:
-        vs = vscale.astype(jnp.float32).reshape(-1)
-        if vs.shape[0] == 1:
-            out = (out.astype(jnp.float32) * vs[0]).astype(jnp.bfloat16)
-        else:
-            # QuantType-0 per-kv-head V scale: out = P @ (V_fp8 * vs[h]) =
-            # (P @ V_fp8) * vs[h] — exact, folded per q-head group
-            group_ = hq // hkv
-            vs_q = jnp.repeat(vs, group_)  # [Hq]
-            out = (out.astype(jnp.float32) * vs_q[None, :, None]).astype(
-                jnp.bfloat16
-            )
-    return out
+        o_ext = jax.lax.dynamic_update_slice(o_ext, blk, (0, cu[i], 0))
+    out = jnp.transpose(o_ext[:, :total_q], (1, 0, 2))
+    return fold_vscale(out)
 
 
 def attention_with_kvcache_prefill_bf16(
