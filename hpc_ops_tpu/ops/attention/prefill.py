@@ -160,7 +160,11 @@ def _prefill_kernel(
     row0 = row0_of(b, sbi)
     p_base = row0 - q_start  # position of window row 0 (may be < 0)
 
-    tile_active = sb0 < q_len
+    # slotted windows start up to 7 rows below cu[b], so a request whose
+    # last rows fall in the NEXT superblock (q_len <= sb0 < q_len + shift)
+    # still needs that superblock computed; packed mode has no shift
+    slack = 0 if packed_out else 7
+    tile_active = sb0 < q_len + slack
 
     def q_copies(bb, hh, ss, slot):
         # ONE DMA fetches a superblock's q for all G heads of its kv group
@@ -179,14 +183,15 @@ def _prefill_kernel(
             )
         ]
 
-    def start_kv(bb, hh, j, slot, hi):
+    def start_kv(bb, hh, j, slot):
         # whole chunks are fetched: boundary compute sweeps the full chunk
         # under the causal mask, so every column must hold REAL page data
         # (stale VMEM under a masked column would feed the PV dot
         # 0 * NaN = NaN). The block table is padded/clamped so every
-        # fetched page id is valid; bytes wasted <= one partial chunk per
-        # superblock.
-        nv = pcb
+        # fetched page id is valid (bytes wasted <= one partial chunk per
+        # superblock), and num_valid=None takes MultiPageCopy's
+        # unpredicated fast path.
+        nv = None
         kc = MultiPageCopy(
             k_pages_ref,
             k_buf,
@@ -231,11 +236,11 @@ def _prefill_kernel(
         nh = nbh % n_hkv
         nb2 = nbh // n_hkv
 
-        @pl.when(nt * sq < cu_ref[nb2 + 1] - cu_ref[nb2])
+        @pl.when(nt * sq < cu_ref[nb2 + 1] - cu_ref[nb2] + slack)
         def _():
             for cp in q_copies(nb2, nh, nt, nidx % 2):
                 cp.start()
-            kc, vc = start_kv(nb2, nh, 0, 2 + nidx % 2, kv_hi_of(nb2, nt))
+            kc, vc = start_kv(nb2, nh, 0, 2 + nidx % 2)
             kc.start()
             vc.start()
 
@@ -244,7 +249,7 @@ def _prefill_kernel(
     def _():
         for cp in q_copies(b, h, sbi, 0):
             cp.start()
-        kc, vc = start_kv(b, h, 0, 2, kv_hi_of(b, sbi))
+        kc, vc = start_kv(b, h, 0, 2)
         kc.start()
         vc.start()
 
@@ -270,13 +275,12 @@ def _prefill_kernel(
             q_bufs[q_slot].astype(jnp.float32) * scale_ref[0, 0]
         ).astype(jnp.bfloat16)
 
-        # hoisted mask geometry: dmat[r, c] = c - r is loop-invariant; a
-        # masked chunk then costs ONE compare against a per-(chunk, st)
-        # scalar + one select per head (vs 2 iotas + 2 compares + and +
-        # select)
-        dmat = jax.lax.broadcasted_iota(
-            jnp.int32, (tq, ck), 1
-        ) - jax.lax.broadcasted_iota(jnp.int32, (tq, ck), 0)
+        # hoisted mask geometry: dmat[r, c] = c - r is loop-invariant over
+        # the WHOLE superblock; a masked chunk then costs ONE compare
+        # against a per-chunk scalar + one select per head
+        dmat_sq = jax.lax.broadcasted_iota(
+            jnp.int32, (sq, ck), 1
+        ) - jax.lax.broadcasted_iota(jnp.int32, (sq, ck), 0)
 
         def g_lanes(g):
             return slice(g * d, (g + 1) * d)
@@ -342,11 +346,11 @@ def _prefill_kernel(
 
             @pl.when(j + 1 < num_kv_tiles)
             def _():
-                kc, vc = start_kv(b, h, j + 1, (j + 1) % 2, kv_hi)
+                kc, vc = start_kv(b, h, j + 1, (j + 1) % 2)
                 kc.start()
                 vc.start()
 
-            kc, vc = start_kv(b, h, j, slot, kv_hi)
+            kc, vc = start_kv(b, h, j, slot)
             kc.wait()
             vc.wait()
 
@@ -367,54 +371,29 @@ def _prefill_kernel(
                 else:
                     group_sweep(qall, k, v, lambda s: s, rows, sq)
 
-            def boundary_subtiles():
-                # STATIC per-subtile loop, whole-chunk sweeps: each (chunk,
-                # st) pair is one straight-line block of G dot+softmax
-                # chains over [tq, ck] — the former skv-column regime loop
-                # emitted 8+ tiny pl.when blocks per chunk, and Mosaic
-                # cannot overlap MXU/VPU across block boundaries (measured:
-                # boundary-dominated b8_2k ran at 31% vs 78% for the
-                # straight-line interior path). The causal over-compute
-                # (masked columns past the diagonal, <= ck-1 per subtile)
-                # is paid on the MXU, which those blocks were idling.
+            def boundary_all():
+                # ONE masked whole-superblock sweep (round 5): at ck == SQ
+                # this is MAC-identical to the former per-subtile loop but
+                # emits G straight-line dot+softmax chains instead of
+                # n_tq*G pl.when blocks — Mosaic cannot overlap MXU/VPU
+                # across block boundaries, and at batch-prefill shapes
+                # (b8_2k) nearly every chunk straddles the diagonal.
+                # qpos = diag_lo0 + r, kpos = j*ck + c, so causality is
+                # dmat_sq = c - r <= diag_lo0 - j*ck: one compare against a
+                # scalar. The kv_len bound is implied for real rows
+                # (qpos < kv_len); window rows outside [0, q_len) attend
+                # garbage but their outputs are never read back.
                 k = _upk(k_buf[slot].reshape(ck, d), kv_e4m3)
                 v = _upk(v_buf[slot].reshape(ck, d), kv_e4m3)
                 ks_row = ks_ref[0, 0, j][None, :] if pertoken_ks else None
-                for st in range(n_tq):
-                    rows = slice(st * tq, (st + 1) * tq)
-                    diag_lo = diag_lo0 + st * tq
-                    st_hi = jnp.minimum(kv_len, diag_lo + tq)
-                    st_active = (p_base + st * tq < q_len) & (j * ck < st_hi)
-                    whole = ((j + 1) * ck <= diag_lo + 1) & (
-                        (j + 1) * ck <= kv_len
-                    )
+                thresh = diag_lo0 - j * ck
 
-                    def masked_post(s, diag_lo=diag_lo):
-                        # qpos = diag_lo + r, kpos = j*ck + c:
-                        # kpos <= qpos <=> dmat = c - r <= diag_lo - j*ck.
-                        # The kv_len bound is implied for real rows
-                        # (qpos < kv_len); padding rows past q_len attend
-                        # garbage but their outputs are never read back.
-                        if pertoken_ks:
-                            s = s * ks_row
-                        return jnp.where(
-                            dmat <= (diag_lo - j * ck), s, MASK_VALUE
-                        )
+                def masked_post(s):
+                    if pertoken_ks:
+                        s = s * ks_row
+                    return jnp.where(dmat_sq <= thresh, s, MASK_VALUE)
 
-                    def plain_post(s):
-                        return s * ks_row if pertoken_ks else s
-
-                    @pl.when(st_active & whole)
-                    def _(rows=rows):
-                        group_sweep(
-                            qs_buf[rows, :], k, v, plain_post, rows, tq
-                        )
-
-                    @pl.when(st_active & jnp.logical_not(whole))
-                    def _(rows=rows, masked_post=masked_post):
-                        group_sweep(
-                            qs_buf[rows, :], k, v, masked_post, rows, tq
-                        )
+                group_sweep(qs_buf[...], k, v, masked_post, slice(None), sq)
 
             chunk_interior = ((j + 1) * ck <= diag_lo0 + 1) & (
                 (j + 1) * ck <= kv_len
@@ -426,7 +405,7 @@ def _prefill_kernel(
 
             @pl.when(jnp.logical_not(chunk_interior))
             def _():
-                boundary_subtiles()
+                boundary_all()
 
             return ()
 
@@ -1265,9 +1244,25 @@ def attention_with_kvcache_prefill(
     aligned_seq_starts: caller asserts EVERY cu_seqlens_q entry (incl. the
     last) is a multiple of 8 — the serving engine's packing contract. The
     dense kernel then reads q and writes o directly in packed rows with
-    zero wrapper passes. With the default False, arbitrary cu is handled
-    via slotted kernel output + one compaction gather.
+    zero wrapper passes. Violating the contract SILENTLY CORRUPTS output
+    (unaligned DMA row offsets, straddler spills across requests); when
+    cu_seqlens_q is a concrete (non-traced) array the contract is checked
+    eagerly here. With the default False, arbitrary cu is handled via
+    slotted kernel output + one compaction gather.
     """
+    if aligned_seq_starts and not isinstance(
+        cu_seqlens_q, jax.core.Tracer
+    ):
+        import numpy as _np
+
+        _cu = _np.asarray(cu_seqlens_q)
+        if (_cu % 8).any():
+            raise ValueError(
+                "aligned_seq_starts=True requires every cu_seqlens_q entry "
+                f"to be a multiple of 8, got {_cu.tolist()} — unaligned "
+                "starts silently corrupt packed-row writes; pass "
+                "aligned_seq_starts=False for arbitrary packing"
+            )
     if tq is None:
         # sparse requires q-tile == mask tile; dense long prefills run
         # tq=256 — each q tile streams the whole KV prefix, so doubling tq
@@ -1413,7 +1408,14 @@ def attention_with_kvcache_prefill(
         n_tq = max(1, min(8, budget // (row_bytes * tq)))
         n_tq = min(n_tq, cdiv(int(max_seqlens_q), tq), max(total_q // tq, 1))
         sq_blk = n_tq * tq
-        max_q_tiles = cdiv(int(max_seqlens_q), sq_blk)
+        # slotted windows start up to 7 rows below cu[b] (round-down to the
+        # sublane tile), so superblock coverage must extend 7 rows past
+        # max_seqlens_q or a request ending exactly at a superblock
+        # boundary leaves its last (cu[b] % 8) rows unwritten
+        packed = aligned_seq_starts and total_q >= tq and total_q % 8 == 0
+        max_q_tiles = cdiv(
+            int(max_seqlens_q) + (0 if packed else 7), sq_blk
+        )
         pitch = max_q_tiles * sq_blk + 8
         page_size = k_pages.shape[2]
         if pages_per_compute_block is None:
@@ -1446,11 +1448,10 @@ def attention_with_kvcache_prefill(
                 ks_d = jnp.pad(ks_d, ((0, 0), (0, 0), (0, pad_)))
             return ks_d.reshape(b, hkv, n_ck, ck_)
 
-        # the QKV projection's native output IS 2D rows; for the 3D public
-        # input this reshape is one relayout pass (rows-native callers use
-        # attention_prefill_rows and skip it)
+        # the QKV projection's native output IS 2D rows; for the 3D
+        # public input this reshape is one relayout pass (the serving
+        # engine feeds 2D rows to _prefill_pallas via this same wrapper)
         qb_rows = qb.reshape(total_q, hq * d)
-        packed = aligned_seq_starts and total_q >= tq and total_q % 8 == 0
         if not packed:
             # pad q so clamp-free slotted windows never overhang the array
             qb_rows = jnp.pad(qb_rows, ((0, sq_blk), (0, 0)))

@@ -25,8 +25,10 @@ import jax.numpy as jnp
 
 from hpc_ops_tpu.ops.activation import act_mul_and_quant, act_mul_and_quant_ref
 from hpc_ops_tpu.ops.group_gemm import (
+    _bw_scatter_tiles,
     _flat_tiles,
     _gg_blockwise_pallas,
+    _gg_bw_scatter_pallas,
     gg_blockwise_prescale_aligned,
     _gg_pertensor_pallas,
     _gg_scatter_pallas,
@@ -410,7 +412,7 @@ def fuse_moe_blockwise_fp8(
     shared_output=None,
     *,
     num_seq_per_group_avg: int = 32,
-    scheme: str = "prescale",
+    scheme: str = "scatter",
 ):
     """Blockwise-scale FP8 fused MoE forward.
 
@@ -419,10 +421,17 @@ def fuse_moe_blockwise_fp8(
     down_weight_scale: [E_local, H//128, ceil(I/128) pad4].
     Returns [S, H] bf16.
 
-    ``scheme``: "prescale" (default, the fast path — blockwise scales
-    folded into bf16 operands, see group_gemm._gg_bw_prescale_kernel) or
-    "fp8" (in-kernel factored operand scaling).
+    ``scheme``: "scatter" (default, the fast path — in-kernel row gather
+    + wide bf16 dots with both scale sets folded into operands, see
+    group_gemm._gg_bw_scatter_kernel), "prescale" (round-2 aligned-rows
+    path) or "fp8" (in-kernel factored operand scaling).
     """
+    if scheme == "scatter":
+        return _fuse_moe_blockwise_scatter(
+            x, x_scale, gate_up_weight, gate_up_weight_scale, down_weight,
+            down_weight_scale, topk_ids, topk_scale, rank_ep, shared_output,
+            num_seq_per_group_avg, quant=blockwise_fp8_quant,
+        )
     e_local = gate_up_weight.shape[0]
     h = x.shape[1]
     interm2 = gate_up_weight.shape[1]
@@ -463,6 +472,46 @@ def fuse_moe_blockwise_fp8(
     return reduce(down, g.topk_pos, topk_scale, shared_output)
 
 
+def _fuse_moe_blockwise_scatter(
+    x, x_scale, gate_up_weight, gate_up_weight_scale, down_weight,
+    down_weight_scale, topk_ids, topk_scale, rank_ep, shared_output,
+    num_seq_per_group_avg, quant,
+):
+    """Round-5 blockwise pipeline on the scatter grouped GEMM (see
+    group_gemm._gg_bw_scatter_kernel): routing builds only an index
+    vector, both GEMMs gather/consume tile-aligned rows in-kernel — the
+    round-2 path's XLA token scatter (~330us at 1K tokens) and x-scale
+    alignment passes are gone."""
+    e_local = gate_up_weight.shape[0]
+    h = x.shape[1]
+    interm = gate_up_weight.shape[1] // 2
+    interp = interpret_default()
+    tm0 = _pick_tm(num_seq_per_group_avg, h)
+    # one tm must satisfy BOTH GEMMs' VMEM budgets (rows are tile-aligned
+    # once, at routing)
+    tm_a, tn_gu = _bw_scatter_tiles(tm0, 256, h, gate_up_weight.shape[1])
+    tm_b, tn_dn = _bw_scatter_tiles(tm0, 256, interm, down_weight.shape[1])
+    tm = min(tm_a, tm_b)
+    row_idx, topk_pos, seqlens, cu, tiles, cu_tiles, grp = _route_aligned(
+        topk_ids, e_local, rank_ep, tm
+    )
+    nvt = cu_tiles[-1]
+    gate_up = _gg_bw_scatter_pallas(
+        x, gate_up_weight, x_scale, gate_up_weight_scale, row_idx, grp,
+        tm, tn_gu, num_valid_tiles=nvt, interpret=interp,
+    )[:, :gate_up_weight.shape[1]]
+    gate = gate_up[:, :interm].astype(jnp.float32)
+    up = gate_up[:, interm:].astype(jnp.float32)
+    act = gate * jax.nn.sigmoid(gate) * up
+    down_in, down_in_scale = quant(act)
+    ident = jnp.arange(row_idx.shape[0], dtype=jnp.int32)
+    down = _gg_bw_scatter_pallas(
+        down_in, down_weight, down_in_scale + 1e-8, down_weight_scale,
+        ident, grp, tm, tn_dn, num_valid_tiles=nvt, interpret=interp,
+    )[:, :down_weight.shape[1]]
+    return reduce(down, topk_pos, topk_scale, shared_output)
+
+
 def fuse_moe_blockwise(x, x_scale, *args, **kw):
     """Reference alias (hpc/fuse_moe.py:232)."""
     return fuse_moe_blockwise_fp8(x, x_scale, *args, **kw)
@@ -482,7 +531,7 @@ def fuse_moe_blockwise_int8(
     shared_output=None,
     *,
     num_seq_per_group_avg: int = 32,
-    scheme: str = "prescale",
+    scheme: str = "scatter",
 ):
     """Blockwise-scale INT8 fused MoE forward (TPU-native extension).
 
@@ -498,6 +547,12 @@ def fuse_moe_blockwise_int8(
     """
     from hpc_ops_tpu.ops.quant import blockwise_int8_quant
 
+    if scheme == "scatter":
+        return _fuse_moe_blockwise_scatter(
+            x, x_scale, gate_up_weight, gate_up_weight_scale, down_weight,
+            down_weight_scale, topk_ids, topk_scale, rank_ep, shared_output,
+            num_seq_per_group_avg, quant=blockwise_int8_quant,
+        )
     e_local = gate_up_weight.shape[0]
     h = x.shape[1]
     interm2 = gate_up_weight.shape[1]

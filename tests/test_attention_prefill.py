@@ -1,5 +1,12 @@
 """Tests for varlen prefill attention (reference: tests/test_attention_prefill_bf16.py,
-test_attention_with_kvcache_prefill_bf16.py, fp8 variants)."""
+test_attention_with_kvcache_prefill_bf16.py, fp8 variants).
+
+Tolerance note: the Pallas kernel runs softmax in the log2 domain with a
+bf16 exp2 argument (prefill.py softmax_part) — logits far below the row
+max carry ~|arg|*2^-8 argument-rounding error, i.e. a few % relative on
+small probabilities (measured max ~2e-3 vs the f32 oracle at bf16 I/O).
+The 4e-2 atol/rtol used here covers that deliberate deviation on top of
+ordinary bf16 I/O rounding."""
 
 import jax
 import jax.numpy as jnp
@@ -454,3 +461,98 @@ def test_paged_prefill_nhd_fused_int8():
         np.asarray(out, np.float32), np.asarray(want, np.float32),
         atol=6e-2, rtol=6e-2, name="nhd_fused_prefill_int8",
     )
+
+
+# ---------------------------------------------------------------------------
+# Property sweep for the packed-out (aligned_seq_starts=True) write plumbing
+# (prefill.py _prefill_kernel packed writes): end-of-array clamp, tiny
+# sub-tq requests, straddler spill-forward rewrites, non-uniform 8-aligned
+# lens. The slotted path sweeps arbitrary (mod-8) cu alignments.
+# ---------------------------------------------------------------------------
+
+
+def _run_prefill_case(q_lens, kv_extra, tq, n_tq_hint=None, aligned=False,
+                      seed=7):
+    rng = np.random.RandomState(seed)
+    hq, hkv, d, bs = 4, 2, 128, 16
+    kv_lens = [q + e for q, e in zip(q_lens, kv_extra)]
+    total_q = sum(q_lens)
+    q = rng.randn(total_q, hq, d).astype(np.float32)
+    ks = [rng.randn(L, hkv, d).astype(np.float32) for L in kv_lens]
+    vs = [rng.randn(L, hkv, d).astype(np.float32) for L in kv_lens]
+    q_bf = jnp.asarray(q, jnp.bfloat16)
+    q = np.asarray(q_bf, np.float32)
+    ks = [np.asarray(jnp.asarray(k, jnp.bfloat16), np.float32) for k in ks]
+    vs = [np.asarray(jnp.asarray(v, jnp.bfloat16), np.float32) for v in vs]
+    want = np_varlen_attn(q, ks, vs, q_lens, kv_lens, hkv)
+    kcache, vcache, block_ids = build_paged(ks, vs, bs, seed=seed)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(q_lens)]), jnp.int32)
+    out = attention_with_kvcache_prefill(
+        q_bf,
+        jnp.asarray(kcache, jnp.bfloat16),
+        jnp.asarray(vcache, jnp.bfloat16),
+        cu_q,
+        jnp.asarray(block_ids),
+        jnp.asarray(kv_lens, jnp.int32),
+        max(q_lens),
+        tq=tq,
+        aligned_seq_starts=aligned,
+    )
+    assert_allclose(
+        np.asarray(out, np.float32), want, atol=4e-2, rtol=4e-2,
+        name=f"prefill_{'aligned' if aligned else 'slotted'}_{q_lens}",
+    )
+
+
+@pytest.mark.parametrize(
+    "q_lens,kv_extra",
+    [
+        # straddler: second request shorter than the superblock; the write
+        # back-off must end exactly at q_len with idempotent rewrites
+        ([256, 64], [0, 0]),
+        # tiny first request, long second (end clamp never engages)
+        ([64, 256], [0, 0]),
+        # sub-8-tile tail: 8-row fallback writes under the end clamp
+        ([128, 8], [0, 0]),
+        # non-tq-multiple 8-aligned lens with kv history (chunked prefill)
+        ([136, 264], [64, 24]),
+        # single tiny aligned request (total_q < tq -> wrapper pads)
+        ([16], [0]),
+        # three requests, mixed sub/super-tq, all 8-aligned
+        ([8, 192, 72], [0, 32, 0]),
+    ],
+)
+def test_packed_out_aligned_sweep(q_lens, kv_extra):
+    _run_prefill_case(q_lens, kv_extra, tq=64, aligned=True)
+
+
+@pytest.mark.parametrize("shift", [1, 3, 7])
+def test_slotted_cu_alignment_sweep(shift):
+    """Arbitrary (unaligned) cu offsets: first request length ≡ shift mod 8
+    exercises every window round-down + slot-shift cancellation path."""
+    _run_prefill_case([shift + 48, 64, 24], [0, 16, 0], tq=64, aligned=False)
+
+
+def test_packed_out_matches_slotted():
+    """The two write paths must agree bit-for-bit on an aligned batch."""
+    rng = np.random.RandomState(13)
+    hq, hkv, d, bs = 4, 2, 128, 16
+    q_lens = [128, 64, 256]
+    kv_lens = [192, 64, 280]
+    total_q = sum(q_lens)
+    q_bf = jnp.asarray(rng.randn(total_q, hq, d), jnp.bfloat16)
+    ks = [rng.randn(L, hkv, d).astype(np.float32) for L in kv_lens]
+    vs = [rng.randn(L, hkv, d).astype(np.float32) for L in kv_lens]
+    kcache, vcache, block_ids = build_paged(ks, vs, bs, seed=13)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(q_lens)]), jnp.int32)
+    args = (
+        jnp.asarray(kcache, jnp.bfloat16),
+        jnp.asarray(vcache, jnp.bfloat16),
+        cu_q,
+        jnp.asarray(block_ids),
+        jnp.asarray(kv_lens, jnp.int32),
+        max(q_lens),
+    )
+    a = attention_with_kvcache_prefill(q_bf, *args, tq=64, aligned_seq_starts=True)
+    b = attention_with_kvcache_prefill(q_bf, *args, tq=64, aligned_seq_starts=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
