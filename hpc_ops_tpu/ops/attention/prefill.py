@@ -393,7 +393,46 @@ def _prefill_kernel(
                         s = s * ks_row
                     return jnp.where(dmat_sq <= thresh, s, MASK_VALUE)
 
-                group_sweep(qs_buf[...], k, v, masked_post, slice(None), sq)
+                def masked_post_rows(s, r0, nrows):
+                    if pertoken_ks:
+                        s = s * ks_row[:, :s.shape[1]]
+                    return jnp.where(
+                        dmat_sq[r0:r0 + nrows, :s.shape[1]] <= thresh,
+                        s, MASK_VALUE,
+                    )
+
+                # Triangle split: when the diagonal enters at (or before)
+                # the chunk start (thresh <= 0 — always true for the
+                # diagonal chunk of a fresh prefill with ck == SQ), rows of
+                # the TOP half attend only cols < ck/2 + thresh <= ck/2,
+                # so the top half sweeps a half-width chunk — 25% of the
+                # diagonal chunk's MACs saved on the MXU.
+                can_split = (thresh <= 0) if ck == sq else None
+                if can_split is not None and sq >= 2 * tq:
+
+                    @pl.when(can_split)
+                    def _():
+                        h2 = sq // 2
+                        group_sweep(
+                            qs_buf[0:h2, :], k[0:ck // 2], v[0:ck // 2],
+                            lambda s: masked_post_rows(s, 0, h2),
+                            slice(0, h2), h2,
+                        )
+                        group_sweep(
+                            qs_buf[h2:sq, :], k, v,
+                            lambda s: masked_post_rows(s, h2, sq - h2),
+                            slice(h2, sq), sq - h2,
+                        )
+
+                    @pl.when(jnp.logical_not(can_split))
+                    def _():
+                        group_sweep(
+                            qs_buf[...], k, v, masked_post, slice(None), sq
+                        )
+                else:
+                    group_sweep(
+                        qs_buf[...], k, v, masked_post, slice(None), sq
+                    )
 
             chunk_interior = ((j + 1) * ck <= diag_lo0 + 1) & (
                 (j + 1) * ck <= kv_len
@@ -436,17 +475,25 @@ def _prefill_kernel(
             for st in range(n_tq):
                 p0 = p_base + st * tq
                 dst_p = jnp.clip(p0, 0, jnp.maximum(q_len - tq, 0))
-                src = jnp.clip(dst_p - p_base, 0, sq - tq)
+                # 8-aligned by construction under the aligned-cu contract
+                # (p_base, q_len, tq all ≡ 0 mod 8) — hint it, Mosaic
+                # cannot prove divisibility through the clips
+                src = pl.multiple_of(
+                    jnp.clip(dst_p - p_base, 0, sq - tq), 8
+                )
                 st_act = regular & (p0 < q_len) & (p0 + tq > 0)
-                writes.append((st_act, src, row0 + src, tq))
+                writes.append(
+                    (st_act, src, pl.multiple_of(row0 + src, 8), tq)
+                )
             # a clamp-shifted window of a sub-tq request has neither tq
             # rows of request nor tq rows of spill room: 8-row writes
             # (q_len ≡ 0 mod 8 under the aligned-cu contract)
             tiny = jnp.logical_not(regular)
             for w in range(tq // 8):
-                src = -p_base + w * 8
+                src = pl.multiple_of(-p_base + w * 8, 8)
                 writes.append(
-                    (tiny & (w * 8 < q_len), src, row0 + src, 8)
+                    (tiny & (w * 8 < q_len), src,
+                     pl.multiple_of(row0 + src, 8), 8)
                 )
         else:
             # slot writes at b*pitch + (cu[b]%8) + position: the window
