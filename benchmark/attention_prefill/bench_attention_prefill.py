@@ -142,6 +142,32 @@ def main():
             frac_peak=round(flops / sec / 1e12 / peak_bf16_tflops(), 4),
         )
 
+        # aligned packed mode — the serving engine's path (every cu entry
+        # is a multiple of 8 under its packing contract): the kernel reads
+        # q and writes o straight in packed rows, no pad/slot/compaction
+        # wrapper passes. b8_2k measured: the slotted wrapper costs ~40%
+        # of the whole call at this shape.
+        if all(int(l) % 8 == 0 for l in lens):
+            fn_al = lambda q, kc, vc, cu, bi, skv: (  # noqa: E731
+                attention_with_kvcache_prefill_bf16(
+                    q, kc, vc, cu, bi, skv, max_q, aligned_seq_starts=True
+                )
+            )
+            sec_al = _chain(
+                fn_al, q, (kc, vc, cu, block_ids, seq_kv),
+                inner=args.inner, trials=trials, hint_sec=hint,
+            )
+            rep.add(
+                _time=sec_al,
+                bench="attention_prefill", case=case, dtype="bf16",
+                mode="dense_aligned", batch=b, total_q=total_q,
+                latency_us=round(sec_al * 1e6, 1),
+                tflops=round(flops / sec_al / 1e12, 2),
+                frac_peak=round(
+                    flops / sec_al / 1e12 / peak_bf16_tflops(), 4
+                ),
+            )
+
         # external baseline: JAX's production splash-attention kernel on
         # the same shapes (non-paged packed MQA, causal) — the strongest
         # available stock TPU prefill kernel (reference benches against

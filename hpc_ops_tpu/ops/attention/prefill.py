@@ -160,11 +160,14 @@ def _prefill_kernel(
     row0 = row0_of(b, sbi)
     p_base = row0 - q_start  # position of window row 0 (may be < 0)
 
-    # slotted windows start up to 7 rows below cu[b], so a request whose
-    # last rows fall in the NEXT superblock (q_len <= sb0 < q_len + shift)
-    # still needs that superblock computed; packed mode has no shift
-    slack = 0 if packed_out else 7
-    tile_active = sb0 < q_len + slack
+    # slotted windows start up to 7 rows below cu[b] (round-down), so a
+    # request whose last rows fall in the NEXT superblock still needs that
+    # superblock computed — gate on the EXACT window position p_base, not
+    # sb0 (a +7 slack on sb0 activates a whole garbage superblock for
+    # every aligned request: measured 2.2x on b8_2k). Packed mode keeps
+    # the sb0 gate: its end-of-array clamp can pull p_base below q_len
+    # for tiles that are genuinely past the request.
+    tile_active = (sb0 < q_len) if packed_out else (p_base < q_len)
 
     def q_copies(bb, hh, ss, slot):
         # ONE DMA fetches a superblock's q for all G heads of its kv group
@@ -236,7 +239,15 @@ def _prefill_kernel(
         nh = nbh % n_hkv
         nb2 = nbh // n_hkv
 
-        @pl.when(nt * sq < cu_ref[nb2 + 1] - cu_ref[nb2] + slack)
+        # must match tile_active's gate exactly (a prefetch for an inactive
+        # tile wastes DMAs; a missing one deadlocks the waits)
+        n_qlen = cu_ref[nb2 + 1] - cu_ref[nb2]
+        if packed_out:
+            n_act = nt * sq < n_qlen
+        else:
+            n_act = (row0_of(nb2, nt) - cu_ref[nb2]) < n_qlen
+
+        @pl.when(n_act)
         def _():
             for cp in q_copies(nb2, nh, nt, nidx % 2):
                 cp.start()
@@ -404,25 +415,29 @@ def _prefill_kernel(
                 # Triangle split: when the diagonal enters at (or before)
                 # the chunk start (thresh <= 0 — always true for the
                 # diagonal chunk of a fresh prefill with ck == SQ), rows of
-                # the TOP half attend only cols < ck/2 + thresh <= ck/2,
-                # so the top half sweeps a half-width chunk — 25% of the
-                # diagonal chunk's MACs saved on the MXU.
+                # row-band st attend only cols < (st+1)*ck/ns + thresh, so
+                # each band sweeps a causally-capped column range —
+                # (ns+1)/(2*ns) of the diagonal chunk's MACs (ns=4: 62.5%
+                # vs the 100% of one full masked sweep). Bands stay >= 2
+                # subtiles tall where possible; the 2-way split alone
+                # measured b8_2k 72.5 -> 80.2 TF kernel-only.
                 can_split = (thresh <= 0) if ck == sq else None
                 if can_split is not None and sq >= 2 * tq:
+                    ns = 4 if (sq >= 4 * tq and sq % 4 == 0) else 2
+                    hs = sq // ns
+                    cs = ck // ns
 
                     @pl.when(can_split)
                     def _():
-                        h2 = sq // 2
-                        group_sweep(
-                            qs_buf[0:h2, :], k[0:ck // 2], v[0:ck // 2],
-                            lambda s: masked_post_rows(s, 0, h2),
-                            slice(0, h2), h2,
-                        )
-                        group_sweep(
-                            qs_buf[h2:sq, :], k, v,
-                            lambda s: masked_post_rows(s, h2, sq - h2),
-                            slice(h2, sq), sq - h2,
-                        )
+                        for st in range(ns):
+                            group_sweep(
+                                qs_buf[st * hs:(st + 1) * hs, :],
+                                k[0:(st + 1) * cs], v[0:(st + 1) * cs],
+                                lambda s, st=st: masked_post_rows(
+                                    s, st * hs, hs
+                                ),
+                                slice(st * hs, (st + 1) * hs), hs,
+                            )
 
                     @pl.when(jnp.logical_not(can_split))
                     def _():
@@ -533,16 +548,16 @@ def _prefill_sparse_kernel(
     block_tbl_ref,  # [B*max_blocks]
     cnt_ref,  # [B*Hkv*n_tm] int32 — active chunks per tile (causal-clamped)
     # inputs
-    q_hbm_ref,  # [Hq, total_q_pad, D] ANY
+    q_hbm_ref,  # [total_q_pad, Hq*D] ANY — lane-packed slotted rows
     k_pages_ref,  # [Hkv, nb, bs, D] ANY
     v_pages_ref,
     bits_hbm_ref,  # [B*Hkv*n_tm, G, n_chunks] int32 ANY — per-head bits
     list_hbm_ref,  # [B*Hkv*n_tm, 8, n_chunks] int32 ANY — row 0: chunk list
     ks_ref,  # [1, 1, n_ck, ck] f32 VMEM — per-token K scales (or dummy)
     # outputs
-    o_hbm_ref,  # [Hq, total_q_pad, D] ANY
+    o_hbm_ref,  # [total_q_pad, Hq*D] ANY
     # scratch
-    q_buf,  # [G, TQ, D] bf16
+    q_buf,  # [TQ, G*D] bf16 — the GQA group lane-packed, ONE DMA
     k_buf,  # [2, pcb, bs, D]
     v_buf,
     acc_buf,
@@ -584,6 +599,12 @@ def _prefill_sparse_kernel(
     the reference's 3.16x sparse speedup (README.md:173). Rows with no
     active pages emit 0 (the reference emits NaN; callers keep the causal
     diagonal in the mask, hpc/attention.py:268-278).
+
+    Round 5: q/o moved to the dense kernel's lane-packed [rows, Hq*D]
+    layout — the GQA group travels as ONE [tq, G*D] DMA each way instead
+    of per-head [tq, D] tiles of a transposed array, and the wrapper's
+    two [Hq, total, D] transpose passes disappear (the same restructure
+    measured 2.2x on the dense path, exp/prefill3d_iso.py).
     """
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -613,12 +634,14 @@ def _prefill_sparse_kernel(
         list_cp.start()
 
         row0 = pl.multiple_of(q_start + tqi * tq, tq)
-        for g in range(group):
-            pltpu.make_async_copy(
-                q_hbm_ref.at[h * group + g, pl.ds(row0, tq), :],
-                q_buf.at[g],
-                q_sem,
-            ).start()
+        d = q_buf.shape[1] // group
+        lane0 = pl.multiple_of(h * group * d, group * d)
+        q_cp = pltpu.make_async_copy(
+            q_hbm_ref.at[pl.ds(row0, tq), pl.ds(lane0, group * d)],
+            q_buf,
+            q_sem,
+        )
+        q_cp.start()
 
         cnt = cnt_ref[(b * num_kv_heads + h) * n_tm + tqi]
         bits_cp.wait()
@@ -663,10 +686,7 @@ def _prefill_sparse_kernel(
         l_buf[...] = jnp.zeros_like(l_buf)
         acc_buf[...] = jnp.zeros_like(acc_buf)
 
-        for g in range(group):
-            pltpu.make_async_copy(
-                q_hbm_ref.at[h * group + g, pl.ds(row0, tq), :], q_buf.at[g], q_sem
-            ).wait()
+        q_cp.wait()
 
         ckt = pack * ck
         qpos = kv_off + tqi * tq + jax.lax.broadcasted_iota(
@@ -721,7 +741,7 @@ def _prefill_sparse_kernel(
                 keep = (
                     jax.lax.shift_right_logical(bits_g[g], page_in_col) & 1
                 ) == 1
-                q = q_buf[g]
+                q = q_buf[:, g * d:(g + 1) * d]
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -729,22 +749,24 @@ def _prefill_sparse_kernel(
                 if pertoken_ks:
                     s = s * ks_row
                 s = jnp.where(causal & keep, s, MASK_VALUE)
-                m_prev = m_buf[g]
-                l_prev = l_buf[g]
+                gl = slice(g * _LANES, (g + 1) * _LANES)
+                m_prev = m_buf[:, gl]
+                l_prev = l_buf[:, gl]
                 m_curr = jnp.broadcast_to(
                     jnp.max(s, axis=1, keepdims=True), m_prev.shape
                 )
                 m_next = jnp.maximum(m_prev, m_curr)
                 alpha = jnp.exp2(m_prev - m_next)
                 p_ = jnp.exp2(s - m_next[:, :1])
-                l_buf[g] = alpha * l_prev + jnp.broadcast_to(
+                l_buf[:, gl] = alpha * l_prev + jnp.broadcast_to(
                     jnp.sum(p_, axis=1, keepdims=True), l_prev.shape
                 )
-                m_buf[g] = m_next
+                m_buf[:, gl] = m_next
                 o_curr = jax.lax.dot(
                     p_.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
                 )
-                acc_buf[g] = acc_buf[g] * alpha[:, :1] + o_curr
+                gd = slice(g * d, (g + 1) * d)
+                acc_buf[:, gd] = acc_buf[:, gd] * alpha[:, :1] + o_curr
             return ()
 
         jax.lax.fori_loop(0, cnt_steps, body, (), unroll=False)
@@ -753,21 +775,21 @@ def _prefill_sparse_kernel(
         # (head, page) anywhere -> emit 0 (reference emits NaN; callers keep
         # the causal diagonal set so this is the padding/degenerate case)
         for g in range(group):
-            l = l_buf[g][:, :1]
-            dead = m_buf[g][:, :1] <= (0.5 * MASK_VALUE)
+            gl = slice(g * _LANES, (g + 1) * _LANES)
+            gd = slice(g * d, (g + 1) * d)
+            l = l_buf[:, gl][:, :1]
+            dead = m_buf[:, gl][:, :1] <= (0.5 * MASK_VALUE)
             l_inv = jnp.where(
                 dead | (l == 0.0), 0.0, 1.0 / jnp.where(l == 0.0, 1.0, l)
             )
-            o_stage[g] = (acc_buf[g] * l_inv).astype(o_stage.dtype)
-            pltpu.make_async_copy(
-                o_stage.at[g],
-                o_hbm_ref.at[h * group + g, pl.ds(row0, tq), :],
-                o_sem,
-            ).start()
-        for g in range(group):
-            pltpu.make_async_copy(
-                o_stage.at[g], o_hbm_ref.at[h * group + g, pl.ds(row0, tq), :], o_sem
-            ).wait()
+            o_stage[:, gd] = (acc_buf[:, gd] * l_inv).astype(o_stage.dtype)
+        o_cp = pltpu.make_async_copy(
+            o_stage,
+            o_hbm_ref.at[pl.ds(row0, tq), pl.ds(lane0, group * d)],
+            o_sem,
+        )
+        o_cp.start()
+        o_cp.wait()
 
 
 def _pack_mask_bits(block_mask, pcb: int, n_chunks: int):
@@ -794,7 +816,7 @@ def _pack_mask_bits(block_mask, pcb: int, n_chunks: int):
     ),
 )
 def _prefill_sparse_pallas(
-    q_t,  # [Hq, total_q_pad, D] bf16 pre-scaled
+    q_rows,  # [total_q_pad, Hq*D] bf16 pre-scaled, slotted lane-packed rows
     k_pages,  # [Hkv, nb, bs, D]
     v_pages,
     q_starts,
@@ -812,11 +834,13 @@ def _prefill_sparse_pallas(
     pertoken_ks: bool = False,
     interpret: bool = False,
 ):
-    hq, total_q_pad, d = q_t.shape
+    total_q_pad = q_rows.shape[0]
     k_pages, kv_e4m3 = _kv_bits(k_pages)
     v_pages, _ = _kv_bits(v_pages)
-    hkv, nb, bs, _ = k_pages.shape
+    hkv, nb, bs, d = k_pages.shape
     dv = v_pages.shape[-1]
+    assert dv == d, "lane-packed sparse prefill assumes D == Dv"
+    hq = q_rows.shape[1] // d
     group = hq // hkv
     b = kv_lens.shape[0]
     pcb = pages_per_compute_block
@@ -843,13 +867,13 @@ def _prefill_sparse_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((group, tq, d), jnp.bfloat16),
+            pltpu.VMEM((tq, group * d), jnp.bfloat16),
             pltpu.VMEM((2, pack * pcb, bs, d), k_pages.dtype),
             pltpu.VMEM((2, pack * pcb, bs, dv), v_pages.dtype),
-            pltpu.VMEM((group, tq, dv), jnp.float32),
-            pltpu.VMEM((group, tq, _LANES), jnp.float32),
-            pltpu.VMEM((group, tq, _LANES), jnp.float32),
-            pltpu.VMEM((group, tq, dv), jnp.bfloat16),
+            pltpu.VMEM((tq, group * dv), jnp.float32),
+            pltpu.VMEM((tq, group * _LANES), jnp.float32),
+            pltpu.VMEM((tq, group * _LANES), jnp.float32),
+            pltpu.VMEM((tq, group * dv), jnp.bfloat16),
             pltpu.SMEM((group, n_chunks), jnp.int32),
             pltpu.SMEM((8, n_chunks), jnp.int32),
             pltpu.SemaphoreType.DMA,
@@ -876,7 +900,7 @@ def _prefill_sparse_pallas(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((hq, total_q_pad, dv), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((total_q_pad, hq * dv), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
@@ -887,7 +911,7 @@ def _prefill_sparse_pallas(
         kv_lens,
         jnp.pad(block_ids.reshape(-1), (0, pcb)),
         chunk_cnt,
-        q_t,
+        q_rows,
         k_pages,
         v_pages,
         bits_flat,
@@ -1535,22 +1559,38 @@ def attention_with_kvcache_prefill(
         out = o_rows.reshape(total_q, hq, o_rows.shape[-1] // hq)
         return fold_vscale(out)
 
-    # ---- sparse / NHD_FUSED paths: head-major slot repack (these kernels
-    # read per-head [Hq, rows, D] tiles)
+    # ---- sparse / NHD_FUSED paths: per-request tq-aligned slot repack.
+    # The sparse kernel reads lane-packed [rows, Hq*D] slots (round-5
+    # restructure — row copies only, no transpose); the NHD_FUSED all-heads
+    # kernel still reads head-major [Hq, rows, D] tiles.
     n_tq = 1
     sq_blk = tq
     max_q_pad = round_up(int(max_seqlens_q), tq)
     total_q_pad = b * max_q_pad
     q_starts = jnp.arange(b, dtype=jnp.int32) * max_q_pad
-    qT = jnp.transpose(qb, (1, 0, 2))
-    qT = jnp.pad(qT, ((0, 0), (0, max_q_pad), (0, 0)))
-    q_t = jnp.concatenate(
-        [
-            jax.lax.dynamic_slice(qT, (0, cu[i], 0), (hq, max_q_pad, d))
-            for i in range(b)
-        ],
-        axis=1,
-    )
+    if sparse:
+        qb_rows = jnp.pad(
+            qb.reshape(total_q, hq * d), ((0, max_q_pad), (0, 0))
+        )
+        q_slot = jnp.concatenate(
+            [
+                jax.lax.dynamic_slice(
+                    qb_rows, (cu[i], 0), (max_q_pad, hq * d)
+                )
+                for i in range(b)
+            ],
+            axis=0,
+        )
+    else:
+        qT = jnp.transpose(qb, (1, 0, 2))
+        qT = jnp.pad(qT, ((0, 0), (0, max_q_pad), (0, 0)))
+        q_t = jnp.concatenate(
+            [
+                jax.lax.dynamic_slice(qT, (0, cu[i], 0), (hq, max_q_pad, d))
+                for i in range(b)
+            ],
+            axis=1,
+        )
 
     page_size = bs_f if fused_nhd else k_pages.shape[2]
     if pages_per_compute_block is None:
@@ -1644,8 +1684,8 @@ def attention_with_kvcache_prefill(
             (b * hkv_ * n_tm, 8, n_chunks),
         )
 
-        o_t = _prefill_sparse_pallas(
-            q_t,
+        o_sl = _prefill_sparse_pallas(
+            q_slot,
             k_pages,
             v_pages,
             q_starts,
@@ -1663,7 +1703,17 @@ def attention_with_kvcache_prefill(
             pertoken_ks=pertoken_fast,
             interpret=interpret_default(),
         )
-    elif fused_nhd:
+        # compact slots -> packed rows (row gather; no transpose)
+        prow = jnp.arange(total_q, dtype=jnp.int32)
+        preq = jnp.minimum(
+            jnp.searchsorted(cu[1:], prow, side="right").astype(jnp.int32),
+            b - 1,
+        )
+        psrc = preq * max_q_pad + (prow - cu[preq])
+        out = jnp.take(o_sl, psrc, axis=0).reshape(total_q, hq, d)
+        return fold_vscale(out)
+
+    if fused_nhd:
         o_t = _prefill_nhd_fused_pallas(
             q_t,
             kv_slab,
