@@ -557,15 +557,15 @@ def _prefill_sparse_kernel(
     # outputs
     o_hbm_ref,  # [total_q_pad, Hq*D] ANY
     # scratch
-    q_buf,  # [TQ, G*D] bf16 — the GQA group lane-packed, ONE DMA
-    k_buf,  # [2, pcb, bs, D]
+    q_buf,  # [SQ, G*D] bf16 — the GQA group lane-packed, ONE DMA
+    k_buf,  # [2, pack*pcb, bs, D]
     v_buf,
-    acc_buf,
-    m_buf,
+    acc_buf,  # [SQ, G*D] f32
+    m_buf,  # [SQ, G*128] f32
     l_buf,
     o_stage,
-    bits_smem,  # SMEM [G, n_chunks] int32
-    list_smem,  # SMEM [8, n_chunks] int32 (row 0 used)
+    bits_smem,  # SMEM [n_sub*G, n_chunks] int32 — row st*G+g
+    list_smem,  # SMEM [8, n_chunks] int32 (row 0 = union chunk list)
     q_sem,
     kv_sems,
     bits_sem,
@@ -579,7 +579,8 @@ def _prefill_sparse_kernel(
     group: int,
     n_chunks: int,
     num_kv_heads: int,
-    n_tm: int,
+    n_tm: int,  # superblocks per request slot
+    n_sub: int,  # mask tiles per superblock (SQ = n_sub * tq)
     pack: int,
     pertoken_ks: bool,
     kv_e4m3: bool = False,
@@ -600,30 +601,40 @@ def _prefill_sparse_kernel(
     active pages emit 0 (the reference emits NaN; callers keep the causal
     diagonal in the mask, hpc/attention.py:268-278).
 
-    Round 5: q/o moved to the dense kernel's lane-packed [rows, Hq*D]
-    layout — the GQA group travels as ONE [tq, G*D] DMA each way instead
-    of per-head [tq, D] tiles of a transposed array, and the wrapper's
-    two [Hq, total, D] transpose passes disappear (the same restructure
-    measured 2.2x on the dense path, exp/prefill3d_iso.py).
+    Round 5: superblock restructure mirroring the dense kernel —
+
+    * q/o travel in the dense kernel's lane-packed [rows, Hq*D] layout:
+      the GQA group is ONE [SQ, G*D] DMA each way, and the wrapper's two
+      [Hq, total, D] transpose passes disappear (the same restructure
+      measured 2.2x on the dense path, exp/prefill3d_iso.py).
+    * Each program owns n_sub mask tiles (SQ = n_sub*tq rows) and streams
+      the UNION of their active chunks once: per-tile programs re-DMA'd
+      shared chunks up to n_sub times and fed the MXU [tq, ckt] dots;
+      the superblock issues [SQ, ckt] dots and divides the per-program
+      fixed costs (bits/list/q DMAs, grid steps) by n_sub. Chunks active
+      for only SOME subtiles are masked out per 128-row band with a
+      [1, ckt] per-(subtile, head) bit row that broadcasts over the
+      band's sublanes for free — no row-expanded mask is materialized.
     """
     b = pl.program_id(0)
     h = pl.program_id(1)
-    tqi = pl.program_id(2)
+    sbi = pl.program_id(2)
     ck = pcb * page_size
+    sq = n_sub * tq
 
     q_start = q_starts_ref[b]
     q_len = q_lens_ref[b]
     kv_len = kv_lens_ref[b]
     kv_off = kv_len - q_len
 
-    tile_active = tqi * tq < q_len
+    tile_active = sbi * sq < q_len
 
     @pl.when(tile_active)
     def _():
-        # ---- one DMA fetches this tile's per-head mask bits AND its
-        # precomputed active-chunk list (built vectorized outside the
-        # kernel — an in-kernel scalar compaction loop costs ~10us/tile)
-        flat = (b * num_kv_heads + h) * n_tm + tqi
+        # ---- one DMA fetches this superblock's per-(subtile, head) mask
+        # bits AND its precomputed union chunk list (built vectorized
+        # outside the kernel)
+        flat = (b * num_kv_heads + h) * n_tm + sbi
         bits_cp = pltpu.make_async_copy(
             bits_hbm_ref.at[flat], bits_smem, bits_sem
         )
@@ -633,17 +644,17 @@ def _prefill_sparse_kernel(
         )
         list_cp.start()
 
-        row0 = pl.multiple_of(q_start + tqi * tq, tq)
+        row0 = pl.multiple_of(q_start + sbi * sq, tq)
         d = q_buf.shape[1] // group
         lane0 = pl.multiple_of(h * group * d, group * d)
         q_cp = pltpu.make_async_copy(
-            q_hbm_ref.at[pl.ds(row0, tq), pl.ds(lane0, group * d)],
+            q_hbm_ref.at[pl.ds(row0, sq), pl.ds(lane0, group * d)],
             q_buf,
             q_sem,
         )
         q_cp.start()
 
-        cnt = cnt_ref[(b * num_kv_heads + h) * n_tm + tqi]
+        cnt = cnt_ref[(b * num_kv_heads + h) * n_tm + sbi]
         bits_cp.wait()
         list_cp.wait()
 
@@ -689,13 +700,15 @@ def _prefill_sparse_kernel(
         q_cp.wait()
 
         ckt = pack * ck
-        qpos = kv_off + tqi * tq + jax.lax.broadcasted_iota(
-            jnp.int32, (tq, ckt), 0
+        # geometry as [1, ckt] ROWS + a [sq, 1] COLUMN: per-band masks
+        # broadcast over sublanes for free, nothing row-expanded
+        qpos_col = kv_off + sbi * sq + jax.lax.broadcasted_iota(
+            jnp.int32, (sq, 1), 0
         )
-        lane = jax.lax.broadcasted_iota(jnp.int32, (tq, ckt), 1)
-        seg = lane // ck  # which packed column this lane belongs to
-        within = lane % ck
-        page_in_col = within // page_size
+        lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, ckt), 1)
+        seg_row = lane_row // ck  # which packed column this lane belongs to
+        within_row = lane_row % ck
+        page_row = within_row // page_size
 
         def body(i, _):
             slot = i % 2
@@ -710,24 +723,27 @@ def _prefill_sparse_kernel(
             k = _upk(k_buf[slot].reshape(ckt, k_buf.shape[-1]), kv_e4m3)
             v = _upk(v_buf[slot].reshape(ckt, v_buf.shape[-1]), kv_e4m3)
 
-            # per-segment column ids / validity / per-head bits from SMEM
-            kpos = within
-            bits_g = [jnp.zeros((tq, ckt), jnp.int32) for _ in range(group)]
+            # per-segment column ids / validity / per-(subtile, head) bits
+            # from SMEM — all assembled as [1, ckt] rows
+            kpos_row = within_row
+            cols = []
             ks_rows = []
             for p in range(pack):
                 e = jnp.minimum(i * pack + p, n_chunks - 1)
                 valid = (i * pack + p) < cnt
                 col = list_smem[0, e]
+                cols.append(jnp.minimum(col, n_chunks - 1))
                 base = jnp.where(valid, col * ck, kv_len)  # pads mask out
-                kpos = kpos + jnp.where(seg == p, base, 0)
-                for g in range(group):
-                    bv = bits_smem[g, jnp.minimum(col, n_chunks - 1)]
-                    bits_g[g] = bits_g[g] + jnp.where(seg == p, bv, 0)
+                kpos_row = kpos_row + jnp.where(seg_row == p, base, 0)
                 if pertoken_ks:
                     kc_ = jnp.minimum(col, ks_ref.shape[2] - 1)
                     ks_rows.append(ks_ref[0, 0, kc_][None, :])  # [1, ck]
 
-            causal = (kpos <= qpos) & (kpos < kv_len)
+            # causal via broadcast compare ([1, ckt] vs [sq, 1]); the
+            # kv_len bound is implied for real rows (invalid segments get
+            # base = kv_len > qpos), padding rows attend garbage that is
+            # never read back
+            causal = kpos_row <= qpos_col
             if pertoken_ks:
                 # QuantType-0 logit-side K scales, assembled per packed
                 # segment (same trick as _decode_qt0_kernel; exact)
@@ -738,9 +754,6 @@ def _prefill_sparse_kernel(
                 )  # [1, ckt]
 
             for g in range(group):
-                keep = (
-                    jax.lax.shift_right_logical(bits_g[g], page_in_col) & 1
-                ) == 1
                 q = q_buf[:, g * d:(g + 1) * d]
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
@@ -748,7 +761,24 @@ def _prefill_sparse_kernel(
                 )
                 if pertoken_ks:
                     s = s * ks_row
-                s = jnp.where(causal & keep, s, MASK_VALUE)
+                # per-band fine mask: one [1, ckt] bit row per subtile,
+                # applied to its 128-row slice (sublane broadcast is free)
+                parts = []
+                for st in range(n_sub):
+                    bsum = jnp.zeros((1, ckt), jnp.int32)
+                    for p in range(pack):
+                        bv = bits_smem[st * group + g, cols[p]]
+                        bsum = bsum + jnp.where(seg_row == p, bv, 0)
+                    keep = (
+                        jax.lax.shift_right_logical(bsum, page_row) & 1
+                    ) == 1
+                    rs = slice(st * tq, (st + 1) * tq)
+                    parts.append(
+                        jnp.where(
+                            causal[rs] & keep, s[rs], MASK_VALUE
+                        )
+                    )
+                s = jnp.concatenate(parts, axis=0) if n_sub > 1 else parts[0]
                 gl = slice(g * _LANES, (g + 1) * _LANES)
                 m_prev = m_buf[:, gl]
                 l_prev = l_buf[:, gl]
@@ -785,7 +815,7 @@ def _prefill_sparse_kernel(
             o_stage[:, gd] = (acc_buf[:, gd] * l_inv).astype(o_stage.dtype)
         o_cp = pltpu.make_async_copy(
             o_stage,
-            o_hbm_ref.at[pl.ds(row0, tq), pl.ds(lane0, group * d)],
+            o_hbm_ref.at[pl.ds(row0, sq), pl.ds(lane0, group * d)],
             o_sem,
         )
         o_cp.start()
@@ -811,7 +841,7 @@ def _pack_mask_bits(block_mask, pcb: int, n_chunks: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_tm", "tq", "pages_per_compute_block", "max_q_tiles",
+        "n_tm", "n_sub", "tq", "pages_per_compute_block", "max_q_tiles",
         "pertoken_ks", "interpret",
     ),
 )
@@ -823,14 +853,15 @@ def _prefill_sparse_pallas(
     q_lens,
     kv_lens,
     block_ids,
-    bits_flat,  # [B*Hkv*n_tm, G, n_chunks] int32
-    list_flat,  # [B*Hkv*n_tm, 8, n_chunks] int32 (row 0 = chunk list)
+    bits_flat,  # [B*Hkv*n_tm, n_sub*G, n_chunks] int32
+    list_flat,  # [B*Hkv*n_tm, 8, n_chunks] int32 (row 0 = union chunk list)
     chunk_cnt,  # [B*Hkv*n_tm] int32
     ks_dense,  # [B, Hkv, n_ck, ck] f32 (dummy [B, Hkv, 1, 128] when unused)
-    n_tm: int,
+    n_tm: int,  # superblocks per request slot
+    n_sub: int,  # mask tiles per superblock
     tq: int,
     pages_per_compute_block: int,
-    max_q_tiles: int,
+    max_q_tiles: int,  # == n_tm (grid dim)
     pertoken_ks: bool = False,
     interpret: bool = False,
 ):
@@ -867,14 +898,14 @@ def _prefill_sparse_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((tq, group * d), jnp.bfloat16),
+            pltpu.VMEM((n_sub * tq, group * d), jnp.bfloat16),
             pltpu.VMEM((2, pack * pcb, bs, d), k_pages.dtype),
             pltpu.VMEM((2, pack * pcb, bs, dv), v_pages.dtype),
-            pltpu.VMEM((tq, group * dv), jnp.float32),
-            pltpu.VMEM((tq, group * _LANES), jnp.float32),
-            pltpu.VMEM((tq, group * _LANES), jnp.float32),
-            pltpu.VMEM((tq, group * dv), jnp.bfloat16),
-            pltpu.SMEM((group, n_chunks), jnp.int32),
+            pltpu.VMEM((n_sub * tq, group * dv), jnp.float32),
+            pltpu.VMEM((n_sub * tq, group * _LANES), jnp.float32),
+            pltpu.VMEM((n_sub * tq, group * _LANES), jnp.float32),
+            pltpu.VMEM((n_sub * tq, group * dv), jnp.bfloat16),
+            pltpu.SMEM((n_sub * group, n_chunks), jnp.int32),
             pltpu.SMEM((8, n_chunks), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2, 2)),
@@ -893,6 +924,7 @@ def _prefill_sparse_pallas(
         n_chunks=n_chunks,
         num_kv_heads=hkv,
         n_tm=n_tm,
+        n_sub=n_sub,
         pack=pack,
         pertoken_ks=pertoken_ks,
         kv_e4m3=kv_e4m3,
@@ -1565,7 +1597,19 @@ def attention_with_kvcache_prefill(
     # kernel still reads head-major [Hq, rows, D] tiles.
     n_tq = 1
     sq_blk = tq
-    max_q_pad = round_up(int(max_seqlens_q), tq)
+    if sparse:
+        # sparse superblock: up to 8 mask tiles per program, VMEM-bounded
+        # (per row: q 2 + acc 4 + o 2 bytes per G*D lane + 8B per G for
+        # the m/l state)
+        group_v = hq // k_pages.shape[0]
+        row_b = 8 * group_v * d + 1024 * group_v
+        n_sub = max(
+            1,
+            min(8, (10 << 20) // (row_b * tq),
+                cdiv(int(max_seqlens_q), tq)),
+        )
+        sq_blk = n_sub * tq
+    max_q_pad = round_up(int(max_seqlens_q), sq_blk)
     total_q_pad = b * max_q_pad
     q_starts = jnp.arange(b, dtype=jnp.int32) * max_q_pad
     if sparse:
@@ -1645,18 +1689,23 @@ def attention_with_kvcache_prefill(
         bm_pages = jnp.repeat(block_mask, pages_per_tile, axis=-1)
         n_chunks = round_up(cdiv(block_ids.shape[1], pcb), 128)
         mask_bits = _pack_mask_bits(bm_pages, pcb, n_chunks)
-        if mask_bits.shape[2] < max_q_tiles:  # grid indexes q tiles directly
+        n_tiles_pad = max_q_tiles * n_sub  # mask tiles incl. slot padding
+        if mask_bits.shape[2] < n_tiles_pad:
             mask_bits = jnp.pad(
                 mask_bits,
-                ((0, 0), (0, 0), (0, max_q_tiles - mask_bits.shape[2]), (0, 0)),
+                ((0, 0), (0, 0),
+                 (0, n_tiles_pad - mask_bits.shape[2]), (0, 0)),
             )
+        mask_bits = mask_bits[:, :, :n_tiles_pad]
 
-        # active-chunk CSR, built vectorized here (the kernel only DMAs its
-        # tile's row): union over the GQA group, clamped to each q-tile's
-        # causal bound, actives sorted to the front
+        # active-chunk CSR, built vectorized here (the kernel only DMAs
+        # its superblock's rows): per-tile causal clamp, then union over
+        # the GQA group AND the superblock's n_sub tiles (chunks active
+        # for only some subtiles are masked per 128-row band in-kernel),
+        # actives sorted to the front
         hkv_ = k_pages.shape[0]
         group_ = hq // hkv_
-        n_tm = mask_bits.shape[2]  # >= max_q_tiles after the pad above
+        n_tm = n_tiles_pad
         bits4 = mask_bits.reshape(b, hkv_, group_, n_tm, n_chunks)
         union = jnp.any(bits4 != 0, axis=2)  # [B, Hkv, n_tm, n_chunks]
         kv_lens_i = seqlens_kvcache.astype(jnp.int32)
@@ -1669,19 +1718,25 @@ def attention_with_kvcache_prefill(
         lim = jnp.maximum((kv_hi + ckt - 1) // ckt, 1)  # chunks in causal range
         cid = jnp.arange(n_chunks, dtype=jnp.int32)
         union = union & (cid[None, None, None, :] < lim[:, None, :, None])
+        n_sb = max_q_tiles
+        union_sb = jnp.any(
+            union.reshape(b, hkv_, n_sb, n_sub, n_chunks), axis=3
+        )  # [B, Hkv, n_sb, n_chunks]
         chunk_list = jnp.sort(
-            jnp.where(union, cid, n_chunks), axis=-1
+            jnp.where(union_sb, cid, n_chunks), axis=-1
         ).astype(jnp.int32)
         chunk_cnt = (
-            jnp.sum(union, axis=-1).astype(jnp.int32).reshape(-1)
-        )  # [B*Hkv*n_tm]
-        # flat leading dim keeps the per-tile DMAs on an untiled axis
-        bits_flat = jnp.transpose(bits4, (0, 1, 3, 2, 4)).reshape(
-            b * hkv_ * n_tm, group_, n_chunks
-        )
+            jnp.sum(union_sb, axis=-1).astype(jnp.int32).reshape(-1)
+        )  # [B*Hkv*n_sb]
+        # flat leading dim keeps the per-superblock DMAs on an untiled
+        # axis; bits row st*G+g holds subtile st, head g
+        bits_flat = jnp.transpose(
+            bits4.reshape(b, hkv_, group_, n_sb, n_sub, n_chunks),
+            (0, 1, 3, 4, 2, 5),
+        ).reshape(b * hkv_ * n_sb, n_sub * group_, n_chunks)
         list_flat = jnp.broadcast_to(
-            chunk_list.reshape(b * hkv_ * n_tm, 1, n_chunks),
-            (b * hkv_ * n_tm, 8, n_chunks),
+            chunk_list.reshape(b * hkv_ * n_sb, 1, n_chunks),
+            (b * hkv_ * n_sb, 8, n_chunks),
         )
 
         o_sl = _prefill_sparse_pallas(
@@ -1696,7 +1751,8 @@ def attention_with_kvcache_prefill(
             list_flat,
             chunk_cnt,
             gather_ks(pcb),
-            n_tm,
+            n_sb,
+            n_sub,
             tq,
             pcb,
             max_q_tiles,
