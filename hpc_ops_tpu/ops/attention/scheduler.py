@@ -284,12 +284,16 @@ def select_decode_mode(
 
     TPU context (vs the reference's CTA bin-packing, assign_task.cu): a
     TPU core executes its grid SEQUENTIALLY, so the inline-chunk-loop grid
-    is already work-exact — CTA load imbalance, the reason the reference's
-    dynamic scheduler exists, does not occur within one core. The task map
-    pays off only when the chip splits the grid across cores (v5p/v4
-    megacore: 2 TensorCores) AND the length mix is skewed enough that a
-    core-boundary split of the (b, h) grid strands work. Heuristic: taskmap
-    iff multiple cores and max_len > skew_threshold x mean_len.
+    is work-exact for *uniform* mixes and wins them (uniform_4096: grid
+    757 vs taskmap 560 GB/s, results/decode_r5.jsonl). But with a skewed
+    mix whose short tail is tiny, the grid pays a full per-(b, h) step
+    for each near-empty request while the long request's chunk loop
+    serializes — the flat task map amortizes both (round-5 grid sweep:
+    skewed_extreme 263 vs 136 GB/s = 1.9x, skewed_mix 461 vs 351 = 1.3x).
+    Heuristic: taskmap iff max_len > skew_threshold * mean_len AND the
+    shortest request is at most one task tile (the tiny-tail signature);
+    multi-core chips (v4/v5p megacore) additionally prefer taskmap on any
+    skew, since a core-boundary split of the (b, h) grid strands work.
     """
     if num_cores is None:
         try:
@@ -298,9 +302,12 @@ def select_decode_mode(
         except Exception:
             num_cores = 1
     lens = np.asarray(kv_lens, np.int64)
-    if num_cores <= 1 or lens.size == 0:
+    if lens.size == 0:
         return "grid"
-    if lens.max() > skew_threshold * max(lens.mean(), 1.0):
+    skewed = lens.max() > skew_threshold * max(lens.mean(), 1.0)
+    if num_cores > 1 and skewed:
+        return "taskmap"
+    if skewed and lens.min() <= 512:
         return "taskmap"
     return "grid"
 
