@@ -935,6 +935,9 @@ def _prefill_sparse_pallas(
         out_shape=jax.ShapeDtypeStruct((total_q_pad, hq * dv), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # superblock scratch + [SQ, ckt] softmax temporaries exceed the
+            # 16MB default scoped-vmem limit at n_sub=8
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
