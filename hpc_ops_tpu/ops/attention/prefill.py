@@ -1601,14 +1601,23 @@ def attention_with_kvcache_prefill(
     n_tq = 1
     sq_blk = tq
     if sparse:
-        # sparse superblock: up to 8 mask tiles per program, VMEM-bounded
-        # (per row: q 2 + acc 4 + o 2 bytes per G*D lane + 8B per G for
-        # the m/l state)
+        # Sparse superblocks (n_sub mask tiles per program, union chunk
+        # stream) amortize fixed costs ONLY when the mask is correlated
+        # across adjacent q tiles and heads: at an uncorrelated ~20% keep
+        # the union over n_sub*G (tile, head) pairs activates nearly every
+        # chunk (1 - 0.8^32 ≈ 0.999 at n_sub=8) and the skip ratio — the
+        # entire point of sparsity — dies (measured: b1_32k sparse fell
+        # from 1.82x to 0.92x vs dense). Default n_sub=1 (per-tile
+        # streaming); HPC_SPARSE_NSUB overrides for workloads whose masks
+        # are known block-correlated.
+        import os as _os
+
         group_v = hq // k_pages.shape[0]
         row_b = 8 * group_v * d + 1024 * group_v
         n_sub = max(
             1,
-            min(8, (10 << 20) // (row_b * tq),
+            min(int(_os.environ.get("HPC_SPARSE_NSUB", "1")),
+                (10 << 20) // (row_b * tq),
                 cdiv(int(max_seqlens_q), tq)),
         )
         sq_blk = n_sub * tq

@@ -18,10 +18,13 @@ the reference is implicit in one jit).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from hpc_ops_tpu.ops.activation import act_mul_and_quant, act_mul_and_quant_ref
 from hpc_ops_tpu.ops.group_gemm import (
@@ -172,19 +175,25 @@ def count_and_gather(
     return xg, topk_pos, seqlens, cu, tiles, cu_tiles
 
 
-def reduce(x, topk_pos, topk_scale, shared_output=None):
+def reduce(x, topk_pos, topk_scale, shared_output=None, impl: str = "auto"):
     """Top-k weighted combine (hpc/fuse_moe.py:88-130):
     out[s] = sum_k topk_scale[s,k] * x[topk_pos[s,k]] (+ shared_output[s]).
     topk_pos < 0 contributes zero. Returns [S, H] bf16.
 
-    Accumulates one gathered [S, H] slice at a time: the one-shot
-    [S, K, H] f32 gather+einsum formulation materializes a K x H x 4B
-    intermediate (536MB at 4K tokens x top-8 x 4096) and re-reads it — it
-    measured ~9% of HBM bandwidth and dominated the fused-MoE pipeline at
-    large token counts (results/moe_r2_stages.jsonl).
+    impl="auto" runs the Pallas gather-combine kernel (`_reduce_kernel`):
+    the jnp loop below re-reads the f32 accumulator per expert slice
+    (K x 3 HBM passes over [S, H]) and its row gathers do not fuse —
+    measured 3.5ms at 4096 tokens x top-8 x h4096, ~10x over the byte
+    floor, the largest single stage of the large-batch MoE pipeline
+    (results/moe_r5_clean.jsonl). The kernel gathers the K expert rows of
+    a token tile with per-row DMAs (double-buffered across tiles, the
+    scatter-GEMM's proven pattern) and accumulates in VMEM: bytes touched
+    once. impl="ref" keeps the jnp path (the oracle in tests).
     """
     s, k = topk_pos.shape
     h = x.shape[-1]
+    if impl == "auto" and not interpret_default() and h % 128 == 0 and k <= 16:
+        return _reduce_pallas(x, topk_pos, topk_scale, shared_output)
     out = (
         jnp.zeros((s, h), jnp.float32)
         if shared_output is None
@@ -198,6 +207,113 @@ def reduce(x, topk_pos, topk_scale, shared_output=None):
         # NaN), and NaN * 0 would poison the sum — the where discards it.
         out = out + jnp.where((pos >= 0)[:, None], rows * w[:, None], 0.0)
     return out.astype(jnp.bfloat16)
+
+
+def _reduce_kernel(pos_ref, x_hbm_ref, sc_ref, vld_ref, sh_ref, o_ref,
+                   gbuf, sem, *, tm: int, k: int, has_shared: bool):
+    """Gather-combine: tile t owns tm tokens; their tm*k expert rows are
+    DMA'd from HBM (indices scalar-prefetched), double-buffered across
+    tiles, and combined with one fma per expert slot. Slots with pos < 0
+    gather row 0 and carry a zeroed scale (NaN-safe: the multiply-by-zero
+    of a garbage-but-finite row is 0; unwritten trash rows are only ever
+    the GEMM's own zero-initialized padding)."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    def start_gather(ti, slot):
+        copies = []
+        for r in range(tm):
+            for j in range(k):
+                idx = jnp.maximum(pos_ref[(ti * tm + r) * k + j], 0)
+                c = pltpu.make_async_copy(
+                    x_hbm_ref.at[idx], gbuf.at[slot, r * k + j], sem.at[slot]
+                )
+                c.start()
+                copies.append(c)
+        return copies
+
+    @pl.when(t == 0)
+    def _():
+        for c in start_gather(0, 0):
+            c.wait()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        start_gather(t + 1, (t + 1) % 2)
+
+    @pl.when(t > 0)
+    def _():
+        for r in range(tm * k):
+            pltpu.make_async_copy(
+                x_hbm_ref.at[0], gbuf.at[t % 2, r], sem.at[t % 2]
+            ).wait()
+
+    g = gbuf[t % 2].reshape(tm, k, gbuf.shape[-1])
+    acc = sh_ref[...].astype(jnp.float32) if has_shared else None
+    for j in range(k):
+        # select-then-add: a dropped slot's gathered row may be garbage
+        # (even NaN) and NaN * 0 would poison the sum
+        part = jnp.where(
+            vld_ref[:, j:j + 1] > 0,
+            g[:, j, :].astype(jnp.float32) * sc_ref[:, j:j + 1],
+            0.0,
+        )
+        acc = part if acc is None else acc + part
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _reduce_pallas(x, topk_pos, topk_scale, shared_output=None):
+    import functools as _ft
+
+    s, k = topk_pos.shape
+    h = x.shape[-1]
+    # tile small enough that the double-buffered gather slab fits VMEM
+    tm = 64
+    while tm > 8 and 2 * tm * k * h * x.dtype.itemsize > (10 << 20):
+        tm //= 2
+    sp = cdiv(s, tm) * tm
+    pos = jnp.pad(topk_pos.reshape(-1), (0, (sp - s) * k), constant_values=-1)
+    sc = jnp.where(topk_pos >= 0, topk_scale.astype(jnp.float32), 0.0)
+    sc = jnp.pad(sc, ((0, sp - s), (0, 128 - k)))
+    vld = jnp.pad(
+        (topk_pos >= 0).astype(jnp.float32), ((0, sp - s), (0, 128 - k))
+    )
+    has_shared = shared_output is not None
+    if has_shared:
+        sh = jnp.pad(shared_output, ((0, sp - s), (0, 0)))
+    else:
+        sh = jnp.zeros((8, h), jnp.bfloat16)  # dummy block
+
+    out = pl.pallas_call(
+        _ft.partial(_reduce_kernel, tm=tm, k=k, has_shared=has_shared),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(sp // tm,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((tm, 128), lambda t, pos_r: (t, 0)),
+                pl.BlockSpec((tm, 128), lambda t, pos_r: (t, 0)),
+                pl.BlockSpec(
+                    (tm, h) if has_shared else (8, h),
+                    (lambda t, pos_r: (t, 0))
+                    if has_shared
+                    else (lambda t, pos_r: (0, 0)),
+                ),
+            ],
+            out_specs=pl.BlockSpec((tm, h), lambda t, pos_r: (t, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, tm * k, h), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((sp, h), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+    )(pos.astype(jnp.int32), x, sc, vld, sh)
+    return out[:s]
 
 
 def fuse_moe_pertensor_fp8(

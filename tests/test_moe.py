@@ -406,3 +406,36 @@ def test_fuse_moe_int8_fused_act_epilogue():
         rtol=0.05,
         name="int8_moe_fused_act_vs_unfused_ep",
     )
+
+
+def test_reduce_pallas_vs_ref_nan_rows():
+    """The Pallas gather-combine must match the jnp reference and must not
+    be poisoned by NaN garbage in rows only referenced by dropped slots."""
+    from hpc_ops_tpu.ops import moe
+
+    rng = np.random.RandomState(17)
+    rows, s, k, h = 512, 100, 8, 512
+    x = rng.randn(rows, h).astype(np.float32)
+    x[37] = np.nan  # a row only dropped slots point at
+    pos = rng.randint(1, rows, size=(s, k)).astype(np.int32)
+    pos[pos == 37] = 11  # keep valid slots off the poisoned rows
+    pos[rng.rand(s, k) < 0.3] = -1
+    pos[0, 0] = -1
+    drop = pos < 0
+    pos_nan = np.where(drop, -1, pos)
+    # make some dropped slots "point" at the NaN row via the gather-row-0
+    # path: the kernel gathers row 0 for them — poison row 0 too and rely
+    # on the validity select
+    x[0] = np.nan
+    sc = rng.rand(s, k).astype(np.float32)
+
+    xj = jnp.asarray(x, jnp.bfloat16)
+    want = moe.reduce(
+        xj, jnp.asarray(pos_nan), jnp.asarray(sc), impl="ref"
+    )
+    got = moe.reduce(xj, jnp.asarray(pos_nan), jnp.asarray(sc), impl="auto")
+    assert not np.isnan(np.asarray(got, np.float32)).any()
+    assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2, name="reduce_pallas",
+    )
