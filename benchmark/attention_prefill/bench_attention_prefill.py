@@ -332,6 +332,7 @@ def main():
                         k_block_num_bias_medium=6,
                         k_block_num_rate_large=0.08,
                         k_block_num_bias_large=6,
+                        gqa_groups=g,
                     )
 
                 def stem_body(carry):
