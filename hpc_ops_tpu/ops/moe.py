@@ -209,22 +209,30 @@ def reduce(x, topk_pos, topk_scale, shared_output=None, impl: str = "auto"):
     return out.astype(jnp.bfloat16)
 
 
-def _reduce_kernel(pos_ref, x_hbm_ref, sc_ref, vld_ref, sh_ref, o_ref,
-                   gbuf, sem, *, tm: int, k: int, has_shared: bool):
+def _reduce_kernel(pos_hbm_ref, x_hbm_ref, sc_ref, vld_ref, sh_ref, o_ref,
+                   gbuf, pos_smem, psem, sem,
+                   *, tm: int, k: int, has_shared: bool):
     """Gather-combine: tile t owns tm tokens; their tm*k expert rows are
-    DMA'd from HBM (indices scalar-prefetched), double-buffered across
-    tiles, and combined with one fma per expert slot. Slots with pos < 0
-    gather row 0 and carry a zeroed scale (NaN-safe: the multiply-by-zero
-    of a garbage-but-finite row is 0; unwritten trash rows are only ever
-    the GEMM's own zero-initialized padding)."""
+    DMA'd from HBM, double-buffered across tiles, and combined with one
+    fma per expert slot. The row indices themselves stream HBM->SMEM per
+    tile (a whole-array scalar prefetch is 4*S*K bytes — 128KB at 4096
+    tokens x top-8 — and exceeds SMEM). Slots with pos < 0 gather row 0
+    and are discarded by an explicit validity select (NaN-safe)."""
     t = pl.program_id(0)
     nt = pl.num_programs(0)
+
+    def load_pos(ti, slot):
+        cp = pltpu.make_async_copy(
+            pos_hbm_ref.at[ti], pos_smem.at[slot], psem.at[slot]
+        )
+        cp.start()
+        cp.wait()
 
     def start_gather(ti, slot):
         copies = []
         for r in range(tm):
             for j in range(k):
-                idx = jnp.maximum(pos_ref[(ti * tm + r) * k + j], 0)
+                idx = jnp.maximum(pos_smem[slot, r * k + j], 0)
                 c = pltpu.make_async_copy(
                     x_hbm_ref.at[idx], gbuf.at[slot, r * k + j], sem.at[slot]
                 )
@@ -234,11 +242,13 @@ def _reduce_kernel(pos_ref, x_hbm_ref, sc_ref, vld_ref, sh_ref, o_ref,
 
     @pl.when(t == 0)
     def _():
+        load_pos(0, 0)
         for c in start_gather(0, 0):
             c.wait()
 
     @pl.when(t + 1 < nt)
     def _():
+        load_pos(t + 1, (t + 1) % 2)
         start_gather(t + 1, (t + 1) % 2)
 
     @pl.when(t > 0)
@@ -273,7 +283,9 @@ def _reduce_pallas(x, topk_pos, topk_scale, shared_output=None):
     while tm > 8 and 2 * tm * k * h * x.dtype.itemsize > (10 << 20):
         tm //= 2
     sp = cdiv(s, tm) * tm
-    pos = jnp.pad(topk_pos.reshape(-1), (0, (sp - s) * k), constant_values=-1)
+    pos = jnp.pad(
+        topk_pos.reshape(-1), (0, (sp - s) * k), constant_values=-1
+    ).reshape(sp // tm, tm * k)
     sc = jnp.where(topk_pos >= 0, topk_scale.astype(jnp.float32), 0.0)
     sc = jnp.pad(sc, ((0, sp - s), (0, 128 - k)))
     vld = jnp.pad(
@@ -288,22 +300,23 @@ def _reduce_pallas(x, topk_pos, topk_scale, shared_output=None):
     out = pl.pallas_call(
         _ft.partial(_reduce_kernel, tm=tm, k=k, has_shared=has_shared),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=0,
             grid=(sp // tm,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((tm, 128), lambda t, pos_r: (t, 0)),
-                pl.BlockSpec((tm, 128), lambda t, pos_r: (t, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((tm, 128), lambda t: (t, 0)),
+                pl.BlockSpec((tm, 128), lambda t: (t, 0)),
                 pl.BlockSpec(
                     (tm, h) if has_shared else (8, h),
-                    (lambda t, pos_r: (t, 0))
-                    if has_shared
-                    else (lambda t, pos_r: (0, 0)),
+                    (lambda t: (t, 0)) if has_shared else (lambda t: (0, 0)),
                 ),
             ],
-            out_specs=pl.BlockSpec((tm, h), lambda t, pos_r: (t, 0)),
+            out_specs=pl.BlockSpec((tm, h), lambda t: (t, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, tm * k, h), x.dtype),
+                pltpu.SMEM((2, tm * k), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
