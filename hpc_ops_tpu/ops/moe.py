@@ -222,6 +222,8 @@ def _reduce_kernel(pos_hbm_ref, x_hbm_ref, sc_ref, vld_ref, sh_ref, o_ref,
     nt = pl.num_programs(0)
 
     def load_pos(ti, slot):
+        # pos is [nt, 1, tm*k]: the leading dim stays untiled so a
+        # 1-slice is legal wherever the compiler places the array
         cp = pltpu.make_async_copy(
             pos_hbm_ref.at[ti], pos_smem.at[slot], psem.at[slot]
         )
@@ -232,7 +234,7 @@ def _reduce_kernel(pos_hbm_ref, x_hbm_ref, sc_ref, vld_ref, sh_ref, o_ref,
         copies = []
         for r in range(tm):
             for j in range(k):
-                idx = jnp.maximum(pos_smem[slot, r * k + j], 0)
+                idx = jnp.maximum(pos_smem[slot, 0, r * k + j], 0)
                 c = pltpu.make_async_copy(
                     x_hbm_ref.at[idx], gbuf.at[slot, r * k + j], sem.at[slot]
                 )
@@ -258,14 +260,16 @@ def _reduce_kernel(pos_hbm_ref, x_hbm_ref, sc_ref, vld_ref, sh_ref, o_ref,
                 x_hbm_ref.at[0], gbuf.at[t % 2, r], sem.at[t % 2]
             ).wait()
 
-    g = gbuf[t % 2].reshape(tm, k, gbuf.shape[-1])
+    # stay in the gathered [tm, k, h//128, 128] layout end-to-end — a
+    # flatten to [tm, k, h] is a full relayout per tile
+    g = gbuf[t % 2].reshape(tm, k, gbuf.shape[2], 128)
     acc = sh_ref[...].astype(jnp.float32) if has_shared else None
     for j in range(k):
         # select-then-add: a dropped slot's gathered row may be garbage
         # (even NaN) and NaN * 0 would poison the sum
         part = jnp.where(
-            vld_ref[:, j:j + 1] > 0,
-            g[:, j, :].astype(jnp.float32) * sc_ref[:, j:j + 1],
+            vld_ref[:, j:j + 1][:, :, None] > 0,
+            g[:, j].astype(jnp.float32) * sc_ref[:, j:j + 1][:, :, None],
             0.0,
         )
         acc = part if acc is None else acc + part
@@ -285,7 +289,7 @@ def _reduce_pallas(x, topk_pos, topk_scale, shared_output=None):
     sp = cdiv(s, tm) * tm
     pos = jnp.pad(
         topk_pos.reshape(-1), (0, (sp - s) * k), constant_values=-1
-    ).reshape(sp // tm, tm * k)
+    ).reshape(sp // tm, 1, tm * k)
     sc = jnp.where(topk_pos >= 0, topk_scale.astype(jnp.float32), 0.0)
     sc = jnp.pad(sc, ((0, sp - s), (0, 128 - k)))
     vld = jnp.pad(
@@ -293,9 +297,11 @@ def _reduce_pallas(x, topk_pos, topk_scale, shared_output=None):
     )
     has_shared = shared_output is not None
     if has_shared:
-        sh = jnp.pad(shared_output, ((0, sp - s), (0, 0)))
+        sh = jnp.pad(shared_output, ((0, sp - s), (0, 0))).reshape(
+            sp, h // 128, 128
+        )
     else:
-        sh = jnp.zeros((8, h), jnp.bfloat16)  # dummy block
+        sh = jnp.zeros((8, h // 128, 128), jnp.bfloat16)  # dummy block
 
     out = pl.pallas_call(
         _ft.partial(_reduce_kernel, tm=tm, k=k, has_shared=has_shared),
@@ -308,25 +314,28 @@ def _reduce_pallas(x, topk_pos, topk_scale, shared_output=None):
                 pl.BlockSpec((tm, 128), lambda t: (t, 0)),
                 pl.BlockSpec((tm, 128), lambda t: (t, 0)),
                 pl.BlockSpec(
-                    (tm, h) if has_shared else (8, h),
-                    (lambda t: (t, 0)) if has_shared else (lambda t: (0, 0)),
+                    (tm, h // 128, 128) if has_shared else (8, h // 128, 128),
+                    (lambda t: (t, 0, 0))
+                    if has_shared
+                    else (lambda t: (0, 0, 0)),
                 ),
             ],
-            out_specs=pl.BlockSpec((tm, h), lambda t: (t, 0)),
+            out_specs=pl.BlockSpec((tm, h // 128, 128), lambda t: (t, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, tm * k, h), x.dtype),
-                pltpu.SMEM((2, tm * k), jnp.int32),
+                pltpu.VMEM((2, tm * k, h // 128, 128), x.dtype),
+                pltpu.SMEM((2, 1, tm * k), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((sp, h), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((sp, h // 128, 128), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=48 * 1024 * 1024,
         ),
-    )(pos.astype(jnp.int32), x, sc, vld, sh)
-    return out[:s]
+    )(pos.astype(jnp.int32), x.reshape(x.shape[0], h // 128, 128),
+      sc, vld, sh)
+    return out.reshape(sp, h)[:s]
 
 
 def fuse_moe_pertensor_fp8(
