@@ -80,6 +80,11 @@ def main():
         lg, temperature=t, topk=k, topp=p,
         softmax_policy=SoftmaxPolicy.BEFORE_TOPK, seed=3,
     )[0]
+    full_ap = lambda lg, t, k, p: fused_sampler(  # noqa: E731
+        lg, temperature=t, topk=k, topp=p,
+        softmax_policy=SoftmaxPolicy.BEFORE_TOPK, seed=3,
+        topk_impl="approx",
+    )[0]
     fast = lambda lg, t: fused_sampler(lg, temperature=t)[0]  # noqa: E731
     base = lambda lg, key: unfused_pipeline(  # noqa: E731
         lg, 0.7, 32, jnp.float32(0.9), key
@@ -96,6 +101,8 @@ def main():
         trials = max(args.iters // 2, 3)
         t_full = _chain(full, logits, (temp, tk, tp),
                         inner=args.inner, trials=trials, hint_sec=hint)
+        t_full_ap = _chain(full_ap, logits, (temp, tk, tp),
+                           inner=args.inner, trials=trials, hint_sec=hint)
         t_fast = _chain(fast, logits, (temp,),
                         inner=args.inner, trials=trials, hint_sec=hint)
         t_base = _chain(base, logits, (key,),
@@ -104,10 +111,12 @@ def main():
             _time=t_full,
             bench="sampler", batch=b, vocab=VOCAB,
             full_us=round(t_full * 1e6, 1),
+            full_approx_us=round(t_full_ap * 1e6, 1),
             fast_us=round(t_fast * 1e6, 1),
             unfused_us=round(t_base * 1e6, 1),
             full_gbps=round(b * VOCAB * 4 / t_full / 1e9, 1),
             speedup_full_vs_unfused=round(t_base / t_full, 2),
+            speedup_full_approx_vs_unfused=round(t_base / t_full_ap, 2),
             speedup_fast_vs_unfused=round(t_base / t_fast, 2),
         )
     rep.flush()

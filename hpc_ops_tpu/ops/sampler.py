@@ -64,11 +64,21 @@ def fused_sampler(
     gumbel_noise: Optional[jax.Array] = None,
     draft_token_ids: Optional[jax.Array] = None,
     seed: int = 0,
+    topk_impl: str = "exact",
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Fused sampling step.
 
     Args mirror hpc/sampler.py:42-123 (see module docstring). ``logits`` is
     [B, V] float32/bfloat16.
+
+    ``topk_impl``: "exact" (default — lax.top_k, the reference contract,
+    bit-matches the jnp oracle) or "approx" — lax.approx_max_k, the TPU's
+    PartialReduce unit: measured 35 vs 782 µs at [64, 120832] (the exact
+    sort runs at 40 GB/s, the approx scan at 881 = the HBM byte rate).
+    Deterministic (fixed reduction pattern) but each true top-k element
+    is only included with ~0.95 expected recall, concentrated on the
+    boundary candidates whose post-softmax mass is negligible — the
+    serving trade, not the testing one.
 
     Returns:
       (token_ids [B, 1] int32, updated_penalty_mask or None).
@@ -135,7 +145,10 @@ def fused_sampler(
         work = jax.nn.softmax(work, axis=-1)
 
     # 4. top-max_topk candidates (sorted desc; jax breaks ties by lower index)
-    vals, idx = jax.lax.top_k(work, max_topk)
+    if topk_impl == "approx":
+        vals, idx = jax.lax.approx_max_k(work, max_topk, recall_target=0.95)
+    else:
+        vals, idx = jax.lax.top_k(work, max_topk)
 
     tk = _per_batch(topk, b, jnp.int32)
     k_eff = jnp.where((tk <= 0) | (tk > max_topk), max_topk, tk)
